@@ -1,0 +1,301 @@
+"""Single-node pandas/numpy reference implementations ("the oracle").
+
+Every distributed operator in modlyn_spark is verified against these with
+numpy.allclose per entity x timestamp (BASELINE.json north_rule). They mirror
+the reference's semantics precisely:
+
+- label encoding sorts classes lexicographically like sklearn.LabelEncoder
+  (reference: modlyn/models/_simple_logreg_datamodule.py:85-88);
+- features are float32 on input, accumulated in float64
+  (reference densifies to float32: _simple_logreg_datamodule.py:94);
+- the logreg trainer reproduces torch Adam + softmax cross-entropy exactly
+  (reference: modlyn/models/_simple_logreg_model.py:70-83,105-108);
+- the Jaccard evaluator mirrors modlyn/eval/_jaccard.py:25-82 including the
+  pandas nlargest tie semantics and the analytic random baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+# ---------------------------------------------------------------------------
+# temporal operators
+# ---------------------------------------------------------------------------
+
+
+def oracle_asof(
+    left: pd.DataFrame,
+    right: pd.DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    allow_exact_matches: bool = True,
+    tolerance: pd.Timedelta | None = None,
+) -> pd.DataFrame:
+    l = left.copy().reset_index(drop=True)
+    l["__ord"] = np.arange(len(l))
+    r = right[[on, right_ts] + payload].copy()
+    rname = right_ts if right_ts not in l.columns else "__rts"
+    r = r.rename(columns={right_ts: rname})
+    l = l.sort_values(left_ts, kind="mergesort")
+    r = r.sort_values(rname, kind="mergesort")
+    merged = pd.merge_asof(
+        l,
+        r,
+        left_on=left_ts,
+        right_on=rname,
+        by=on,
+        direction="backward",
+        allow_exact_matches=allow_exact_matches,
+        tolerance=tolerance,
+    )
+    merged = merged.sort_values("__ord").drop(
+        columns=["__ord"] + ([rname] if rname != left_ts else [])
+    )
+    return merged.reset_index(drop=True)
+
+
+def oracle_lag_lead(
+    df: pd.DataFrame, key: str, ts: str, col: str, k: int = 1
+) -> pd.DataFrame:
+    out = df.sort_values([key, ts], kind="mergesort").copy()
+    g = out.groupby(key, sort=False)[col]
+    out[f"{col}_lag{k}"] = g.shift(k)
+    out[f"{col}_lead{k}"] = g.shift(-k)
+    out[f"{col}_delta{k}"] = out[col] - out[f"{col}_lag{k}"]
+    return out
+
+
+def oracle_hamming(a: pd.Series, b: pd.Series) -> pd.Series:
+    x = a.astype("Int64").astype(object)
+    y = b.astype("Int64").astype(object)
+
+    def ham(u, v):
+        if pd.isna(u) or pd.isna(v):
+            return None
+        return bin((int(u) ^ int(v)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    return pd.Series([ham(u, v) for u, v in zip(x, y)], index=a.index)
+
+
+def oracle_sessionize(
+    df: pd.DataFrame, key: str, ts: str, gap_seconds: int
+) -> pd.DataFrame:
+    out = df.sort_values([key, ts], kind="mergesort").copy()
+    prev = out.groupby(key, sort=False)[ts].shift(1)
+    gap = (out[ts] - prev).dt.total_seconds()
+    flag = (gap.isna() | (gap > gap_seconds)).astype(int)
+    out["session_id"] = flag.groupby(out[key], sort=False).cumsum() - 1
+    return out
+
+
+def oracle_backfill(df: pd.DataFrame, key: str, ts: str, col: str) -> pd.DataFrame:
+    out = df.sort_values([key, ts], kind="mergesort").copy()
+    out[f"{col}_ffill"] = out.groupby(key, sort=False)[col].ffill()
+    return out
+
+
+def oracle_rolling_stats(
+    df: pd.DataFrame, key: str, ts: str, col: str, n_rows: int
+) -> pd.DataFrame:
+    out = df.sort_values([key, ts], kind="mergesort").copy()
+    g = out.groupby(key, sort=False)[col]
+    r = g.rolling(n_rows, min_periods=1)
+    out[f"{col}_roll_count"] = r.count().values
+    out[f"{col}_roll_mean"] = r.mean().values
+    out[f"{col}_roll_min"] = r.min().values
+    out[f"{col}_roll_max"] = r.max().values
+    out[f"{col}_roll_var"] = r.var(ddof=0).fillna(0.0).values
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scoring: per-class per-feature stats, F-statistic, logreg
+# ---------------------------------------------------------------------------
+
+
+def encode_labels(labels: pd.Series) -> tuple[list, np.ndarray]:
+    """sklearn.LabelEncoder parity: classes sorted ascending, dense codes.
+
+    (reference fits LabelEncoder on train labels:
+    modlyn/models/_simple_logreg_datamodule.py:85-88; class order recovered
+    via classes_ at _simple_logreg_model.py:175)
+    """
+    classes = sorted(pd.unique(labels))
+    lut = {c: i for i, c in enumerate(classes)}
+    return classes, labels.map(lut).to_numpy(dtype=np.int64)
+
+
+def oracle_class_feature_stats(
+    X: np.ndarray, labels: pd.Series
+) -> pd.DataFrame:
+    """Long-form (label, feature_pos, n, mean, var_pop) per class x feature."""
+    classes, y = encode_labels(labels)
+    X = X.astype(np.float64)
+    rows = []
+    for i, c in enumerate(classes):
+        sub = X[y == i]
+        rows.append(
+            pd.DataFrame(
+                {
+                    "label": c,
+                    "pos": np.arange(X.shape[1]),
+                    "n": len(sub),
+                    "mean": sub.mean(axis=0),
+                    "var_pop": sub.var(axis=0),
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True)
+
+
+def oracle_f_statistic(X: np.ndarray, labels: pd.Series) -> pd.DataFrame:
+    """One-way ANOVA F statistic per feature (scanpy rank_genes_groups-style
+    mean/variance scoring — SURVEY.md N2). Between-group mean square over
+    within-group mean square, ddof-corrected like scipy.stats.f_oneway."""
+    classes, y = encode_labels(labels)
+    X = X.astype(np.float64)
+    n, d = X.shape
+    k = len(classes)
+    grand = X.mean(axis=0)
+    ss_between = np.zeros(d)
+    ss_within = np.zeros(d)
+    for i in range(k):
+        sub = X[y == i]
+        m = sub.mean(axis=0)
+        ss_between += len(sub) * (m - grand) ** 2
+        ss_within += ((sub - m) ** 2).sum(axis=0)
+    ms_between = ss_between / (k - 1)
+    ms_within = ss_within / (n - k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        f = np.where(ms_within > 0, ms_between / ms_within, np.inf)
+    return pd.DataFrame({"pos": np.arange(d), "f_stat": f})
+
+
+def softmax_xent_grad(
+    W: np.ndarray, b: np.ndarray, X: np.ndarray, y: np.ndarray
+) -> tuple[float, np.ndarray, np.ndarray]:
+    """Mean softmax cross-entropy loss + gradients wrt W (k,d) and b (k)."""
+    logits = X @ W.T + b
+    logits -= logits.max(axis=1, keepdims=True)
+    e = np.exp(logits)
+    p = e / e.sum(axis=1, keepdims=True)
+    n = len(X)
+    loss = -np.log(np.clip(p[np.arange(n), y], 1e-30, None)).mean()
+    p[np.arange(n), y] -= 1.0
+    p /= n
+    return loss, p.T @ X, p.sum(axis=0)
+
+
+class AdamState:
+    """torch.optim.Adam parity (L2 weight decay added to the gradient, not
+    AdamW): m/v moments with bias correction, defaults beta=(0.9,0.999),
+    eps=1e-8 (reference optimizer: modlyn/models/_simple_logreg_model.py:105-108)."""
+
+    def __init__(self, shape, lr, weight_decay, betas=(0.9, 0.999), eps=1e-8):
+        self.m = np.zeros(shape)
+        self.v = np.zeros(shape)
+        self.t = 0
+        self.lr, self.wd, self.betas, self.eps = lr, weight_decay, betas, eps
+
+    def step(self, param: np.ndarray, grad: np.ndarray) -> np.ndarray:
+        self.t += 1
+        g = grad + self.wd * param
+        b1, b2 = self.betas
+        self.m = b1 * self.m + (1 - b1) * g
+        self.v = b2 * self.v + (1 - b2) * g * g
+        mh = self.m / (1 - b1**self.t)
+        vh = self.v / (1 - b2**self.t)
+        return param - self.lr * mh / (np.sqrt(vh) + self.eps)
+
+
+def oracle_logreg(
+    X: np.ndarray,
+    labels: pd.Series,
+    batch_ids: np.ndarray,
+    *,
+    lr: float = 1e-2,
+    weight_decay: float = 1e-2,
+    max_steps: int = 50,
+    n_epochs: int = 1,
+) -> tuple[pd.DataFrame, list[float]]:
+    """Deterministic mini-batch logistic regression (the reference scoring
+    inner loop, modlyn/models/_simple_logreg_model.py:70-83): W,b init at 0,
+    batches taken in increasing batch_id order, float64 math throughout.
+
+    Returns (weights long-form DataFrame (label, pos, weight), losses).
+    """
+    classes, y = encode_labels(labels)
+    X = X.astype(np.float64)
+    d, k = X.shape[1], len(classes)
+    W = np.zeros((k, d))
+    b = np.zeros(k)
+    optW = AdamState(W.shape, lr, weight_decay)
+    optb = AdamState(b.shape, lr, weight_decay)
+    losses: list[float] = []
+    step = 0
+    n_batches = int(batch_ids.max()) + 1
+    for _ in range(n_epochs):
+        for bid in range(n_batches):
+            if step >= max_steps:
+                break
+            mask = batch_ids == bid
+            if not mask.any():
+                continue
+            loss, gW, gb = softmax_xent_grad(W, b, X[mask], y[mask])
+            W = optW.step(W, gW)
+            b = optb.step(b, gb)
+            losses.append(loss)
+            step += 1
+    rows = []
+    for i, c in enumerate(classes):
+        rows.append(pd.DataFrame({"label": c, "pos": np.arange(d), "weight": W[i]}))
+    return pd.concat(rows, ignore_index=True), losses
+
+
+# ---------------------------------------------------------------------------
+# evaluation: top-N Jaccard (reference: modlyn/eval/_jaccard.py:25-82)
+# ---------------------------------------------------------------------------
+
+
+def oracle_jaccard(
+    dataframes: list[pd.DataFrame], n_top_values: list[int] | None = None
+) -> pd.DataFrame:
+    """Pandas parity port of CompareScores.compute_jaccard_comparison semantics
+    (wide score matrices in, long results out), without the plotting."""
+    from itertools import combinations
+
+    if n_top_values is None:
+        n_top_values = [25, 50, 100, 200]
+    method_names = [df.attrs["method_name"] for df in dataframes]
+    common_genes = sorted(set.intersection(*[set(df.columns) for df in dataframes]))
+    common_cells = sorted(set.intersection(*[set(df.index) for df in dataframes]))
+    n_genes = len(common_genes)
+    dfs = [df.loc[common_cells, common_genes] for df in dataframes]
+    results = []
+    for n_top in n_top_values:
+        for cell in common_cells:
+            tops = {
+                name: set(df.loc[cell].abs().nlargest(n_top).index)
+                for df, name in zip(dfs, method_names)
+            }
+            for m1, m2 in combinations(method_names, 2):
+                inter = len(tops[m1] & tops[m2])
+                union = len(tops[m1] | tops[m2])
+                results.append(
+                    {
+                        "cell_line": cell,
+                        "n_top": n_top,
+                        "method_pair": f"{m1}<->{m2}",
+                        "jaccard": inter / union if union else 0,
+                    }
+                )
+    for n_top in n_top_values:
+        rj = 1.0 if n_top >= n_genes else (2 * n_top) / (2 * n_genes - n_top)
+        results.append(
+            {"n_top": n_top, "method_pair": "Random baseline", "jaccard": rj}
+        )
+    return pd.DataFrame(results)

@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for the 100 TB design point and verified locally:
+AQE on (runtime re-planning + skew-join splitting), Arrow on (every Python
+boundary is vectorized), shuffle partitions sized to the local core count
+(on a real cluster: 2-3x total executor cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "modlyn-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    Args:
+        app_name: Spark application name.
+        master: master URL; defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+            ``local[*]``). On a real cluster pass ``yarn``/``k8s://...`` or let
+            spark-submit set it.
+        shuffle_partitions: number of shuffle partitions; defaults to the local
+            parallelism (cluster rule of thumb: 2-3x total cores, or rely on AQE
+            coalescing from a higher initial value).
+        extra: extra config key/values (override defaults).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        if cpus:
+            shuffle_partitions = max(int(cpus), 4)
+        else:
+            shuffle_partitions = max(os.cpu_count() or 4, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: runtime shuffle-partition coalescing,
+        #     skew-join splitting, broadcast conversion at runtime
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- every Python<->JVM data transfer is Arrow-vectorized
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- shuffle sizing
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # partition input files at 128MB (default) but cap open-cost so many
+        # small synthetic files still coalesce into sane tasks
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- deterministic timestamps across engines (tests compare to DuckDB)
+        .config("spark.sql.session.timeZone", "UTC")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
