@@ -1,0 +1,278 @@
+"""Image payload handling: pure-Python PNG codec + vectorized decode UDFs.
+
+The engine's input table carries images as opaque ``bytes: binary`` with
+typed metadata (w, h, fmt) — BASELINE.json input_hint. All decode work runs
+inside Arrow-batched pandas UDFs (``mapInPandas``), never per-row Python.
+
+This container has no PIL/OpenCV, so the codec is a minimal self-contained
+PNG implementation (public spec: RFC 2083): 8-bit gray or RGB, no
+interlace; encoder writes filter-0 scanlines; decoder reverses filters
+0-4. It is exact (lossless), which makes the decoded-pixel allclose
+invariant checkable bit-for-bit.
+
+Lossy path: fmt="qpng" quantizes pixels to 16 levels before PNG-encoding —
+a deterministic stand-in for JPEG that exercises the PSNR >= 40 dB gate with
+real reconstruction error. fmt="jpeg" decoding is STUBBED (no codec in this
+environment) and raises NotImplementedError with a clear marker; the
+Spark-side plumbing (schema, batching, UDF signature) is identical either
+way and is what the tests exercise.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Encode uint8 array (h, w) gray or (h, w, 3) RGB as PNG (filter 0)."""
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        color_type, channels = 0, 1
+    elif pixels.ndim == 3 and pixels.shape[2] == 3:
+        h, w, _ = pixels.shape
+        color_type, channels = 2, 3
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y].tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by png_encode (or any 8-bit gray/RGB,
+    non-interlaced PNG). Returns (h, w) or (h, w, 3) uint8."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    color_type = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or interlace != 0 or color_type not in (0, 2):
+                raise NotImplementedError("only 8-bit gray/RGB non-interlaced")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    channels = 1 if color_type == 0 else 3
+    raw = zlib.decompress(idat)
+    out = _unfilter(raw, h, w, channels)
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, channels)
+
+
+# --- lossy stand-in ---------------------------------------------------------
+
+_Q_LEVELS = 64  # step 4 -> max error 2 -> PSNR ~47 dB, above the 40 dB gate
+
+
+def qpng_encode(pixels: np.ndarray) -> bytes:
+    """Deterministic lossy codec: quantize to 64 levels, then PNG."""
+    step = 256 // _Q_LEVELS
+    q = ((pixels.astype(np.int32) // step) * step + step // 2).clip(0, 255)
+    return png_encode(q.astype(np.uint8))
+
+
+def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
+    """Dispatch decode by format tag."""
+    if fmt in ("png", "qpng"):
+        return png_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        # STUB: no JPEG codec available in this environment. The Spark-side
+        # plumbing (binary column -> Arrow batch -> pandas UDF) is identical
+        # to the PNG path and fully tested there.
+        raise NotImplementedError("STUB: jpeg decode requires an image codec")
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 20 * np.log10(255.0) - 10 * np.log10(mse)
+
+
+# --- Spark-side vectorized UDFs ----------------------------------------------
+
+_STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ts_version", LongType()),
+        StructField("dec_w", IntegerType()),
+        StructField("dec_h", IntegerType()),
+        StructField("px_mean", DoubleType()),
+        StructField("px_var", DoubleType()),
+        StructField("px_min", IntegerType()),
+        StructField("px_max", IntegerType()),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    version_col: str = "version",
+) -> DataFrame:
+    """Decode every image and emit per-image pixel statistics — the
+    feature-extraction half of the multimodal pipeline. Arrow-batched
+    mapInPandas; binary payloads never enter a shuffle (stats only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for _, r in pdf.iterrows():
+                px = decode_bytes(bytes(r[bytes_col]), r[fmt_col])
+                recs.append(
+                    {
+                        "image_id": r[id_col],
+                        "ts_version": int(r[version_col]),
+                        "dec_w": px.shape[1],
+                        "dec_h": px.shape[0],
+                        "px_mean": float(px.mean()),
+                        "px_var": float(px.var()),
+                        "px_min": int(px.min()),
+                        "px_max": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, version_col, bytes_col, fmt_col).mapInPandas(
+        run, schema=_STATS_SCHEMA
+    )
+
+
+_VERIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("version", LongType()),
+        StructField("psnr_db", DoubleType()),
+        StructField("size_ok", BooleanType()),
+        StructField("caption_ok", BooleanType()),
+    ]
+)
+
+
+def verify_images(
+    df: DataFrame,
+    reference_pixels_fn,
+    reference_caption_fn,
+    *,
+    min_psnr_db: float = 40.0,
+) -> DataFrame:
+    """Per-row invariant check against a deterministic reference generator
+    (input_hint: decoded-pixel allclose / PSNR >= 40 dB for lossy + caption
+    equality). ``reference_pixels_fn(image_id, version) -> ndarray`` and
+    ``reference_caption_fn(image_id, version) -> str`` must be pure functions
+    (they are shipped to executors in the UDF closure)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for _, r in pdf.iterrows():
+                px = decode_bytes(bytes(r["bytes"]), r["fmt"])
+                ref = reference_pixels_fn(r["image_id"], int(r["version"]))
+                p = psnr(ref, px)
+                recs.append(
+                    {
+                        "image_id": r["image_id"],
+                        "version": int(r["version"]),
+                        "psnr_db": p,
+                        "size_ok": px.shape[1] == int(r["w"])
+                        and px.shape[0] == int(r["h"]),
+                        "caption_ok": r["caption"]
+                        == reference_caption_fn(r["image_id"], int(r["version"])),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select("image_id", "version", "bytes", "fmt", "w", "h", "caption").mapInPandas(
+        run, schema=_VERIFY_SCHEMA
+    )

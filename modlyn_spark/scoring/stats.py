@@ -1,0 +1,199 @@
+"""Per-class per-feature statistics and F-statistic scoring.
+
+The distributed analogue of the scanpy rank_genes_groups mean/variance
+scoring path the reference quickstart compares against (SURVEY.md N2;
+reference: docs/quickstart.ipynb cells 1335d6d3 / 8c058e6c), and the
+building block for the count-matrix statistics the north_rule mandates.
+
+Two physical strategies for the stats:
+
+``partial``
+    Scale path: one ``mapInPandas`` pass emits per-input-partition per-class
+    moment partials (n, sum[d], sumsq[d]) — numpy-vectorized over Arrow
+    batches, output is tiny (n_partitions x n_classes rows) — then a
+    ``groupBy(label)`` combine and a ``posexplode`` to long form. This is the
+    map-side-combined tree aggregation the north_star names: the wide shuffle
+    moves only moment vectors, never rows.
+
+``explode``
+    Parity path: ``posexplode(features)`` then a plain
+    ``groupBy(label, pos)`` aggregate. Shuffles n*d rows, but is pure
+    Catalyst SQL — used for the DuckDB oracle cross-check and as a reference
+    for the partial path.
+
+Label encoding mirrors sklearn.LabelEncoder (classes sorted ascending;
+reference: modlyn/models/_simple_logreg_datamodule.py:85-88).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def label_encode(df: DataFrame, label_col: str) -> tuple[list, DataFrame]:
+    """sklearn.LabelEncoder parity: distinct labels sorted ascending -> dense
+    int codes. Returns (classes, df with ``<label_col>_idx``).
+
+    The mapping is collected (n_classes is small) and applied as a broadcast
+    literal map — no join, no shuffle.
+    """
+    classes = [
+        r[0]
+        for r in df.select(label_col).distinct().orderBy(label_col).collect()
+    ]
+    mapping = F.create_map(
+        *[x for i, c in enumerate(classes) for x in (F.lit(c), F.lit(i))]
+    )
+    return classes, df.withColumn(f"{label_col}_idx", mapping[F.col(label_col)])
+
+
+def class_feature_stats(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    strategy: str = "partial",
+) -> DataFrame:
+    """Long-form per-class per-feature statistics.
+
+    Returns DataFrame(label, pos, n, mean, var_pop) — one row per
+    (class, feature position). ``var_pop`` is the population variance
+    (matches numpy's default ddof=0, which the oracle and scanpy-style
+    scoring use).
+    """
+    if strategy == "explode":
+        ex = df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(features_col).alias("pos", "x"),
+        ).select("label", "pos", F.col("x").cast("double").alias("x"))
+        return ex.groupBy("label", "pos").agg(
+            F.count("x").alias("n"),
+            F.avg("x").alias("mean"),
+            F.coalesce(F.var_pop("x"), F.lit(0.0)).alias("var_pop"),
+        )
+    if strategy != "partial":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    partial_schema = StructType(
+        [
+            StructField("label", StringType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+            StructField("ss", ArrayType(DoubleType())),
+        ]
+    )
+
+    lc, fc = label_col, features_col
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[str, list] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[fc].to_numpy()).astype(np.float64)
+            labels = pdf[lc].to_numpy()
+            for lab in pd.unique(labels):
+                sub = X[labels == lab]
+                key = str(lab)
+                if key not in acc:
+                    acc[key] = [0, 0.0, 0.0]
+                acc[key][0] += len(sub)
+                acc[key][1] = acc[key][1] + sub.sum(axis=0)
+                acc[key][2] = acc[key][2] + (sub * sub).sum(axis=0)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "label": list(acc),
+                    "n": [v[0] for v in acc.values()],
+                    "s": [v[1].tolist() for v in acc.values()],
+                    "ss": [v[2].tolist() for v in acc.values()],
+                }
+            )
+
+    combine_schema = StructType(
+        [
+            StructField("label", StringType()),
+            StructField("pos", LongType()),
+            StructField("n", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("var_pop", DoubleType()),
+        ]
+    )
+
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["n"].sum())
+        s = np.sum(np.stack(pdf["s"].to_numpy()), axis=0)
+        ss = np.sum(np.stack(pdf["ss"].to_numpy()), axis=0)
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        d = len(mean)
+        return pd.DataFrame(
+            {
+                "label": key[0],
+                "pos": np.arange(d, dtype=np.int64),
+                "n": n,
+                "mean": mean,
+                "var_pop": var,
+            }
+        )
+
+    p = df.select(F.col(lc).cast("string").alias(lc), fc).mapInPandas(
+        partials, schema=partial_schema
+    )
+    return p.groupBy("label").applyInPandas(combine, schema=combine_schema)
+
+
+def f_statistic(stats: DataFrame) -> DataFrame:
+    """One-way ANOVA F per feature from long-form class stats.
+
+    Input: the (label, pos, n, mean, var_pop) frame from
+    ``class_feature_stats``. Output: DataFrame(pos, f_stat). Pure SQL
+    aggregation — the input is already tiny (n_classes x d rows).
+
+    F = [sum_c n_c (m_c - m)^2 / (k-1)] / [sum_c n_c var_c / (N-k)].
+    ``sum_c n_c var_c`` equals the within-class sum of squares because
+    var_pop is the population variance.
+    """
+    g = stats.groupBy("pos").agg(
+        F.sum("n").alias("n_total"),
+        F.count("label").alias("k_classes"),
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+    )
+    j = stats.join(g, "pos")
+    return (
+        j.groupBy("pos")
+        .agg(
+            (
+                F.sum(
+                    F.col("n")
+                    * (F.col("mean") - F.col("grand"))
+                    * (F.col("mean") - F.col("grand"))
+                )
+                / (F.first("k_classes") - F.lit(1))
+            ).alias("ms_between"),
+            (
+                F.sum(F.col("n") * F.col("var_pop"))
+                / (F.first("n_total") - F.first("k_classes"))
+            ).alias("ms_within"),
+        )
+        .select(
+            "pos",
+            F.when(
+                F.col("ms_within") > 0, F.col("ms_between") / F.col("ms_within")
+            )
+            .otherwise(F.lit(float("inf")))
+            .alias("f_stat"),
+        )
+    )

@@ -1,0 +1,167 @@
+"""Image layer: PNG codec roundtrip, PSNR gate, caption equality, phash
+deltas — the input_hint per-row invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modlyn_spark.functions.image import (
+    decode_bytes,
+    decode_image_stats,
+    png_decode,
+    png_encode,
+    psnr,
+    qpng_encode,
+    verify_images,
+)
+from modlyn_spark.functions.phash import average_hash, hamming64
+from modlyn_spark.sources.images import (
+    generate_images_df,
+    generate_images_pandas,
+    reference_caption,
+    reference_phash,
+    reference_pixels,
+)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.default_rng(1)
+    px = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert (png_decode(png_encode(px)) == px).all()
+
+
+def test_png_roundtrip_gray():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(9, 31), dtype=np.uint8)
+    assert (png_decode(png_encode(px)) == px).all()
+
+
+def test_png_decode_all_filters():
+    """Decoder must handle filters 1-4 (encoders in the wild use them)."""
+    import struct
+    import zlib
+
+    from modlyn_spark.functions.image import _PNG_SIG, _chunk
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+
+    # hand-encode with a cycling filter type per scanline
+    def enc_filters(pixels):
+        h, w, _ = pixels.shape
+        stride = w * 3
+        prev = np.zeros(stride, dtype=np.int32)
+        raw = b""
+        for y in range(h):
+            cur = pixels[y].reshape(-1).astype(np.int32)
+            ft = y % 5
+            if ft == 0:
+                line = cur
+            elif ft == 1:
+                line = cur.copy()
+                line[3:] = (cur[3:] - cur[:-3]) % 256
+            elif ft == 2:
+                line = (cur - prev) % 256
+            elif ft == 3:
+                line = cur.copy()
+                for i in range(stride):
+                    left = cur[i - 3] if i >= 3 else 0
+                    line[i] = (cur[i] - ((left + prev[i]) >> 1)) % 256
+            else:
+                line = cur.copy()
+                for i in range(stride):
+                    a = cur[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (cur[i] - pred) % 256
+            raw += bytes([ft]) + line.astype(np.uint8).tobytes()
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+
+    assert (png_decode(enc_filters(px)) == px).all()
+
+
+def test_qpng_psnr_above_gate():
+    for eid in ["img_00000000", "img_00000003"]:
+        px = reference_pixels(eid, 0)
+        dec = decode_bytes(qpng_encode(px), "qpng")
+        # 16-level quantization: max error 8 -> PSNR ~ 30+dB; gradient images
+        # with small per-pixel error land well above 40 dB? verify actual gate
+        assert psnr(px, dec) > 30  # sanity; per-row gate tested distributed
+
+
+def test_jpeg_decode_is_stubbed():
+    with pytest.raises(NotImplementedError, match="STUB"):
+        decode_bytes(b"\xff\xd8\xff", "jpeg")
+
+
+def test_generator_pandas_spark_identical(spark):
+    pdf = generate_images_pandas(8)
+    sdf = generate_images_df(spark, 8, num_partitions=4).toPandas()
+    key = ["image_id", "version"]
+    pdf = pdf.sort_values(key).reset_index(drop=True)
+    sdf = sdf.sort_values(key).reset_index(drop=True)
+    assert len(pdf) == len(sdf)
+    assert (pdf["caption"].values == sdf["caption"].values).all()
+    assert (pdf["phash"].values == sdf["phash"].values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(pdf["bytes"], sdf["bytes"]))
+    assert (pdf["ts"].values == sdf["ts"].values).all()
+
+
+def test_distributed_verify_invariants(spark):
+    """The north_rule per-row gate: decoded pixels match reference (PSNR>=40
+    lossy / exact lossless), captions equal, sizes right."""
+    df = generate_images_df(spark, 12, num_partitions=4)
+    res = verify_images(df, reference_pixels, reference_caption).toPandas()
+    assert len(res) > 0
+    assert res["caption_ok"].all()
+    assert res["size_ok"].all()
+    lossless = res.merge(
+        generate_images_pandas(12)[["image_id", "version", "fmt"]],
+        on=["image_id", "version"],
+    )
+    assert np.isinf(lossless[lossless.fmt == "png"]["psnr_db"]).all()
+    assert (lossless[lossless.fmt == "qpng"]["psnr_db"] >= 40.0).all()
+
+
+def test_decode_stats_and_phash_lag(spark):
+    pdf = generate_images_pandas(10)
+    df = spark.createDataFrame(pdf)
+    stats = decode_image_stats(df).toPandas()
+    assert len(stats) == len(pdf)
+    assert (stats["px_max"] <= 255).all() and (stats["px_min"] >= 0).all()
+
+    # phash hamming lag-delta: JVM-side bit_count(xor) equals numpy recompute
+    from modlyn_spark.operators.windows import with_lag_lead
+
+    ll = (
+        with_lag_lead(df, "image_id", "ts", "phash", delta=False, hamming=True)
+        .select("image_id", "version", "phash", "phash_hamming1")
+        .toPandas()
+        .sort_values(["image_id", "version"])
+    )
+    for eid, g in ll.groupby("image_id"):
+        hashes = [reference_phash(eid, int(v)) for v in g["version"]]
+        for i in range(1, len(hashes)):
+            expected = bin((hashes[i] ^ hashes[i - 1]) & ((1 << 64) - 1)).count("1")
+            assert g["phash_hamming1"].iloc[i] == expected
+
+
+def test_hot_entity_skew_fixture(spark):
+    pdf = generate_images_pandas(6, hot_every=3, hot_factor=10)
+    counts = pdf.groupby("image_id").size()
+    hot = counts[["img_00000000", "img_00000003"]]
+    cold = counts.drop(["img_00000000", "img_00000003"])
+    assert hot.min() >= 10 * 1  # hot entities have >= 10x base versions
+    assert hot.min() > cold.max()

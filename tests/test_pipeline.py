@@ -1,0 +1,109 @@
+"""Flagship pipeline end-to-end: leakage-free point-in-time features +
+scoring, verified against a fully independent pandas recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from modlyn_spark.plans.pipeline import (
+    IMAGE_FEATURE_NAMES,
+    image_feature_pipeline,
+    score_features,
+)
+from modlyn_spark.sources.images import (
+    generate_images_df,
+    generate_images_pandas,
+    synth_feature_requests,
+)
+
+GAP = 600
+
+
+def _oracle_features(images: pd.DataFrame, requests: pd.DataFrame) -> pd.DataFrame:
+    """Independent pandas recomputation of the pipeline semantics."""
+    st = images.sort_values(["image_id", "ts", "version"], kind="mergesort").copy()
+    g = st.groupby("image_id", sort=False)
+    # nullable Int64 keeps 64-bit exactness through shift (plain int64 would
+    # promote to float64 and corrupt high bits)
+    lag = st["phash"].astype("Int64").groupby(st["image_id"], sort=False).shift(1)
+    st["phash_hamming"] = [
+        float(bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")) if pd.notna(b) else 0.0
+        for a, b in zip(st["phash"], lag)
+    ]
+    prev_ts = g["ts"].shift(1)
+    gap = (st["ts"] - prev_ts).dt.total_seconds()
+    flag = (gap.isna() | (gap > GAP)).astype(int)
+    st["session_id"] = flag.groupby(st["image_id"], sort=False).cumsum() - 1.0
+    st["n_in_session_so_far"] = st.groupby("image_id", sort=False).cumcount() + 1.0
+    st["px_mean_raw"] = np.where(
+        st["version"] % 2 == 1, (st["phash"] % 256).astype(float), np.nan
+    )
+    st["px_mean_ffill"] = st.groupby("image_id", sort=False)["px_mean_raw"].ffill().fillna(0.0)
+
+    out = []
+    for _, r in requests.iterrows():
+        hist = st[(st.image_id == r.image_id) & (st.ts <= r.feature_ts)]
+        if hist.empty:
+            out.append([-1.0] * 6)
+            continue
+        last = hist.iloc[-1]
+        age = (r.feature_ts - last.ts).total_seconds()
+        out.append(
+            [
+                last.phash_hamming,
+                float(last.version),
+                float(last.session_id),
+                last.n_in_session_so_far,
+                last.px_mean_ffill,
+                age,
+            ]
+        )
+    res = requests.copy()
+    res["features"] = out
+    return res
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+def test_image_pipeline_allclose(spark, strategy):
+    images_pdf = generate_images_pandas(20, hot_every=10, hot_factor=5)
+    requests_pdf = synth_feature_requests(images_pdf)
+    images = generate_images_df(spark, 20, hot_every=10, hot_factor=5, num_partitions=4)
+    requests = spark.createDataFrame(requests_pdf)
+
+    got = (
+        image_feature_pipeline(images, requests, asof_strategy=strategy)
+        .toPandas()
+        .merge(requests_pdf[["image_id", "feature_ts", "request_id"]], on=["image_id", "feature_ts"])
+        .sort_values("request_id")
+        .reset_index(drop=True)
+    )
+    exp = _oracle_features(images_pdf, requests_pdf).sort_values("request_id").reset_index(drop=True)
+    G = np.stack(got["features"].to_numpy())
+    E = np.stack(exp["features"].to_numpy())
+    assert G.shape == E.shape == (len(requests_pdf), len(IMAGE_FEATURE_NAMES))
+    assert np.allclose(G, E), np.argwhere(~np.isclose(G, E))[:5]
+
+
+def test_image_pipeline_salted_matches_unsalted(spark):
+    images = generate_images_df(spark, 12, hot_every=6, hot_factor=20, num_partitions=4)
+    requests = spark.createDataFrame(synth_feature_requests(generate_images_pandas(12, hot_every=6, hot_factor=20)))
+    a = (
+        image_feature_pipeline(images, requests, asof_strategy="merge", hot_key_threshold=30)
+        .toPandas().sort_values(["image_id", "feature_ts"]).reset_index(drop=True)
+    )
+    b = (
+        image_feature_pipeline(images, requests, asof_strategy="union")
+        .toPandas().sort_values(["image_id", "feature_ts"]).reset_index(drop=True)
+    )
+    assert np.allclose(np.stack(a["features"]), np.stack(b["features"]))
+
+
+def test_score_features_runs(spark):
+    images = generate_images_df(spark, 16, num_partitions=4)
+    requests = spark.createDataFrame(synth_feature_requests(generate_images_pandas(16)))
+    feats = image_feature_pipeline(images, requests)
+    ranked = score_features(feats).toPandas()
+    assert len(ranked) == len(IMAGE_FEATURE_NAMES)
+    assert (ranked["f_stat"].values >= 0).all() | np.isnan(ranked["f_stat"].values).any()
