@@ -1,38 +1,833 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time feature pipeline on
+sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one. Column
+names and types are aligned between both sides; float aggregates are
+rounded identically (round(x, 4)) so the driver's value-hash compares
+stable doubles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _purchase_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right side for as-of joins: one state row per (user, ts) —
+    deduplicated identically in the SQL oracle."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", F.col("ts").alias("feature_ts"))
+    )
+
+
+_PURCHASE_STATE_SQL = """
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+"""
+_PROBES_SQL = """
+  SELECT event_id, user_id, ts AS feature_ts
+  FROM events WHERE event_type IN ('view', 'click')
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-time features + F-statistic feature ranking over
+    the sf0.001 events table (SURVEY.md §7 M1 slice)."""
+    from modlyn_spark.plans.pipeline import events_feature_pipeline
+
+    return events_feature_pipeline(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_min_class_freq(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    freq = orders.groupBy("o_custkey").count().where(F.col("count") > 12)
+    return (
+        orders.join(freq.select("o_custkey"), "o_custkey", "left_semi")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_filter_isin(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.where(
+        F.col("p_brand").isin("Brand#1", "Brand#3")
+    ).select("p_partkey", "p_brand", "p_size")
+
+
+def q_limit_slice(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.orderBy("event_id").limit(1000).select("event_id", "user_id", "event_type")
+
+
+def q_label_encode(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.orderBy("c_mktsegment")
+    return (
+        cust.select("c_mktsegment")
+        .distinct()
+        .select(
+            F.col("c_mktsegment").alias("label"),
+            (F.dense_rank().over(w) - 1).cast("long").alias("label_idx"),
+        )
+    )
+
+
+def q_log1p(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p("l_quantity"), 6).alias("log1p_qty"),
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    from modlyn_spark.operators.asof import asof_join
+
+    return asof_join(
+        _probes(spark, sf_dir),
+        _purchase_state(spark, sf_dir),
+        on="user_id",
+        left_ts="feature_ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strategy="union",
+        matched_ts_col="state_ts",
+    ).select("event_id", "user_id", "purchase_value", "state_ts")
+
+
+def q_asof_join_merge(spark, sf_dir):
+    from modlyn_spark.operators.asof import asof_join
+
+    return asof_join(
+        _probes(spark, sf_dir),
+        _purchase_state(spark, sf_dir),
+        on="user_id",
+        left_ts="feature_ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strategy="merge",
+        hot_key_threshold=1000,
+    ).select("event_id", "user_id", "purchase_value")
+
+
+def q_anti_join_orphans(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.join(buyers, "user_id", "left_anti").select("user_id")
+
+
+def q_lag_lead_delta(spark, sf_dir):
+    from modlyn_spark.operators.windows import with_lag_lead
+
+    st = _purchase_state(spark, sf_dir)
+    out = with_lag_lead(
+        st, "user_id", "ts", "purchase_value", lag_offsets=(1,), lead_offsets=(1,)
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.round("purchase_value_lag1", 4).alias("pv_lag1"),
+        F.round("purchase_value_lead1", 4).alias("pv_lead1"),
+        F.round("purchase_value_delta1", 4).alias("pv_delta1"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    from modlyn_spark.operators.windows import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, "user_id", "ts", 1800).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    from modlyn_spark.operators.windows import session_stats
+
+    ev = _events(spark, sf_dir)
+    out = session_stats(
+        ev, "user_id", "ts", 1800, {"v_sum": F.round(F.sum("value"), 4)}
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.round("duration_sec", 4).alias("duration_sec"),
+        "v_sum",
+    )
+
+
+def q_backfill(spark, sf_dir):
+    from modlyn_spark.operators.windows import backfill
+
+    ev = _events(spark, sf_dir).withColumn(
+        "v_sparse",
+        F.when(F.col("event_type") != "error", F.col("value")),
+    )
+    return backfill(ev, "user_id", "ts", "v_sparse").select(
+        "event_id", "user_id", F.round("v_sparse_ffill", 4).alias("v_ffill")
+    )
+
+
+def q_rolling_stats(spark, sf_dir):
+    from modlyn_spark.operators.windows import rolling_stats
+
+    ev = _events(spark, sf_dir)
+    out = rolling_stats(ev, "user_id", "ts", "value", n_rows=5)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_roll_count").alias("roll_count"),
+        F.round("value_roll_mean", 4).alias("roll_mean"),
+        F.round("value_roll_var", 4).alias("roll_var"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "event_id", "value", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias(
+            "n_signup"
+        ),
+    )
+
+
+def q_groupby_count(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_global_minmax(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+def q_class_feature_stats(spark, sf_dir):
+    from modlyn_spark.scoring.stats import class_feature_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr("cast(label as string) as label", "embedding as features")
+    out = class_feature_stats(df, "label", "features", strategy="partial")
+    return out.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("var_pop", 4).alias("var_pop"),
+    )
+
+
+def q_f_statistic(spark, sf_dir):
+    from modlyn_spark.scoring.stats import class_feature_stats, f_statistic
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr("cast(label as string) as label", "embedding as features")
+    stats = class_feature_stats(df, "label", "features", strategy="partial")
+    return f_statistic(stats).select(
+        F.col("pos").cast("long").alias("pos"), F.round("f_stat", 4).alias("f_stat")
+    )
+
+
+def q_topn_jaccard(spark, sf_dir):
+    from modlyn_spark.eval.jaccard import topn_jaccard
+    from modlyn_spark.scoring.stats import class_feature_stats
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr("cast(label as string) as label", "embedding as features")
+    stats = class_feature_stats(df, "label", "features", strategy="partial")
+    m1 = stats.select(
+        F.lit("mean").alias("method"), "label", "pos", F.col("mean").alias("score")
+    )
+    m2 = stats.select(
+        F.lit("meanvar").alias("method"),
+        "label",
+        "pos",
+        (F.col("mean") + F.sqrt("var_pop")).alias("score"),
+    )
+    out = topn_jaccard(
+        m1.unionByName(m2), [10], include_random_baseline=False
+    )
+    return out.select(
+        "label",
+        F.col("n_top").cast("long").alias("n_top"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from modlyn_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs, "doc_id", "text").select("doc_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from modlyn_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from modlyn_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8, threshold=0.5)
+    return out.select("id1", "id2", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from modlyn_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    from modlyn_spark.operators.dedup import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    out = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.2)
+    return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from modlyn_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
+    )
+    out = cosine_topk(queries, corpus, k=5)
+    return out.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from modlyn_spark.operators.similarity import lsh_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
+    )
+    out = lsh_cosine_topk(queries, corpus, k=5, bits=4, tables=12)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from modlyn_spark.functions.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_token_count(spark, sf_dir):
+    from modlyn_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from modlyn_spark.functions.text import quality_features, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        F.round(q["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(q["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from modlyn_spark.functions.text import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_logreg_weights(spark, sf_dir):
+    from modlyn_spark.scoring.logreg import DistributedLogReg, assign_batches
+    from modlyn_spark.scoring.stats import label_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr(
+        "vec_id", "cast(label as string) as label", "embedding as features"
+    )
+    classes, enc = label_encode(df, "label")
+    enc = assign_batches(enc, ["vec_id"], 4)
+    model = DistributedLogReg(64, classes).fit(enc, max_steps=8, n_batches=4)
+    return model.weights_long(spark).select(
+        "label", "pos", F.round("weight", 6).alias("weight")
+    )
+
+
+def q_stream_session_stats(spark, sf_dir):
+    from modlyn_spark.streaming.sessions import stream_session_stats
+
+    ev = _events(spark, sf_dir)
+    out = stream_session_stats(ev, "user_id", "ts", 1800)
+    return out.select(
+        "user_id", "n_events", F.round("duration_sec", 4).alias("duration_sec"),
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+    )
+
+
+def q_image_pipeline(spark, sf_dir):
+    from modlyn_spark.plans.pipeline import image_feature_pipeline
+    from modlyn_spark.sources.images import (
+        generate_images_df,
+        generate_images_pandas,
+        synth_feature_requests,
+    )
+
+    images = generate_images_df(spark, 50, hot_every=25, hot_factor=10)
+    requests = spark.createDataFrame(
+        synth_feature_requests(generate_images_pandas(50, hot_every=25, hot_factor=10))
+    )
+    out = image_feature_pipeline(images, requests, asof_strategy="merge",
+                                 hot_key_threshold=30)
+    return out.select(
+        "image_id",
+        "label",
+        F.round(F.col("features")[0], 4).alias("f_phash_hamming"),
+        F.round(F.col("features")[1], 4).alias("f_version"),
+        F.round(F.col("features")[5], 4).alias("f_age_sec"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": q_tpch_q1,
+        "filter_min_class_freq": q_filter_min_class_freq,
+        "filter_isin": q_filter_isin,
+        "limit_slice": q_limit_slice,
+        "label_encode": q_label_encode,
+        "log1p": q_log1p,
+        "asof_join": q_asof_join,
+        "asof_join_merge": q_asof_join_merge,
+        "anti_join_orphans": q_anti_join_orphans,
+        "lag_lead_delta": q_lag_lead_delta,
+        "sessionize": q_sessionize,
+        "session_stats": q_session_stats,
+        "backfill": q_backfill,
+        "rolling_stats": q_rolling_stats,
+        "topk_per_group": q_topk_per_group,
+        "pivot_event_counts": q_pivot_event_counts,
+        "groupby_count": q_groupby_count,
+        "global_minmax": q_global_minmax,
+        "class_feature_stats": q_class_feature_stats,
+        "f_statistic": q_f_statistic,
+        "topn_jaccard": q_topn_jaccard,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "logreg_weights": q_logreg_weights,
+        "stream_session_stats": q_stream_session_stats,
+        "image_pipeline": q_image_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB). Omitted entries fall back to the driver's rows-only
+# check: minhash/simhash/LSH (hash functions differ engine-to-engine by
+# design), logreg (iterative), streaming (no session_window in SQL), and the
+# synthetic image pipeline (generator RNG not SQL-expressible) — each is
+# covered by its own oracle-verified pytest instead.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_EN = "['the','and','of','to','in','is','that','it','was','for']"
+_DE = "['der','die','und','das','ist','von','den','mit','nicht','ein']"
+_FR = "['le','la','les','et','de','un','une','est','que','pour']"
+_ES = "['el','la','los','de','que','y','en','un','una','por']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY 1, 2
+        """,
+        "filter_min_class_freq": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (
+                SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 12)
+        """,
+        "filter_isin": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE p_brand IN ('Brand#1', 'Brand#3')
+        """,
+        "limit_slice": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id LIMIT 1000
+        """,
+        "label_encode": """
+            SELECT c_mktsegment AS label,
+                   dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        """,
+        "log1p": """
+            SELECT l_orderkey, l_linenumber, round(ln(1 + l_quantity), 6) AS log1p_qty
+            FROM lineitem
+        """,
+        "asof_join": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
+            SELECT pr.event_id, pr.user_id, st.purchase_value, st.ts AS state_ts
+            FROM pr ASOF LEFT JOIN st
+              ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "asof_join_merge": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
+            SELECT pr.event_id, pr.user_id, st.purchase_value
+            FROM pr ASOF LEFT JOIN st
+              ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "anti_join_orphans": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            AND user_id NOT IN (
+                SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "lag_lead_delta": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL})
+            SELECT user_id, ts,
+                   round(lag(purchase_value) OVER w, 4) AS pv_lag1,
+                   round(lead(purchase_value) OVER w, 4) AS pv_lead1,
+                   round(purchase_value - lag(purchase_value) OVER w, 4) AS pv_delta1
+            FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        """,
+        "sessionize": """
+            SELECT event_id, user_id,
+                   sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts)) <= 1800
+                              THEN 0 ELSE 1 END AS flag
+                  FROM events)
+        """,
+        "session_stats": """
+            WITH s AS (
+              SELECT user_id, ts, value,
+                     sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM (SELECT user_id, ts, value,
+                           CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts)) <= 1800
+                                THEN 0 ELSE 1 END AS flag
+                    FROM events))
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_sec,
+                   round(sum(value), 4) AS v_sum
+            FROM s GROUP BY 1, 2
+        """,
+        "backfill": """
+            SELECT event_id, user_id,
+                   round(last_value(v_sparse IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING), 4) AS v_ffill
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN event_type != 'error' THEN value END AS v_sparse
+                  FROM events)
+        """,
+        "rolling_stats": """
+            SELECT event_id, user_id,
+                   count(value) OVER w AS roll_count,
+                   round(avg(value) OVER w, 4) AS roll_mean,
+                   round(coalesce(
+                       avg(value * value) OVER w - avg(value) OVER w * avg(value) OVER w,
+                       0), 4) AS roll_var
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_per_group": """
+            SELECT user_id, event_id, value, rk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS rk
+              FROM events WHERE event_type = 'purchase')
+            WHERE rk <= 3
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+            FROM events GROUP BY 1
+        """,
+        "groupby_count": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "global_minmax": """
+            SELECT round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem
+        """,
+        "class_feature_stats": """
+            SELECT CAST(label AS VARCHAR) AS label, g - 1 AS pos,
+                   count(*) AS n, round(avg(x), 4) AS mean,
+                   round(var_pop(x), 4) AS var_pop
+            FROM (SELECT label, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS g
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "f_statistic": """
+            WITH x AS (SELECT CAST(label AS VARCHAR) AS label,
+                              g - 1 AS pos, CAST(x AS DOUBLE) AS v
+                       FROM (SELECT label, unnest(embedding) AS x,
+                                    generate_subscripts(embedding, 1) AS g
+                             FROM embeddings)),
+            s AS (SELECT label, pos, count(*) AS n, avg(v) AS mean,
+                         var_pop(v) AS var_pop
+                  FROM x GROUP BY 1, 2),
+            g AS (SELECT pos, sum(n) AS n_total, count(*) AS k,
+                         sum(n * mean) / sum(n) AS grand
+                  FROM s GROUP BY 1)
+            SELECT pos, round((ssb / (k - 1)) / (ssw / (n_total - k)), 4) AS f_stat
+            FROM (
+              SELECT s.pos,
+                     sum(s.n * (s.mean - g.grand) * (s.mean - g.grand)) AS ssb,
+                     sum(s.n * s.var_pop) AS ssw,
+                     min(g.k) AS k, min(g.n_total) AS n_total
+              FROM s JOIN g USING (pos) GROUP BY s.pos)
+        """,
+        "topn_jaccard": """
+            WITH x AS (SELECT CAST(label AS VARCHAR) AS label, g - 1 AS pos,
+                              CAST(x AS DOUBLE) AS v
+                       FROM (SELECT label, unnest(embedding) AS x,
+                                    generate_subscripts(embedding, 1) AS g
+                             FROM embeddings)),
+            s AS (SELECT label, pos, avg(v) AS mean, var_pop(v) AS var_pop
+                  FROM x GROUP BY 1, 2),
+            scores AS (
+              SELECT 'mean' AS method, label, pos, mean AS score FROM s
+              UNION ALL
+              SELECT 'meanvar', label, pos, mean + sqrt(var_pop) FROM s),
+            ranked AS (SELECT method, label, pos,
+                              row_number() OVER (PARTITION BY method, label
+                                  ORDER BY abs(score) DESC, pos) AS rk
+                       FROM scores),
+            tops AS (SELECT method, label, pos FROM ranked WHERE rk <= 10),
+            inter AS (SELECT a.label, count(*) AS c
+                      FROM tops a JOIN tops b
+                        ON a.label = b.label AND a.pos = b.pos
+                       AND a.method = 'mean' AND b.method = 'meanvar'
+                      GROUP BY 1)
+            SELECT label, CAST(10 AS BIGINT) AS n_top,
+                   round(c * 1.0 / (20 - c), 4) AS jaccard
+            FROM inter
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(lower(text)) - 2),
+                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+            SELECT id1, id2,
+                   round(c * 1.0 / (len(s1.s) + len(s2.s) - c), 4) AS jaccard
+            FROM c JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+            WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings LIMIT 100)
+            SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+                 c AS (SELECT vec_id AS corpus_id, embedding AS cv FROM embeddings)
+            SELECT query_id, corpus_id, round(cosine, 4) AS cosine, rank FROM (
+              SELECT query_id, corpus_id,
+                     list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) AS cosine,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(cv AS DOUBLE[])) DESC, corpus_id)
+                         AS rank
+              FROM q, c)
+            WHERE rank <= 5
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         len(list_filter(w, x -> list_contains({_EN}, x))) AS s_en,
+                         len(list_filter(w, x -> list_contains({_DE}, x))) AS s_de,
+                         len(list_filter(w, x -> list_contains({_FR}, x))) AS s_fr,
+                         len(list_filter(w, x -> list_contains({_ES}, x))) AS s_es
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH q AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents),
+            r AS (SELECT doc_id, n_chars,
+                         CASE WHEN n_chars > 0
+                              THEN n_punct * 1.0 / n_chars ELSE 0 END AS punct_ratio,
+                         CASE WHEN len(w) > 0 THEN
+                              len(list_filter(w, x -> list_contains({_EN}, x)))
+                              * 1.0 / len(w) ELSE 0 END AS stopword_ratio,
+                         CASE WHEN len(w) > 0 THEN
+                              list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                              * 1.0 / len(w) ELSE 0 END AS mean_word_len
+                  FROM q)
+            SELECT doc_id, n_chars, round(punct_ratio, 4) AS punct_ratio,
+                   round(stopword_ratio, 4) AS stopword_ratio,
+                   round(mean_word_len, 4) AS mean_word_len,
+                   round((least(n_chars / 200.0, 1.0)
+                          + greatest(1.0 - punct_ratio * 4.0, 0.0)
+                          + least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+            FROM r
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+    }

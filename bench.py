@@ -1,0 +1,89 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Headliners cover the engine's main physical shapes: the flagship
+point-in-time pipeline (as-of join + windows + scoring), both as-of
+strategies in isolation, window features, a TPC-H-style aggregation, the
+moment-partial scoring path, dedup via MinHash-LSH, brute-force ANN, and
+the synthetic image pipeline (binary payloads + decode-free feature path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.session import get_spark
+
+    spark = get_spark(
+        "modlyn-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus) * 2, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    def run(df) -> int:
+        return df.count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        n = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    # flagship: full point-in-time feature + scoring pipeline
+    bench("flagship_pipeline", lambda: run(_flagship(spark, sf_dir)))
+
+    bench("asof_union", lambda: run(qs["asof_join"](spark, sf_dir)))
+    bench("asof_merge", lambda: run(qs["asof_join_merge"](spark, sf_dir)))
+    bench("window_features", lambda: run(qs["rolling_stats"](spark, sf_dir)))
+    bench("sessionize", lambda: run(qs["session_stats"](spark, sf_dir)))
+    bench("tpch_q1", lambda: run(qs["tpch_q1"](spark, sf_dir)))
+    bench("class_feature_stats", lambda: run(qs["class_feature_stats"](spark, sf_dir)))
+    bench("f_statistic", lambda: run(qs["f_statistic"](spark, sf_dir)))
+    bench("dedup_minhash_lsh", lambda: run(qs["dedup_minhash_lsh"](spark, sf_dir)))
+    bench("ann_cosine_topk", lambda: run(qs["ann_cosine_topk"](spark, sf_dir)))
+    bench("image_pipeline", lambda: run(qs["image_pipeline"](spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": sf_dir,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _flagship(spark, sf_dir):
+    from modlyn_spark.plans.pipeline import events_feature_pipeline
+
+    return events_feature_pipeline(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""Text analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are JVM-side column expressions (whole-stage
+codegen, zero Python): token counting, quality scoring, language-ID
+heuristic, fingerprinting, character shingles, minhash signatures. Only
+simhash uses a (vectorized) pandas UDF, because its 64-lane bit-vote
+accumulator has no clean higher-order-function form.
+
+Semantics are deliberately expressible in ANSI SQL so DuckDB can serve as
+the correctness oracle for each (same regexes, same stopword lists).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+# word-ish tokens: letter runs, digit runs, single other non-space symbols
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_PATTERN = "[^A-Za-z0-9\\s]"
+
+# tiny public stopword lists (top function words) for the n-gram/stopword
+# language heuristic — deliberately small and hard-coded so Spark and the
+# SQL oracle share them verbatim
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "una", "por"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Number of TOKEN_PATTERN matches — a BPE-ish proxy token count."""
+    return F.regexp_count(col, F.lit(TOKEN_PATTERN))
+
+
+def words(col: Column) -> Column:
+    """Lowercased word tokens (letter/digit runs)."""
+    w = F.split(F.lower(col), "[^a-z0-9]+")
+    return F.filter(w, lambda t: t != "")
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / digit / uppercase ratio features."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = F.regexp_count(col, F.lit(PUNCT_PATTERN))
+    n_digits = F.regexp_count(col, F.lit("[0-9]"))
+    n_upper = F.regexp_count(col, F.lit("[A-Z]"))
+    toks = words(col)
+    n_words = F.size(toks)
+    en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)  # noqa: E731
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": safe(n_punct, n_chars),
+        "digit_ratio": safe(n_digits, n_chars),
+        "upper_ratio": safe(n_upper, n_chars),
+        "stopword_ratio": safe(n_stop, n_words),
+        "mean_word_len": safe(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)),
+            n_words,
+        ),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, sane punctuation,
+    healthy stopword density (garbage text scores low on all three)."""
+    q = quality_features(col)
+    len_ok = F.least(q["n_chars"] / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - q["punct_ratio"] * 4.0, F.lit(0.0))
+    stop_ok = F.least(q["stopword_ratio"] * 4.0, F.lit(1.0))
+    return (len_ok + punct_ok + stop_ok) / 3.0
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = words(col)
+    out = {}
+    for lang, stops in STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(col: Column, min_hits: int = 1) -> Column:
+    """Stopword-vote language ID: argmax language, ties broken by the fixed
+    language order en>de>fr>es (greatest-first chain); 'und' if no hits."""
+    s = lang_scores(col)
+    best = F.greatest(*[s[lang] for lang in STOPWORDS])
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # earlier langs win ties
+        expr = F.when((s[lang] == best) & (best >= min_hits), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Canonical-content fingerprint: md5 of lowercased,
+    whitespace-collapsed, trimmed text (exact-dedup key)."""
+    norm = F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+    return F.md5(norm)
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text, JVM-side
+    (transform over a sequence of offsets)."""
+    lowered = F.lower(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
+            lambda i: lowered.substr(i, F.lit(n)),
+        )
+    )
+
+
+def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
+    """k-lane minhash over character n-gram shingles: lane j is
+    min(xxhash64(j, shingle)). Entirely JVM-side; two documents' estimated
+    Jaccard = fraction of equal lanes."""
+    sh = char_shingles(col, n)
+    lanes = [
+        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
+        for j in range(k)
+    ]
+    return F.array(*lanes)
+
+
+def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit simhash over word tokens (vectorized pandas UDF; the 64-lane
+    bit-vote has no tidy built-in form). Deterministic: tokens hashed with
+    a fixed 64-bit FNV-1a, bit votes +-1, sign -> bit."""
+
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+
+    def fnv1a64(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        tok = re.compile("[a-z0-9]+")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for t in pdf[text_col]:
+                votes = np.zeros(64, dtype=np.int64)
+                for w in tok.findall(str(t).lower()):
+                    h = np.uint64(fnv1a64(w))
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    votes += np.where(bits == 1, 1, -1)
+                v = 0
+                for i in range(63, -1, -1):
+                    v = (v << 1) | int(votes[i] > 0)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append(v)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,100 @@
+"""Checkpoint/resume: partial failure -> resume completes only missing
+buckets; complete output -> no-op; lineage audit catches corruption."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from modlyn_spark.sources.checkpoint import (
+    completed_buckets,
+    read_checkpointed,
+    verify,
+    write_checkpointed,
+)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_full_write_and_noop_resume(spark, out_dir):
+    ev = _events(spark)
+    r1 = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=8, lineage="events@sf0.001")
+    assert len(r1["computed"]) == 8 and not r1["skipped"]
+    assert r1["rows_written"] == ev.count()
+    back = read_checkpointed(spark, out_dir)
+    assert back.count() == ev.count()
+    assert set(back.columns) == set(ev.columns)
+
+    r2 = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=8)
+    assert not r2["computed"] and len(r2["skipped"]) == 8 and r2["rows_written"] == 0
+
+
+def test_resume_after_partial_failure(spark, out_dir):
+    ev = _events(spark)
+    write_checkpointed(ev, out_dir, ["event_id"], n_buckets=8)
+    full = sorted(
+        read_checkpointed(spark, out_dir).toPandas()["event_id"].tolist()
+    )
+
+    # simulate a crash: drop 3 buckets' manifests AND their data
+    mdir = os.path.join(out_dir, "_manifest")
+    for b in [1, 4, 6]:
+        os.remove(os.path.join(mdir, f"bucket-{b}.json"))
+        shutil.rmtree(os.path.join(out_dir, f"__ckpt_bucket={b}"))
+
+    r = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=8)
+    assert sorted(r["computed"]) == [1, 4, 6]
+    assert len(r["skipped"]) == 5
+
+    restored = sorted(
+        read_checkpointed(spark, out_dir).toPandas()["event_id"].tolist()
+    )
+    assert restored == full
+    assert verify(spark, out_dir)["ok"]
+
+
+def test_crash_between_data_and_manifest_is_idempotent(spark, out_dir):
+    ev = _events(spark)
+    write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
+    # crash AFTER data write but BEFORE manifest commit: manifest missing,
+    # data present -> bucket recomputed and overwritten, content unchanged
+    mdir = os.path.join(out_dir, "_manifest")
+    os.remove(os.path.join(mdir, "bucket-2.json"))
+    before = verify(spark, out_dir)
+    r = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
+    assert r["computed"] == [2]
+    after = verify(spark, out_dir)
+    assert after["ok"] and after["n_buckets"] == 4
+    assert read_checkpointed(spark, out_dir).count() == ev.count()
+
+
+def test_lineage_audit_detects_corruption(spark, out_dir):
+    ev = _events(spark)
+    write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
+    mdir = os.path.join(out_dir, "_manifest")
+    with open(os.path.join(mdir, "bucket-0.json")) as fh:
+        rec = json.load(fh)
+    rec["content_hash"] += 1  # tamper
+    with open(os.path.join(mdir, "bucket-0.json"), "w") as fh:
+        json.dump(rec, fh)
+    v = verify(spark, out_dir)
+    assert not v["ok"] and v["bad_buckets"] == [0]
+
+
+def test_manifest_records_lineage(spark, out_dir):
+    ev = _events(spark).where(F.col("event_type") == "view")
+    write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4, lineage="filter:view<-events")
+    recs = completed_buckets(out_dir)
+    assert all(r["lineage"] == "filter:view<-events" for r in recs.values())
+    assert sum(r["rows"] for r in recs.values()) == ev.count()

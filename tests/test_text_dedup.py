@@ -1,0 +1,256 @@
+"""Text analysis + dedup + similarity over the real documents/embeddings
+tables, cross-checked against DuckDB (independent implementation)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modlyn_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from modlyn_spark.operators.dedup import (
+    dedup_exact,
+    duplicate_groups,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from modlyn_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_count_vs_duckdb(docs):
+    got = (
+        docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    exp = duckdb.sql(
+        f"""SELECT doc_id, len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+            FROM '{SF}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    assert (got["n_tokens"].values == exp["n_tokens"].values).all()
+
+
+def test_fingerprint_vs_duckdb(docs):
+    got = (
+        docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    exp = duckdb.sql(
+        f"""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM '{SF}/documents.parquet' ORDER BY doc_id"""
+    ).df()
+    assert (got["fp"].values == exp["fp"].values).all()
+
+
+def test_quality_features_ranges(docs):
+    q = quality_features(F.col("text"))
+    pdf = docs.select(
+        *[v.alias(k) for k, v in q.items()], quality_score(F.col("text")).alias("q")
+    ).toPandas()
+    for c in ["punct_ratio", "digit_ratio", "upper_ratio", "stopword_ratio"]:
+        assert pdf[c].between(0, 1).all(), c
+    assert pdf["q"].between(0, 1).all()
+    assert (pdf["n_chars"] > 0).all()
+
+
+def test_lang_id_heuristic(spark):
+    rows = [
+        (1, "the cat and the dog went to the house and it was good"),
+        (2, "der hund und die katze sind nicht mit dem mann"),
+        (3, "le chat et le chien sont pour la maison et une porte"),
+        (4, "el perro y el gato en la casa por una puerta"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = dict(
+        df.select("id", lang_id(F.col("text")).alias("lang")).toPandas().values
+    )
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_dedup_exact_and_groups(spark, docs):
+    # plant exact duplicates (differing only by case/whitespace)
+    extra = spark.createDataFrame(
+        [(100001, "  HELLO   world  "), (100002, "hello world"), (100003, "unique snowflake")],
+        ["doc_id", "text"],
+    )
+    base = docs.select("doc_id", "text").unionByName(extra)
+    kept = dedup_exact(base, "doc_id", "text")
+    groups = duplicate_groups(base, "doc_id", "text").toPandas()
+    assert kept.count() == base.count() - int((groups["n_dups"] - 1).sum())
+    planted = groups[groups["keep_id"] == 100001]
+    assert len(planted) == 1 and planted["n_dups"].iloc[0] == 2
+    # representative is the min id
+    kept_ids = set(kept.toPandas()["doc_id"])
+    assert 100001 in kept_ids and 100002 not in kept_ids
+
+
+def test_ngram_jaccard_vs_duckdb(spark):
+    rows = [
+        (1, "abcdefghij"),
+        (2, "abcdefghiX"),  # near-dup of 1
+        (3, "totally different content"),
+        (4, "abcdefghij"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (
+        ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.3)
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """
+        WITH docs(doc_id, text) AS (VALUES (1,'abcdefghij'),(2,'abcdefghiX'),
+                                          (3,'totally different content'),(4,'abcdefghij')),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(generate_series(1, len(lower(text))-2),
+                 i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+          FROM docs),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        c AS (SELECT a.doc_id id1, b.doc_id id2, count(*) c
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2)
+        SELECT id1, id2, c * 1.0 / (len(s1.s) + len(s2.s) - c) AS jaccard
+        FROM c JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+        WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.3
+        ORDER BY id1, id2
+        """
+    ).df()
+    assert len(got) == len(exp)
+    assert (got["id1"].values == exp["id1"].values).all()
+    assert np.allclose(got["jaccard"].values, exp["jaccard"].values)
+    # exact dup pair (1,4) has jaccard 1.0
+    assert got.set_index(["id1", "id2"]).loc[(1, 4), "jaccard"] == 1.0
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates of real documents
+    src = docs.limit(5).toPandas()
+    planted = [
+        (int(r.doc_id) + 1_000_000, r.text + " extra tail words")
+        for r in src.itertuples()
+    ]
+    base = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(planted, ["doc_id", "text"])
+    )
+    pairs = minhash_lsh_pairs(
+        base, "doc_id", "text", k=32, bands=8, threshold=0.5
+    ).toPandas()
+    found = set(zip(pairs["id1"], pairs["id2"]))
+    for r in src.itertuples():
+        assert (int(r.doc_id), int(r.doc_id) + 1_000_000) in found
+    assert pairs["est_jaccard"].between(0, 1).all()
+
+
+def test_simhash_finds_planted_near_dups(spark, docs):
+    src = docs.limit(3).toPandas()
+    planted = [
+        (int(r.doc_id) + 1_000_000, r.text + " tail") for r in src.itertuples()
+    ]
+    base = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame(planted, ["doc_id", "text"])
+    )
+    pairs = simhash_pairs(base, "doc_id", "text", max_hamming=8).toPandas()
+    found = set(zip(pairs["id1"], pairs["id2"]))
+    hit = sum(
+        (int(r.doc_id), int(r.doc_id) + 1_000_000) in found for r in src.itertuples()
+    )
+    assert hit >= 2  # simhash is approximate; most planted pairs must surface
+    assert (pairs["hamming"] <= 8).all()
+
+
+def test_embedding_dup_pairs_vs_duckdb(emb):
+    sub = emb.limit(60)
+    got = (
+        embedding_dup_pairs(
+            sub.select(F.col("vec_id"), F.col("embedding")), "vec_id", "embedding",
+            threshold=0.2,
+        )
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' LIMIT 60)
+        SELECT a.vec_id id1, b.vec_id id2,
+               list_cosine_similarity(a.embedding, b.embedding) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
+        ORDER BY 1, 2
+        """
+    ).df()
+    assert len(got) == len(exp)
+    assert np.allclose(got["cosine"].values, exp["cosine"].values, atol=1e-5)
+
+
+def test_cosine_topk_vs_duckdb(emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
+    )
+    got = (
+        cosine_topk(queries, corpus, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH q AS (SELECT vec_id qid, embedding qv FROM '{SF}/embeddings.parquet' LIMIT 5),
+             c AS (SELECT vec_id cid, embedding cv FROM '{SF}/embeddings.parquet'),
+        s AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cosine,
+                     row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(qv, cv) DESC, cid) AS rank
+              FROM q, c)
+        SELECT qid, cid, cosine, rank FROM s WHERE rank <= 5 ORDER BY qid, rank
+        """
+    ).df()
+    assert (got["corpus_id"].values == exp["cid"].values).all()
+    assert np.allclose(got["cosine"].values, exp["cosine"].values, atol=1e-5)
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
+    )
+    exact = cosine_topk(queries, corpus, k=5).toPandas()
+    approx = lsh_cosine_topk(
+        queries, corpus, k=5, bits=4, tables=12
+    ).toPandas()
+    # recall@5 of the approximate index vs exact
+    e = set(zip(exact["query_id"], exact["corpus_id"]))
+    a = set(zip(approx["query_id"], approx["corpus_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # self-match must always be found (cosine 1.0 in its own bucket)
+    self_rows = approx[approx["query_id"] == approx["corpus_id"]]
+    assert len(self_rows) == 10
+    assert (self_rows["rank"] == 1).all()
