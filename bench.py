@@ -36,6 +36,10 @@ def main() -> None:
 
     qs = entrymod.queries()
 
+    # warmup: JVM JIT + codegen + parquet footer caches, not a benched query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
+
     def run(df) -> int:
         return df.count()
 

@@ -34,17 +34,19 @@ def average_hash(px: np.ndarray, grid: int = 8) -> int:
     """64-bit average hash of an image array; returns signed int64."""
     g = to_gray(px)
     h, w = g.shape
-    # block-average downsample to grid x grid (handles non-divisible sizes)
-    ys = (np.arange(grid + 1) * h) // grid
-    xs = (np.arange(grid + 1) * w) // grid
-    cells = np.empty((grid, grid))
-    for i in range(grid):
-        for j in range(grid):
-            cells[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    if h % grid == 0 and w % grid == 0:
+        # vectorized block mean (identical boundaries to the general path
+        # when divisible)
+        cells = g.reshape(grid, h // grid, grid, w // grid).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(grid + 1) * h) // grid
+        xs = (np.arange(grid + 1) * w) // grid
+        cells = np.empty((grid, grid))
+        for i in range(grid):
+            for j in range(grid):
+                cells[i, j] = g[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     bits = (cells > cells.mean()).ravel()
-    v = 0
-    for b in bits:
-        v = (v << 1) | int(b)
+    v = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
     # to signed int64
     if v >= 1 << 63:
         v -= 1 << 64

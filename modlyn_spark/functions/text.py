@@ -123,16 +123,42 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
-    """k-lane minhash over character n-gram shingles: lane j is
-    min(xxhash64(j, shingle)). Entirely JVM-side; two documents' estimated
-    Jaccard = fraction of equal lanes."""
-    sh = char_shingles(col, n)
-    lanes = [
-        F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(F.lit(j), s)))
-        for j in range(k)
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_j, b_j), a_j != 0."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(k)
     ]
-    return F.array(*lanes)
+
+
+def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
+    """k-lane minhash over character n-gram shingles.
+
+    One xxhash64 per shingle, then k universal-hash mixes
+    ``(a_j * h + b_j) mod (2^31-1)`` — k multiply-mods instead of k full
+    hash evaluations per shingle (the standard MinHash construction).
+    Entirely JVM-side; products stay under 2^62 so ANSI mode never
+    overflows. Two documents' estimated Jaccard = fraction of equal lanes.
+    """
+    sh = char_shingles(col, n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+
+    def lane(a: int, b: int) -> Column:
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so default-arg capture (lambda h, a=a: ...) would read as 2-ary
+        return F.array_min(
+            F.transform(
+                base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+            )
+        )
+
+    return F.array(*[lane(a, b) for (a, b) in _minhash_params(k)])
 
 
 def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:

@@ -121,15 +121,22 @@ IMAGES_SCHEMA = StructType(
 )
 
 
-def _entity_rows(i: int, hot_every: int, hot_factor: int) -> pd.DataFrame:
+def _entity_records(i: int, hot_every: int, hot_factor: int) -> list[dict]:
     eid = entity_id(i)
     base_versions = 1 + _hsh(eid + "|nv") % 5
     n_versions = base_versions * (hot_factor if hot_every and i % hot_every == 0 else 1)
     ts = _entity_timestamps(eid, n_versions)
     w, h = entity_size(eid)
     recs = []
+    # images are 2-periodic in version (checker phase) -> encode/hash only
+    # the two distinct states and reuse (pure-function identical output)
+    cache: dict[int, tuple[bytes, str, int]] = {}
     for v in range(n_versions):
-        data, fmt = encode_row(eid, v)
+        p = v % 2
+        if p not in cache:
+            data, fmt = encode_row(eid, p)
+            cache[p] = (data, fmt, reference_phash(eid, p))
+        data, fmt, ph = cache[p]
         recs.append(
             {
                 "image_id": eid,
@@ -138,12 +145,16 @@ def _entity_rows(i: int, hot_every: int, hot_factor: int) -> pd.DataFrame:
                 "h": h,
                 "fmt": fmt,
                 "caption": reference_caption(eid, v),
-                "phash": reference_phash(eid, v),
+                "phash": ph,
                 "ts": pd.Timestamp(ts[v]),
                 "version": v,
             }
         )
-    return pd.DataFrame(recs)
+    return recs
+
+
+def _entity_rows(i: int, hot_every: int, hot_factor: int) -> pd.DataFrame:
+    return pd.DataFrame(_entity_records(i, hot_every, hot_factor))
 
 
 def generate_images_df(
@@ -165,10 +176,14 @@ def generate_images_df(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            recs: list[dict] = []
             for i in pdf["id"]:
-                df = _entity_rows(int(i), hot_every, hot_factor)
-                if not df.empty:
-                    yield df
+                recs.extend(_entity_records(int(i), hot_every, hot_factor))
+                if len(recs) >= 20_000:
+                    yield pd.DataFrame(recs)
+                    recs = []
+            if recs:
+                yield pd.DataFrame(recs)
 
     return (
         spark.range(0, n_entities, numPartitions=n_parts)
@@ -180,10 +195,10 @@ def generate_images_pandas(
     n_entities: int, *, hot_every: int = 0, hot_factor: int = 100
 ) -> pd.DataFrame:
     """Single-node twin of generate_images_df (oracle/test side)."""
-    return pd.concat(
-        [_entity_rows(i, hot_every, hot_factor) for i in range(n_entities)],
-        ignore_index=True,
-    )
+    recs: list[dict] = []
+    for i in range(n_entities):
+        recs.extend(_entity_records(i, hot_every, hot_factor))
+    return pd.DataFrame(recs)
 
 
 def synth_feature_requests(
