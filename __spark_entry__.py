@@ -348,11 +348,15 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    from modlyn_spark.operators.dedup import minhash_lsh_pairs
+    from modlyn_spark.operators.dedup import minhash_dedup_groups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8, threshold=0.5)
-    return out.select("id1", "id2", F.round("est_jaccard", 4).alias("est_jaccard"))
+    # dedup regime: star edges to each bucket's min-id representative —
+    # O(n x bands), immune to quadratic blowup inside similar-doc clusters
+    out = minhash_dedup_groups(docs, "doc_id", "text", k=32, bands=4, threshold=0.9)
+    return out.select(
+        "doc_id", "keep_id", F.round("est_jaccard", 4).alias("est_jaccard")
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):

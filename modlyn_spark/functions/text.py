@@ -161,6 +161,57 @@ def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
     return F.array(*[lane(a, b) for (a, b) in _minhash_params(k)])
 
 
+def minhash_signature_udf(
+    df: DataFrame, text_col: str, out_col: str = "sig", k: int = 32, n: int = 3
+) -> DataFrame:
+    """Vectorized numpy MinHash (the fast path used by the dedup operators).
+
+    The JVM expression variant (``minhash_signature``) allocates one string
+    object per shingle per row inside higher-order functions — fine for
+    small corpora, allocation-bound at scale. Here each text's byte
+    n-grams are packed into integers directly (for n<=7 the packed value IS
+    the shingle — a perfect hash, zero collisions), deduplicated with
+    np.unique, and all k universal-hash lanes are computed as one
+    (shingles x k) matrix min. Arrow-batched; no per-row Python beyond the
+    packing loop over documents.
+    """
+    if n > 7:
+        raise ValueError("packed byte n-grams support n <= 7")
+    params = _minhash_params(k)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, __import__("pyspark").sql.types.ArrayType(LongType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(n - 1, -1, -1, dtype=np.int64) * 8
+        empty_sig = [int(_MERSENNE31)] * k
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sigs = []
+            for t in pdf[text_col]:
+                b = np.frombuffer(str(t).lower().encode("utf-8"), dtype=np.uint8)
+                if len(b) < n:
+                    sigs.append(empty_sig)
+                    continue
+                # pack each byte n-gram into one integer (exact, collision-free)
+                windows = np.lib.stride_tricks.sliding_window_view(b, n).astype(
+                    np.int64
+                )
+                packed = (windows << shifts).sum(axis=1)
+                u = np.unique(packed) % _MERSENNE31
+                lanes = (u[:, None] * A[None, :] + B[None, :]) % _MERSENNE31
+                sigs.append(lanes.min(axis=0).tolist())
+            out = pdf.copy()
+            out[out_col] = sigs
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit simhash over word tokens (vectorized pandas UDF; the 64-lane
     bit-vote has no tidy built-in form). Deterministic: tokens hashed with

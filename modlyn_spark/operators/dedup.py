@@ -30,8 +30,25 @@ from modlyn_spark.functions.text import (
     char_shingles,
     doc_fingerprint,
     minhash_signature,
+    minhash_signature_udf,
     simhash64_udf,
 )
+
+
+def _signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int, n: int, impl: str
+) -> DataFrame:
+    """(did, sig) table via the chosen MinHash implementation: "numpy"
+    (vectorized Arrow UDF — the fast path) or "jvm" (pure column
+    expressions). Same estimator, different hash family."""
+    if impl == "numpy":
+        return minhash_signature_udf(
+            df.select(F.col(id_col).alias("did"), text_col), text_col, "sig", k=k, n=n
+        ).select("did", "sig")
+    return df.select(
+        F.col(id_col).alias("did"),
+        minhash_signature(F.col(text_col), k=k, n=n).alias("sig"),
+    )
 
 
 def dedup_exact(
@@ -122,19 +139,17 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.7,
+    impl: str = "numpy",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
-    Signature: k lanes of min(xxhash64(lane, shingle)). Banding: k/bands
-    lanes hashed per band; docs colliding in ANY band become candidates;
-    candidates are scored by exact signature agreement (estimated Jaccard)
-    and filtered at ``threshold``. Returns (id1, id2, est_jaccard).
+    Banding: k/bands lanes hashed per band; docs colliding in ANY band
+    become candidates; candidates are scored by exact signature agreement
+    (estimated Jaccard) and filtered at ``threshold``.
+    Returns (id1, id2, est_jaccard).
     """
     rows_per_band = k // bands
-    sig = df.select(
-        F.col(id_col).alias("did"),
-        minhash_signature(F.col(text_col), k=k, n=n).alias("sig"),
-    ).cache()
+    sig = _signatures(df, id_col, text_col, k, n, impl).cache()
     banded = sig.select(
         "did",
         "sig",
@@ -176,6 +191,81 @@ def minhash_lsh_pairs(
     ) / F.lit(float(len(range(k))))
     return cand.select("id1", "id2", est.alias("est_jaccard")).where(
         F.col("est_jaccard") >= threshold
+    )
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 32,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.9,
+    impl: str = "numpy",
+) -> DataFrame:
+    """Scalable near-duplicate GROUPING via MinHash-LSH star edges.
+
+    ``minhash_lsh_pairs`` enumerates every colliding pair — O(bucket^2)
+    inside a cluster of mutually-similar documents, which explodes on
+    template-heavy corpora. For deduplication you only need one keeper per
+    group: here every doc links only to its bucket's min-id representative
+    (O(n x bands) edges total), links are verified by signature agreement at
+    ``threshold``, and each doc keeps its smallest verified representative.
+
+    Returns (doc_id, keep_id, est_jaccard): one row per document that is a
+    near-duplicate of a smaller-id representative (keep_id < doc_id).
+    Transitive chains collapse to the chain's bucket-level minimum; like all
+    LSH dedup this is approximate — recall rises with ``bands``.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = k // bands
+    sig = _signatures(df, id_col, text_col, k, n, impl).cache()
+    banded = sig.select(
+        "did",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("sig")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    )
+    w = Window.partitionBy("bh")
+    edges = (
+        banded.withColumn("rep", F.min("did").over(w))
+        .where(F.col("did") > F.col("rep"))
+        .select("did", "rep", "sig")
+        .dropDuplicates(["did", "rep"])
+    )
+    rep_sig = sig.select(F.col("did").alias("rep"), F.col("sig").alias("rep_sig"))
+    est = F.size(
+        F.filter(F.zip_with("sig", "rep_sig", lambda x, y: x == y), lambda eq: eq)
+    ) / F.lit(float(k))
+    verified = (
+        edges.join(rep_sig, "rep")
+        .select("did", "rep", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    w2 = Window.partitionBy("did").orderBy(F.col("rep").asc())
+    return (
+        verified.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("did").alias("doc_id"),
+            F.col("rep").alias("keep_id"),
+            "est_jaccard",
+        )
     )
 
 

@@ -37,6 +37,11 @@ def oracle_asof(
 ) -> pd.DataFrame:
     l = left.copy().reset_index(drop=True)
     l["__ord"] = np.arange(len(l))
+    if right.empty:
+        out = l.drop(columns=["__ord"])
+        for c in payload:
+            out[c] = None
+        return out
     r = right[[on, right_ts] + payload].copy()
     rname = right_ts if right_ts not in l.columns else "__rts"
     r = r.rename(columns={right_ts: rname})

@@ -114,12 +114,21 @@ class DistributedLogReg:
         n_batches: int | None = None,
         max_steps: int = 50,
         max_epochs: int = 1,
+        tree_depth: int | None = None,
     ) -> "DistributedLogReg":
         """Train over a cached (features, label_idx, batch_id) DataFrame.
 
         One Spark aggregation per step: gradient partials per partition,
         summed on the driver in sorted-partition order (deterministic),
         then a torch-parity Adam update.
+
+        ``tree_depth``: if set, partials are combined executor-side with
+        ``RDD.treeAggregate``-style intermediate combiners before reaching
+        the driver — at 1000-executor scale the driver then receives one
+        (k x d) gradient instead of one per partition. Tree combination
+        reorders float additions, so use the default (sorted driver
+        combine) when bit-stable parity across parallelism levels matters;
+        both paths are numpy.allclose to the oracle.
         """
         data = df.select(features_col, label_idx_col, batch_col).cache()
         if n_batches is None:
@@ -174,9 +183,11 @@ class DistributedLogReg:
                 batch = data.where(F.col(batch_col) == bid)
                 grad_partials.W = self.W
                 grad_partials.b = self.b
-                parts = batch.mapInPandas(
-                    grad_partials, schema=_PARTIAL_SCHEMA
-                ).collect()
+                partial_df = batch.mapInPandas(grad_partials, schema=_PARTIAL_SCHEMA)
+                if tree_depth is not None:
+                    parts = self._tree_combine(partial_df, tree_depth)
+                else:
+                    parts = partial_df.collect()
                 if not parts:
                     continue
                 parts.sort(key=lambda r: r["pid"])  # deterministic combine order
@@ -197,6 +208,45 @@ class DistributedLogReg:
                 step += 1
         data.unpersist()
         return self
+
+    @staticmethod
+    def _tree_combine(partial_df: DataFrame, depth: int) -> list:
+        """Executor-side tree combination of gradient partials.
+
+        Level l groups partials by pid % (n_groups) and sums them with a
+        vectorized applyInPandas combiner, halving the row count towards the
+        driver ``depth`` times — the DataFrame rendering of
+        ``RDD.treeAggregate`` (reference inner loop G1, SURVEY.md §2.2):
+        the driver finally collects ~sqrt(P) rows instead of P.
+        """
+        import pandas as pd  # noqa: F811 (executor-side)
+
+        def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            gw = np.sum(np.stack(pdf["gw"].to_numpy()), axis=0)
+            gb = np.sum(np.stack(pdf["gb"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {
+                    "pid": [int(key[0])],
+                    "gw": [gw.tolist()],
+                    "gb": [gb.tolist()],
+                    "loss_sum": [float(pdf["loss_sum"].sum())],
+                    "n": [int(pdf["n"].sum())],
+                }
+            )
+
+        out = partial_df
+        for level in range(depth):
+            fanout = 4 ** (depth - level - 1)
+            if fanout < 1:
+                break
+            out = (
+                out.withColumn("__grp", F.pmod(F.col("pid"), F.lit(max(fanout, 1))))
+                .withColumn("pid", F.col("__grp"))
+                .drop("__grp")
+                .groupBy("pid")
+                .applyInPandas(combine, schema=_PARTIAL_SCHEMA)
+            )
+        return out.collect()
 
     # -- outputs -------------------------------------------------------------
 

@@ -165,13 +165,20 @@ def f_statistic(stats: DataFrame) -> DataFrame:
     F = [sum_c n_c (m_c - m)^2 / (k-1)] / [sum_c n_c var_c / (N-k)].
     ``sum_c n_c var_c`` equals the within-class sum of squares because
     var_pop is the population variance.
+
+    Grand totals come from a window over the same ``pos`` partitioning the
+    final groupBy uses, so Catalyst plans ONE exchange for the whole
+    statistic (an aggregate+join formulation would add a second shuffle and
+    a join stage for the same tiny frame).
     """
-    g = stats.groupBy("pos").agg(
-        F.sum("n").alias("n_total"),
-        F.count("label").alias("k_classes"),
-        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pos")
+    j = (
+        stats.withColumn("n_total", F.sum("n").over(w))
+        .withColumn("k_classes", F.count("label").over(w))
+        .withColumn("grand", F.sum(F.col("n") * F.col("mean")).over(w) / F.col("n_total"))
     )
-    j = stats.join(g, "pos")
     return (
         j.groupBy("pos")
         .agg(
