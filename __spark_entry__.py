@@ -163,6 +163,58 @@ def q_asof_join_merge(spark, sf_dir):
     ).select("event_id", "user_id", "purchase_value")
 
 
+def q_asof_join_tolerance(spark, sf_dir):
+    from modlyn_spark.operators.asof import asof_join
+
+    return asof_join(
+        _probes(spark, sf_dir),
+        _purchase_state(spark, sf_dir),
+        on="user_id",
+        left_ts="feature_ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strategy="union",
+        tolerance=F.expr("INTERVAL 1 DAY"),
+        matched_ts_col="state_ts",
+    ).select("event_id", "user_id", "purchase_value", "state_ts")
+
+
+def q_asof_join_broadcast(spark, sf_dir):
+    from modlyn_spark.operators.asof import asof_join
+
+    return asof_join(
+        _probes(spark, sf_dir),
+        _purchase_state(spark, sf_dir),
+        on="user_id",
+        left_ts="feature_ts",
+        right_ts="ts",
+        right_cols=["purchase_value"],
+        strategy="broadcast",
+    ).select("event_id", "user_id", "purchase_value")
+
+
+def q_rolling_range_window(spark, sf_dir):
+    from modlyn_spark.operators.windows import rolling_stats
+
+    ev = _events(spark, sf_dir)
+    out = rolling_stats(ev, "user_id", "ts", "value", range_seconds=3600)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value_roll_count").alias("roll_count"),
+        F.round("value_roll_mean", 4).alias("roll_mean"),
+    )
+
+
+def q_dedup_groups(spark, sf_dir):
+    from modlyn_spark.operators.dedup import duplicate_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_groups(docs, "doc_id", "text").select(
+        "fp", "n_dups", "keep_id"
+    )
+
+
 def q_anti_join_orphans(spark, sf_dir):
     ev = _events(spark, sf_dir)
     viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct()
@@ -510,6 +562,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "log1p": q_log1p,
         "asof_join": q_asof_join,
         "asof_join_merge": q_asof_join_merge,
+        "asof_join_tolerance": q_asof_join_tolerance,
+        "asof_join_broadcast": q_asof_join_broadcast,
+        "rolling_range_window": q_rolling_range_window,
+        "dedup_groups": q_dedup_groups,
         "anti_join_orphans": q_anti_join_orphans,
         "lag_lead_delta": q_lag_lead_delta,
         "sessionize": q_sessionize,
@@ -601,6 +657,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT pr.event_id, pr.user_id, st.purchase_value
             FROM pr ASOF LEFT JOIN st
               ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "asof_join_tolerance": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL}),
+            m AS (
+              SELECT pr.event_id, pr.user_id, pr.feature_ts,
+                     st.purchase_value, st.ts AS state_ts
+              FROM pr ASOF LEFT JOIN st
+                ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts)
+            SELECT event_id, user_id,
+                   CASE WHEN state_ts >= feature_ts - INTERVAL 1 DAY
+                        THEN purchase_value END AS purchase_value,
+                   CASE WHEN state_ts >= feature_ts - INTERVAL 1 DAY
+                        THEN state_ts END AS state_ts
+            FROM m
+        """,
+        "asof_join_broadcast": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
+            SELECT pr.event_id, pr.user_id, st.purchase_value
+            FROM pr ASOF LEFT JOIN st
+              ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "rolling_range_window": """
+            -- ORDER BY truncated epoch seconds to mirror Spark's
+            -- rangeBetween over cast(long): rows in the same second are
+            -- frame peers in both engines
+            SELECT event_id, user_id,
+                   count(value) OVER w AS roll_count,
+                   round(avg(value) OVER w, 4) AS roll_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "dedup_groups": """
+            SELECT fp, n_dups, keep_id FROM (
+              SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                     count(*) AS n_dups, min(doc_id) AS keep_id
+              FROM documents GROUP BY 1)
+            WHERE n_dups > 1
         """,
         "anti_join_orphans": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view'

@@ -100,6 +100,35 @@ def test_image_pipeline_salted_matches_unsalted(spark):
     assert np.allclose(np.stack(a["features"]), np.stack(b["features"]))
 
 
+def test_pipeline_level_temporal_leakage(spark):
+    """Poison every entity's future beyond its last request: the pipeline's
+    feature vectors must be bit-identical with and without the poison."""
+    import pandas as pd
+
+    images_pdf = generate_images_pandas(15)
+    requests_pdf = synth_feature_requests(images_pdf)
+    clean = image_feature_pipeline(
+        spark.createDataFrame(images_pdf), spark.createDataFrame(requests_pdf)
+    ).toPandas().sort_values(["image_id", "feature_ts"]).reset_index(drop=True)
+
+    latest = requests_pdf.groupby("image_id")["feature_ts"].max()
+    poison = images_pdf.drop_duplicates("image_id").copy()
+    poison["ts"] = poison["image_id"].map(latest).fillna(
+        images_pdf["ts"].max()
+    ) + pd.Timedelta(milliseconds=1)
+    poison["version"] = 10**6  # absurd values that would shift every feature
+    poison["phash"] = -1
+    poisoned = pd.concat([images_pdf, poison], ignore_index=True)
+
+    dirty = image_feature_pipeline(
+        spark.createDataFrame(poisoned), spark.createDataFrame(requests_pdf)
+    ).toPandas().sort_values(["image_id", "feature_ts"]).reset_index(drop=True)
+
+    assert np.allclose(
+        np.stack(clean["features"].to_numpy()), np.stack(dirty["features"].to_numpy())
+    )
+
+
 def test_score_features_runs(spark):
     images = generate_images_df(spark, 16, num_partitions=4)
     requests = spark.createDataFrame(synth_feature_requests(generate_images_pandas(16)))
