@@ -115,6 +115,7 @@ class DistributedLogReg:
         max_steps: int = 50,
         max_epochs: int = 1,
         tree_depth: int | None = None,
+        cluster_by_batch: bool = False,
     ) -> "DistributedLogReg":
         """Train over a cached (features, label_idx, batch_id) DataFrame.
 
@@ -129,8 +130,21 @@ class DistributedLogReg:
         reorders float additions, so use the default (sorted driver
         combine) when bit-stable parity across parallelism levels matters;
         both paths are numpy.allclose to the oracle.
+
+        ``cluster_by_batch``: repartition the cached training set by
+        batch_id before training, so each step's batch filter prunes whole
+        cached partitions (the in-memory columnar cache keeps per-batch
+        min/max stats) instead of scanning every partition per step — the
+        right layout when n_batches x steps is large relative to cluster
+        cores. Adds one up-front shuffle; results are identical.
         """
-        data = df.select(features_col, label_idx_col, batch_col).cache()
+        data = df.select(features_col, label_idx_col, batch_col)
+        if cluster_by_batch:
+            nb = n_batches
+            if nb is None:
+                nb = data.agg(F.max(batch_col)).collect()[0][0] + 1
+            data = data.repartition(nb, batch_col)
+        data = data.cache()
         if n_batches is None:
             n_batches = data.agg(F.max(batch_col)).collect()[0][0] + 1
 

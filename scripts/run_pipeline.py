@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["union", "merge", "broadcast"])
     p.add_argument("--hot-key-threshold", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument(
+        "--verify-invariants",
+        action="store_true",
+        help="run the per-row input_hint gate before feature extraction: "
+        "decoded pixels match the reference generator (exact for lossless, "
+        "PSNR>=40dB lossy), captions equal, sizes right; job fails on any "
+        "violation",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -53,6 +61,21 @@ def main(argv: list[str] | None = None) -> int:
 
     images = spark.read.parquet(args.images)
     requests = spark.read.parquet(args.requests)
+
+    if args.verify_invariants:
+        from pyspark.sql import functions as F
+
+        from modlyn_spark.functions.image import verify_images
+        from modlyn_spark.sources.images import reference_caption, reference_pixels
+
+        checks = verify_images(images, reference_pixels, reference_caption)
+        bad = checks.where(
+            (~F.col("caption_ok")) | (~F.col("size_ok")) | (F.col("psnr_db") < 40.0)
+        )
+        n_bad = bad.count()
+        if n_bad:
+            bad.show(20, truncate=False)
+            raise SystemExit(f"invariant violations on {n_bad} rows")
     feats = image_feature_pipeline(
         images,
         requests,
