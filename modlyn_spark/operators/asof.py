@@ -94,6 +94,30 @@ def _check_no_clash(left: DataFrame, payload: list[str], matched_ts_col: str | N
         )
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's optimizer size estimate (no job launched)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62  # unknown -> treat as large
+
+
+def _broadcast_threshold(df: DataFrame) -> int:
+    """Same knob Catalyst's broadcast-join selection uses."""
+    v = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    v = v.lower().rstrip("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if v.endswith(suffix):
+            v, mult = v[:-1], m
+            break
+    try:
+        n = int(v) * mult
+    except ValueError:
+        n = 10 << 20
+    return n if n > 0 else 0  # -1 disables broadcast
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -148,7 +172,14 @@ def asof_join(
     _check_no_clash(left, payload, matched_ts_col)
 
     if strategy == "auto":
-        strategy = "merge" if (hot_keys or hot_key_threshold) else "union"
+        if hot_keys or hot_key_threshold:
+            strategy = "merge"
+        else:
+            strategy = (
+                "broadcast"
+                if _estimated_bytes(right) <= _broadcast_threshold(left)
+                else "union"
+            )
 
     if strategy == "union":
         return _asof_union(
