@@ -140,6 +140,26 @@ def q_tpch_q5_region_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    """Filter-heavy forecast-revenue query: every predicate reaches the
+    parquet scan (PushedFilters), single partial+final aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def q_json_props(spark, sf_dir):
     """JSON extraction from the events props column (get_json_object +
     typed cast) — the semi-structured path."""
@@ -617,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "json_props": q_json_props,
         "filter_min_class_freq": q_filter_min_class_freq,
         "filter_isin": q_filter_isin,
@@ -708,6 +729,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
             GROUP BY 1
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
         """,
         "json_props": """
             SELECT event_id,

@@ -28,13 +28,14 @@ import pandas as pd
 def oracle_asof(
     left: pd.DataFrame,
     right: pd.DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     payload: list[str],
     allow_exact_matches: bool = True,
     tolerance: pd.Timedelta | None = None,
 ) -> pd.DataFrame:
+    on = [on] if isinstance(on, str) else list(on)
     l = left.copy().reset_index(drop=True)
     l["__ord"] = np.arange(len(l))
     if right.empty:
@@ -42,7 +43,7 @@ def oracle_asof(
         for c in payload:
             out[c] = None
         return out
-    r = right[[on, right_ts] + payload].copy()
+    r = right[on + [right_ts] + payload].copy()
     rname = right_ts if right_ts not in l.columns else "__rts"
     r = r.rename(columns={right_ts: rname})
     l = l.sort_values(left_ts, kind="mergesort")
