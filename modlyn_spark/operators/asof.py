@@ -362,13 +362,17 @@ def _asof_merge(
         # hot-key salting: left hot rows scatter by hash(ts); right hot
         # history replicates into every salt shard. Shard buckets live above
         # the normal bucket range: n + hot_index * salt_factor + salt.
-        if len(on) != 1:
-            raise NotImplementedError("hot-key salting supports single-column keys")
-        key = on[0]
-        hot_map = {k: i for i, k in enumerate(hot_keys)}
+        # Composite keys are matched on their null-safe concatenation.
+        if len(on) == 1:
+            lookup = F.col(on[0]).cast("string")
+            key_of = lambda k: str(k)  # noqa: E731
+        else:
+            lookup = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in on])
+            key_of = lambda k: "\x1f".join(str(p) for p in k)  # noqa: E731
+        hot_map = {key_of(k): i for i, k in enumerate(hot_keys)}
         hot_idx = F.create_map(
             *[x for k, i in hot_map.items() for x in (F.lit(k), F.lit(i))]
-        )[F.col(key)]
+        )[lookup]
         l_salt = F.pmod(
             F.xxhash64(F.col(left_ts).cast("string")), F.lit(salt_factor)
         ).cast("int")

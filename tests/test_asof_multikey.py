@@ -66,3 +66,31 @@ def test_multikey_asof(spark, multikey, strategy):
     # the no-history composite key yields nulls
     miss = got[got["pid"] == 99]
     assert miss["val"].isna().all()
+
+
+def test_multikey_salted_merge(spark, multikey):
+    probes, right = multikey
+    exp = oracle_asof(
+        probes, right, on=["ent", "shard"], left_ts="feature_ts", right_ts="ts",
+        payload=["val", "v"],
+    ).sort_values("pid")
+    got = (
+        asof_join(
+            spark.createDataFrame(probes),
+            spark.createDataFrame(right),
+            on=["ent", "shard"],
+            left_ts="feature_ts",
+            right_ts="ts",
+            right_cols=["val", "v"],
+            strategy="merge",
+            hot_keys=[("e0", 0), ("e1", 1)],
+            salt_factor=3,
+        )
+        .toPandas()
+        .sort_values("pid")
+    )
+    for c in ["val", "v"]:
+        g = got[c].reset_index(drop=True)
+        e = exp[c].reset_index(drop=True)
+        assert g.isna().equals(e.isna()), c
+        assert np.allclose(g.dropna().astype(float), e.dropna().astype(float)), c
