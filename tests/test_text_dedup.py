@@ -234,6 +234,28 @@ def test_cosine_topk_vs_duckdb(emb):
     assert np.allclose(got["cosine"].values, exp["cosine"].values, atol=1e-5)
 
 
+def test_ivf_topk_recall(emb):
+    from modlyn_spark.operators.similarity import ivf_cosine_topk
+
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
+    )
+    exact = cosine_topk(queries, corpus, k=5).toPandas()
+    approx = ivf_cosine_topk(
+        queries, corpus, k=5, n_centroids=8, nprobe=4
+    ).toPandas()
+    e = set(zip(exact["query_id"], exact["corpus_id"]))
+    a = set(zip(approx["query_id"], approx["corpus_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+    # self-match: a query's own cell is always its top probe -> rank 1
+    self_rows = approx[approx["query_id"] == approx["corpus_id"]]
+    assert len(self_rows) == 10 and (self_rows["rank"] == 1).all()
+
+
 def test_lsh_topk_recall(emb):
     queries = emb.limit(10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
