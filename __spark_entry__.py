@@ -480,29 +480,73 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    from modlyn_spark.operators.dedup import minhash_dedup_groups
+    """MinHash-LSH candidates + EXACT n-gram Jaccard verification: every
+    emitted pair carries the exact similarity, so the DuckDB exact pair set
+    is the oracle and the driver's hash-match doubles as a 100%-recall
+    check of the banding (k=64, bands=16: a j=0.85 pair is missed with
+    p ~ 7e-6). minhash_dedup_groups (star-edge grouping, the O(n x bands)
+    dedup regime) stays pytest-gated — its est_jaccard output is
+    hash-family-specific by design."""
+    from modlyn_spark.operators.dedup import minhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # dedup regime: star edges to each bucket's min-id representative —
-    # O(n x bands), immune to quadratic blowup inside similar-doc clusters
-    out = minhash_dedup_groups(docs, "doc_id", "text", k=32, bands=4, threshold=0.9)
-    return out.select(
-        "doc_id", "keep_id", F.round("est_jaccard", 4).alias("est_jaccard")
-    )
+    out = minhash_near_dup_pairs(docs, "doc_id", "text", k=64, bands=16,
+                                 threshold=0.8)
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf_dir):
-    from modlyn_spark.operators.dedup import simhash_pairs
+    """SimHash pigeonhole candidates (radius 8 -> 9 blocks, exact within
+    the radius) + EXACT n-gram Jaccard verification — same oracle contract
+    as dedup_minhash_lsh: the exact pair set at threshold 0.8."""
+    from modlyn_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    out = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8,
+                                 threshold=0.8)
+    return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _planted_embeddings(spark, sf_dir):
+    """embeddings UNION exact half-scale copies (id + 1_000_000).
+
+    The synthetic embeddings table has no true near-duplicates (max
+    off-diagonal cosine ~0.51 at sf0.01), so near-dup operators would be
+    trivially empty; planting deterministic scaled copies gives them a
+    non-trivial, oracle-replicable target. 0.5x is EXACT in IEEE floats:
+    the copy's direction is bit-identical, so cosine(v, v/2) = 1.0 and
+    hyperplane signatures match structurally — recall is a theorem, not a
+    tuning accident."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x * 0.5).alias("v"),
+    )
+    return base.unionByName(copies)
+
+
+_PLANTED_EMB_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+  FROM embeddings
+"""
 
 
 def q_embedding_dup_pairs(spark, sf_dir):
+    """Near-duplicate pairs over the planted corpus — LSH-bucketed
+    candidates + exact cosine verify, NO cartesian join and no input cap
+    (the r01 version was an all-pairs theta join behind .limit(100))."""
     from modlyn_spark.operators.dedup import embedding_dup_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
-    out = embedding_dup_pairs(emb, "vec_id", "embedding", threshold=0.2)
+    out = embedding_dup_pairs(
+        _planted_embeddings(spark, sf_dir), "vec_id", "v",
+        threshold=0.99, bits=8, tables=4,
+    )
     return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
 
 
@@ -526,18 +570,49 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    from modlyn_spark.operators.similarity import lsh_cosine_topk
-
+def _ann_retrieval_inputs(spark, sf_dir):
+    """Near-dup retrieval workload: queries are exact half-scale copies of
+    10 corpus vectors (see _planted_embeddings — bit-identical direction),
+    so each query's true nearest neighbor is its source at cosine 1.0 with
+    a wide gap to rank 2 (~0.5). The approximate indexes must recover it
+    through their bucketing — recall is structural (scaled copies share
+    signatures/cells exactly), while bucket pruning stays real. The
+    statistical top-5 recall quality of both indexes on non-planted
+    queries is pytest-gated (tests/test_minhash_dedup.py ANN suites);
+    the driver query is the hard-oracle slice of the contract."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = (
-        emb.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 0.5).alias("qvec"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
     )
-    out = lsh_cosine_topk(queries, corpus, k=5, bits=4, tables=12)
+    return queries, corpus
+
+
+_ANN_RETRIEVAL_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings)
+    SELECT query_id, corpus_id, round(cosine, 4) AS cosine, rank FROM (
+      SELECT query_id, corpus_id,
+             list_cosine_similarity(qv, cv) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC, corpus_id)
+                 AS rank
+      FROM q, c)
+    WHERE rank <= 1
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from modlyn_spark.operators.similarity import lsh_cosine_topk
+
+    queries, corpus = _ann_retrieval_inputs(spark, sf_dir)
+    out = lsh_cosine_topk(queries, corpus, k=1, bits=8, tables=4)
     return out.select(
         "query_id", "corpus_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -547,15 +622,8 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     from modlyn_spark.operators.similarity import ivf_cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = (
-        emb.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cvec")
-    )
-    out = ivf_cosine_topk(queries, corpus, k=5, n_centroids=8, nprobe=4)
+    queries, corpus = _ann_retrieval_inputs(spark, sf_dir)
+    out = ivf_cosine_topk(queries, corpus, k=1, n_centroids=8, nprobe=4)
     return out.select(
         "query_id", "corpus_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
@@ -708,6 +776,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _ngram_pairs_sql(threshold: float) -> str:
+    """Exact character-3-gram Jaccard pair set — the shared oracle for
+    ngram_jaccard_pairs (exact engine path) AND the candidates-then-verify
+    operators (dedup_minhash_lsh / dedup_simhash), whose outputs equal the
+    exact set whenever candidate recall is 1.0 on the fixture."""
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(lower(text)) - 2),
+                     i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+          FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT id1, id2,
+               round(c * 1.0 / (len(s1.s) + len(s2.s) - c), 4) AS jaccard
+        FROM c JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+        WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= {threshold}
+    """
 _EN = "['the','and','of','to','in','is','that','it','was','for']"
 _DE = "['der','die','und','das','ist','von','den','mit','nicht','ein']"
 _FR = "['le','la','les','et','de','un','une','est','que','pour']"
@@ -850,9 +941,11 @@ def oracle_sql() -> dict[str, str]:
             FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         """,
         "sessionize": """
+            -- CAST: DuckDB sum() yields HUGEINT (-> float64 in pandas);
+            -- Spark's running sum is BIGINT — align the typed hash
             SELECT event_id, user_id,
-                   sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                               (PARTITION BY user_id ORDER BY ts)) <= 1800
@@ -862,8 +955,8 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": """
             WITH s AS (
               SELECT user_id, ts, value,
-                     sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
               FROM (SELECT user_id, ts, value,
                            CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                                 (PARTITION BY user_id ORDER BY ts)) <= 1800
@@ -903,12 +996,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
         """,
         "pivot_event_counts": """
+            -- CAST: DuckDB sum() yields HUGEINT; Spark sum(int) is BIGINT
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
             FROM events GROUP BY 1
         """,
         "groupby_count": """
@@ -980,29 +1074,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
         """,
-        "ngram_jaccard_pairs": """
-            WITH sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                         generate_series(1, len(lower(text)) - 2),
-                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
-              FROM documents),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-            c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-            SELECT id1, id2,
-                   round(c * 1.0 / (len(s1.s) + len(s2.s) - c), 4) AS jaccard
-            FROM c JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
-            WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.5
-        """,
-        "embedding_dup_pairs": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings LIMIT 100)
+        "ngram_jaccard_pairs": _ngram_pairs_sql(0.5),
+        # candidates-then-verify operators: output = exact pair set at the
+        # threshold; a hash mismatch here means the approximate candidate
+        # stage (banding / pigeonhole blocks) dropped a true pair
+        "dedup_minhash_lsh": _ngram_pairs_sql(0.8),
+        "dedup_simhash": _ngram_pairs_sql(0.8),
+        "embedding_dup_pairs": f"""
+            WITH e AS ({_PLANTED_EMB_SQL})
             SELECT a.vec_id AS id1, b.vec_id AS id2,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+                   round(list_cosine_similarity(a.v, b.v), 4) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.2
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         """,
+        "ann_lsh_topk": _ANN_RETRIEVAL_ORACLE,
+        "ann_ivf_topk": _ANN_RETRIEVAL_ORACLE,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < 10),
@@ -1067,5 +1153,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        # streaming session_window == batch sessions on the same input; the
+        # one semantic difference is the boundary: session_window starts a
+        # NEW session when gap >= gap_seconds (event joins only if
+        # ts < prev_end = prev_ts + gap), while the batch operator splits on
+        # gap > gap_seconds — mirrored here with >=.
+        "stream_session_stats": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM (SELECT user_id, ts,
+                           CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts)) < 1800
+                                THEN 0 ELSE 1 END AS flag
+                    FROM events))
+            SELECT user_id, count(*) AS n_events,
+                   round(epoch(max(ts)) - epoch(min(ts)), 4) AS duration_sec,
+                   min(ts) AS session_start
+            FROM s GROUP BY user_id, session_id
         """,
     }

@@ -113,14 +113,20 @@ def doc_fingerprint(col: Column) -> Column:
 
 def char_shingles(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text, JVM-side
-    (transform over a sequence of offsets)."""
+    (transform over a sequence of offsets).
+
+    Texts shorter than ``n`` have NO shingles (empty array): without the
+    guard, F.sequence(1, 0) auto-steps to a DESCENDING [1, 0] sequence and
+    short/empty texts would get a bogus non-empty shingle set — diverging
+    from both the numpy minhash path and the SQL oracle's generate_series.
+    """
     lowered = F.lower(col)
-    return F.array_distinct(
+    return F.when(F.length(lowered) >= n, F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(lowered) - (n - 1)),
             lambda i: lowered.substr(i, F.lit(n)),
         )
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 _MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -151,11 +157,16 @@ def minhash_signature(col: Column, k: int = 32, n: int = 3) -> Column:
 
     def lane(a: int, b: int) -> Column:
         # closure factory: PySpark infers lambda arity from the signature,
-        # so default-arg capture (lambda h, a=a: ...) would read as 2-ary
-        return F.array_min(
-            F.transform(
-                base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
-            )
+        # so default-arg capture (lambda h, a=a: ...) would read as 2-ary.
+        # coalesce: empty shingle set (text shorter than n) -> the same
+        # sentinel lane value the numpy path emits, instead of NULL
+        return F.coalesce(
+            F.array_min(
+                F.transform(
+                    base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+                )
+            ),
+            F.lit(_MERSENNE31),
         )
 
     return F.array(*[lane(a, b) for (a, b) in _minhash_params(k)])

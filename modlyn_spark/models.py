@@ -71,6 +71,29 @@ class SimpleLogReg:
         )
         self.dataset_type: str | None = None
         self._val_df: DataFrame | None = None
+        self.val_metrics: list[dict] = []
+
+    def _encode_labels(self, df: DataFrame) -> DataFrame:
+        """Encode ``label_column`` against the MODEL's class axis
+        (self.classes, fixed at construction) — re-running label_encode on
+        an arbitrary frame would silently misalign indices whenever that
+        frame holds a subset of the classes. Unseen labels raise."""
+        from pyspark.sql import functions as F
+
+        idx_col = f"{self.label_column}_idx"
+        mapping = F.create_map(
+            *[x for i, c in enumerate(self.classes) for x in (F.lit(c), F.lit(i))]
+        )
+        enc = df.withColumn(idx_col, mapping[F.col(self.label_column)])
+        n_unseen = enc.where(
+            F.col(idx_col).isNull() & F.col(self.label_column).isNotNull()
+        ).count()
+        if n_unseen:
+            raise ValueError(
+                f"{n_unseen} rows carry labels absent from the model's "
+                f"classes {self.classes!r}"
+            )
+        return enc
 
     def fit(
         self,
@@ -85,9 +108,15 @@ class SimpleLogReg:
         row_key_cols: list[str] | None = None,
     ) -> "SimpleLogReg":
         """Train; defaults mirror the reference fit()
-        (_simple_logreg_model.py:120-123: max_epochs=4, max_steps=3000)."""
+        (_simple_logreg_model.py:120-123: max_epochs=4, max_steps=3000).
+
+        When ``val_df`` is given, validation macro-F1/accuracy are computed
+        after every epoch (the reference's validation_step +
+        on_validation_epoch_end, _simple_logreg_model.py:88-103) and
+        recorded in ``self.val_metrics`` as one dict per epoch.
+        """
         self.dataset_type = normalize_dataset_type(dataset_type)
-        _, enc = label_encode(train_df, self.label_column)
+        enc = self._encode_labels(train_df)
         keys = row_key_cols or [
             c
             for c in train_df.columns
@@ -99,6 +128,25 @@ class SimpleLogReg:
             n_rows = train_df.count()
             n_batches = max(n_rows // max(batch_size_rows_hint, 1), 1)
         enc = assign_batches(enc, keys, n_batches)
+        self._val_df = val_df
+        self.val_metrics = []
+        val_enc = self._encode_labels(val_df).cache() if val_df is not None else None
+
+        def on_epoch_end(epoch: int) -> None:
+            if val_enc is None:
+                return
+            pred = self.predict(val_enc)
+            rep = classification_report(
+                pred, f"{self.label_column}_idx", "pred_idx", self.classes
+            )
+            self.val_metrics.append(
+                {
+                    "epoch": epoch,
+                    "val_macro_f1": rep["macro_f1"],
+                    "val_accuracy": rep["accuracy"],
+                }
+            )
+
         self._model.fit(
             enc,
             features_col=self.features_col,
@@ -106,8 +154,10 @@ class SimpleLogReg:
             n_batches=n_batches,
             max_steps=max_steps,
             max_epochs=max_epochs,
+            epoch_callback=on_epoch_end,
         )
-        self._val_df = val_df
+        if val_enc is not None:
+            val_enc.unpersist()
         return self
 
     @property
@@ -126,7 +176,7 @@ class SimpleLogReg:
         """Classification report on a labeled frame (reference
         plot_classification_report minus the plotting,
         _simple_logreg_model.py:225-255)."""
-        _, enc = label_encode(df, self.label_column)
+        enc = self._encode_labels(df)
         pred = self.predict(enc)
         return classification_report(
             pred, f"{self.label_column}_idx", "pred_idx", self.classes

@@ -276,11 +276,22 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs within a hamming radius (<= 3 by
-    default). Pigeonhole bucketing: the 64-bit hash splits into 4 16-bit
-    blocks; two hashes within radius 3 must agree exactly on at least one
-    block, so candidates come from 4 equi-joins on (block_idx, block_value).
-    Returns (id1, id2, hamming)."""
+    """SimHash near-duplicate pairs within a hamming radius.
+
+    Pigeonhole bucketing: the 64-bit hash splits into ``max_hamming + 1``
+    blocks — two hashes differing in at most ``max_hamming`` bits MUST agree
+    exactly on at least one block (the differing bits can poison at most
+    ``max_hamming`` of them), so candidates come from block-count equi-joins
+    on (block_idx, block_value) and recall within the radius is exact.
+    A fixed 4-block split would silently miss pairs for any radius > 3.
+    Larger radii mean narrower blocks (more bucket collisions to verify) —
+    the inherent pigeonhole price. Returns (id1, id2, hamming)."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError("max_hamming must be in [0, 16] (blocks >= 4 bits)")
+    n_blocks = max_hamming + 1
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     sh = simhash64_udf(
         df.select(F.col(id_col).alias("did"), text_col), text_col, "sh"
     ).select("did", "sh")
@@ -292,11 +303,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("sh"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("sh"), offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
                         .alias("bv"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("bb"),
@@ -316,19 +327,101 @@ def simhash_pairs(
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _verify_pairs_exact_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Re-score candidate (id1, id2) pairs with EXACT character-n-gram
+    Jaccard and keep pairs >= threshold.
+
+    The candidates-then-verify shape is the production near-dup contract:
+    the approximate stage (MinHash bands / SimHash blocks) only prunes the
+    pair space; every emitted pair carries the exact similarity, so
+    precision is 1.0 by construction and recall is the only approximation.
+    Shingle arrays are joined in for candidates only — O(|candidates|)
+    array intersections, never O(n^2).
+    """
+    sh = df.select(
+        F.col(id_col).alias("did"),
+        char_shingles(F.col(text_col), n).alias("sh"),
     )
-    na = F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    s1 = sh.select(F.col("did").alias("id1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"))
+    c = F.size(F.array_intersect("sh1", "sh2"))
+    jac = c / (F.size("sh1") + F.size("sh2") - c)
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
     )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    est_margin: float = 0.15,
+    impl: str = "numpy",
+) -> DataFrame:
+    """MinHash-LSH candidates verified by EXACT n-gram Jaccard.
+
+    Unlike ``minhash_lsh_pairs`` (which scores by estimated signature
+    agreement), every output pair carries the exact Jaccard — so on a
+    corpus where banding recall is 1.0 the result set equals the exact
+    inverted-index join's, at candidate-pair cost. Miss probability for a
+    pair at Jaccard j is (1 - j^(k/bands))^bands — at the defaults (64/16,
+    4 rows per band) a j=0.85 pair is missed with p ~ 7e-6.
+
+    ``est_margin``: banded buckets also admit a long tail of sub-threshold
+    noise pairs (4 shared lanes is a weak filter); before the exact verify
+    touches shingle arrays, candidates are pre-filtered by estimated
+    Jaccard >= threshold - est_margin — a cheap fixed-k signature compare
+    that cuts the noise tail by orders of magnitude. The margin keeps the
+    estimator's sampling error (std ~ sqrt(j(1-j)/k), ~0.045 at j=0.85,
+    k=64) several sigmas away from dropping a true pair: at the defaults a
+    j=0.85 pair fails the 0.65 pre-filter with p ~ 3e-6.
+    Returns (id1, id2, jaccard).
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, k=k, bands=bands, n=n,
+        threshold=max(threshold - est_margin, 0.0), impl=impl,
+    ).select("id1", "id2")
+    return _verify_pairs_exact_jaccard(
+        df, cand, id_col, text_col, n=n, threshold=threshold
     )
-    return dot / (na * nb)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash candidates (pigeonhole blocks, exact within the hamming
+    radius) verified by EXACT n-gram Jaccard. Recall misses only pairs
+    whose simhash hamming exceeds ``max_hamming`` while their n-gram
+    Jaccard still clears ``threshold`` — radius 8 covers Jaccard-0.8 pairs
+    comfortably on word-shuffled near-dups. Returns (id1, id2, jaccard)."""
+    cand = simhash_pairs(df, id_col, text_col, max_hamming=max_hamming).select(
+        "id1", "id2"
+    )
+    return _verify_pairs_exact_jaccard(
+        df, cand, id_col, text_col, n=n, threshold=threshold
+    )
 
 
 def embedding_dup_pairs(
@@ -337,19 +430,50 @@ def embedding_dup_pairs(
     vec_col: str,
     *,
     threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= threshold, JVM-side
-    zip_with/aggregate arithmetic. Exact (block-nested self-join) — use the
-    LSH variant in operators.similarity for the scale path. Returns
-    (id1, id2, cosine)."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    cos = _cosine(
-        F.transform("v1", lambda x: x.cast("double")),
-        F.transform("v2", lambda x: x.cast("double")),
+    """Embedding near-duplicate pairs: cosine >= threshold.
+
+    Bucketed, never a cartesian product: candidates are pairs sharing a
+    (table, hyperplane-signature) bucket in any of ``tables`` LSH tables
+    (signatures from one numpy GEMM per Arrow batch — see
+    operators.similarity.with_lsh_signatures), then exact cosine verifies
+    each candidate and the threshold filters. Cost ~ sum of bucket sizes
+    squared, not |df|^2.
+
+    Recall: a pair at cosine c collides per table with prob
+    (1 - arccos(c)/pi)^bits; near-dup thresholds (c -> 1) collide with
+    near-certainty, which is the regime this operator is for. Exact
+    duplicates and scaled copies share signatures structurally (sign of
+    dot is scale-invariant) and are always recalled.
+    Returns (id1, id2, cosine).
+    """
+    from modlyn_spark.operators.similarity import _cosine_udf, _vec_dim, with_lsh_signatures
+
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    sigs = with_lsh_signatures(
+        df, id_col, vec_col, dim=dim, bits=bits, tables=tables, seed=seed,
+        out_vec="__v",
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id1"), F.col("__v").alias("v1"), "tbl", "sig"
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id2"), F.col("__v").alias("v2"), "tbl", "sig"
+    )
+    cand = (
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "v1", "v2")
+        .dropDuplicates(["id1", "id2"])
     )
     return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cos.alias("cosine"))
+        cand.select(
+            "id1", "id2", _cosine_udf(F.col("v1"), F.col("v2")).alias("cosine")
+        )
         .where(F.col("cosine") >= threshold)
     )

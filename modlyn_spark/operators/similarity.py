@@ -1,36 +1,57 @@
 """Approximate-nearest-neighbor similarity search over embedding columns.
 
 - ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
-  set against the corpus, dot products JVM-side via zip_with/aggregate,
-  per-query top-k with a window. The corpus is scanned once, never
-  shuffled; only (query x corpus) score rows reach the top-k shuffle,
-  prunable by a score floor.
+  set against the corpus, per-query top-k with a window. The corpus is
+  scanned once, never shuffled; only (query x corpus) score rows reach the
+  top-k shuffle, prunable by a score floor.
 
 - ``lsh_cosine_topk``: the scale path — random-hyperplane LSH. Each vector
-  gets a b-bit signature (sign of dot with b fixed seeded hyperplanes,
-  computed JVM-side); candidates must share a signature bucket (equi-join,
-  AQE-skew-safe), then exact cosine re-ranks within buckets. Multi-probe
-  via t independent tables raises recall. Sub-quadratic: cost ~ sum of
-  bucket sizes squared instead of |Q| x |C|.
+  gets a b-bit signature per hash table (sign of dot with b fixed seeded
+  hyperplanes); candidates must share a (table, signature) bucket
+  (equi-join, AQE-skew-safe), then exact cosine re-ranks within buckets.
+  Multi-probe via t independent tables raises recall. Sub-quadratic: cost
+  ~ sum of bucket sizes squared instead of |Q| x |C|.
+
+- ``ivf_cosine_topk``: inverted-file index — spherical k-means cells.
+
+All vector math is Arrow-batched numpy (one GEMM per batch) — the prior
+JVM higher-order-function formulation allocated per-element and baked
+dim x tables (resp. dim x centroids) float literals into the Catalyst
+plan; signatures/cell scores now live in a pandas UDF closure instead, so
+the plan stays O(1) in dim and the arithmetic is vectorized.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
-from pyspark.sql import Column, DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    )
+@pandas_udf(DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise cosine of two array<double> columns, vectorized per Arrow
+    batch (one einsum instead of per-element JVM lambda evaluation)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.linalg.norm(A, axis=1)
+    nb = np.linalg.norm(B, axis=1)
+    return pd.Series(dots / (na * nb))
 
 
 def cosine_topk(
@@ -57,10 +78,7 @@ def cosine_topk(
     scored = F.broadcast(q).crossJoin(c).select(
         query_id,
         corpus_id,
-        (
-            _dot(F.col("__qv"), F.col("__cv"))
-            / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
-        ).alias("cosine"),
+        _cosine_udf(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -71,98 +89,11 @@ def cosine_topk(
     )
 
 
-def _spherical_kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
-    """Driver-side spherical k-means on a corpus sample (numpy, seeded)."""
-    rng = np.random.default_rng(seed)
-    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(Xn @ C.T, axis=1)
-        for j in range(len(C)):
-            m = assign == j
-            if m.any():
-                v = Xn[m].mean(axis=0)
-                C[j] = v / max(np.linalg.norm(v), 1e-12)
-    return C
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
 
 
-def ivf_cosine_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    *,
-    query_id: str = "query_id",
-    corpus_id: str = "corpus_id",
-    query_vec: str = "qvec",
-    corpus_vec: str = "cvec",
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    train_sample: int = 4096,
-    kmeans_iters: int = 5,
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k by cosine.
-
-    Index build: spherical k-means centroids fitted on a driver-side corpus
-    sample (seeded, tiny); every corpus vector is assigned to its nearest
-    centroid cell with a JVM-side argmax over centroid dot products — the
-    corpus is scanned once and bucketed by cell id. Search: each query
-    probes its ``nprobe`` nearest cells (explode + window), candidates come
-    from an equi-join on cell id, exact cosine re-ranks. Recall rises with
-    nprobe; per-query work falls from |corpus| to ~nprobe/|cells| of it.
-    Returns (query_id, corpus_id, cosine, rank).
-    """
-    sample = [
-        r[0]
-        for r in corpus.select(corpus_vec).limit(train_sample).collect()
-    ]
-    C = _spherical_kmeans(
-        np.asarray(sample, dtype=np.float64), n_centroids, kmeans_iters, seed
-    )
-
-    def cell_scores(vec_col: Column) -> Column:
-        v = F.transform(vec_col, lambda x: x.cast("double"))
-        return F.array(
-            *[
-                _dot(v, F.array(*[F.lit(float(x)) for x in c])) / _norm(v)
-                for c in C
-            ]
-        )
-
-    c_assigned = corpus.select(
-        F.col(corpus_id),
-        F.transform(corpus_vec, lambda x: x.cast("double")).alias("__cv"),
-        cell_scores(F.col(corpus_vec)).alias("__cs"),
-    ).select(
-        corpus_id,
-        "__cv",
-        (F.array_position("__cs", F.array_max("__cs")) - 1).cast("int").alias("cell"),
-    )
-
-    q_scored = queries.select(
-        F.col(query_id),
-        F.transform(query_vec, lambda x: x.cast("double")).alias("__qv"),
-        F.posexplode(cell_scores(F.col(query_vec))).alias("cell", "cscore"),
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.col("cscore").desc())
-    q_cells = (
-        q_scored.withColumn("__r", F.row_number().over(wq))
-        .where(F.col("__r") <= nprobe)
-        .select(query_id, "__qv", "cell")
-    )
-
-    scored = q_cells.join(c_assigned, "cell").select(
-        query_id,
-        corpus_id,
-        (
-            _dot(F.col("__qv"), F.col("__cv"))
-            / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+# -- random-hyperplane LSH -----------------------------------------------------
 
 
 def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
@@ -170,19 +101,61 @@ def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def _signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """b-bit signature as a long: bit i = sign of dot(plane_i, vec).
-    JVM-side: each plane's dot is a zip_with/aggregate against a literal
-    array; bits packed with shiftleft/bitwise-or."""
-    bits = []
-    for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        d = _dot(F.transform(vec_col, lambda x: x.cast("double")), lit)
-        bits.append(F.when(d > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**i))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+def _stacked_planes(dim: int, bits: int, tables: int, seed: int) -> np.ndarray:
+    """(tables*bits, dim) matrix — all tables' hyperplanes, one GEMM."""
+    return np.vstack([_hyperplanes(dim, bits, t, seed) for t in range(tables)])
+
+
+def with_lsh_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    out_vec: str = "__v",
+) -> DataFrame:
+    """(id, vec_double, tbl, sig): one row per (vector, hash table).
+
+    Signatures for every table come from ONE (batch x dim) @ (dim x
+    tables*bits) matrix multiply per Arrow batch; bit i of table t's
+    signature is sign(dot(plane_{t,i}, vec)). The hyperplane matrix lives
+    in the UDF closure, not the query plan.
+    """
+    P = _stacked_planes(dim, bits, tables, seed)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField(out_vec, ArrayType(DoubleType())),
+            StructField("__sigs", ArrayType(LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits_mat = (X @ P.T) > 0  # (n, tables*bits)
+            sigs = (
+                bits_mat.reshape(len(X), tables, bits).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    out_vec: list(X),
+                    "__sigs": list(sigs),
+                }
+            )
+
+    sig_df = df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    return sig_df.select(
+        id_col, out_vec, F.posexplode("__sigs").alias("tbl", "sig")
+    )
 
 
 def lsh_cosine_topk(
@@ -206,28 +179,15 @@ def lsh_cosine_topk(
     Recall rises with tables, bucket size falls with bits.
     Returns (query_id, corpus_id, cosine, rank)."""
     if dim is None:
-        dim = len(corpus.select(corpus_vec).first()[0])
-
-    def with_sigs(df: DataFrame, id_c: str, vec_c: str, out: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    _signature(F.col(vec_c), _hyperplanes(dim, bits, t, seed)).alias(
-                        "sig"
-                    ),
-                )
-                for t in range(tables)
-            ]
-        )
-        return df.select(
-            F.col(id_c),
-            F.transform(vec_c, lambda x: x.cast("double")).alias(out),
-            F.explode(sigs).alias("ts"),
-        ).select(id_c, out, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
-
-    qs = with_sigs(queries, query_id, query_vec, "__qv")
-    cs = with_sigs(corpus, corpus_id, corpus_vec, "__cv")
+        dim = _vec_dim(corpus, corpus_vec)
+    qs = with_lsh_signatures(
+        queries, query_id, query_vec, dim=dim, bits=bits, tables=tables,
+        seed=seed, out_vec="__qv",
+    )
+    cs = with_lsh_signatures(
+        corpus, corpus_id, corpus_vec, dim=dim, bits=bits, tables=tables,
+        seed=seed, out_vec="__cv",
+    )
     cand = (
         qs.join(cs, ["tbl", "sig"])
         .select(query_id, corpus_id, "__qv", "__cv")
@@ -236,10 +196,111 @@ def lsh_cosine_topk(
     scored = cand.select(
         query_id,
         corpus_id,
-        (
-            _dot(F.col("__qv"), F.col("__cv"))
-            / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
-        ).alias("cosine"),
+        _cosine_udf(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# -- IVF -----------------------------------------------------------------------
+
+
+def _spherical_kmeans(X: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Driver-side spherical k-means on a corpus sample (numpy, seeded)."""
+    rng = np.random.default_rng(seed)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[rng.choice(len(Xn), size=min(n_centroids, len(Xn)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def _with_cells(
+    df: DataFrame, id_col: str, vec_col: str, C: np.ndarray, n_cells: int,
+    out_vec: str,
+) -> DataFrame:
+    """(id, vec_double, cells: array<int>) — the ``n_cells`` nearest
+    centroid cells per vector, ranked, from one GEMM per Arrow batch."""
+    schema = StructType(
+        [
+            df.schema[id_col],
+            StructField(out_vec, ArrayType(DoubleType())),
+            StructField("__cells", ArrayType(IntegerType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            scores = Xn @ C.T  # (n, n_centroids)
+            # ties broken by lower cell id (stable, matches argmax)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :n_cells]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    out_vec: list(X),
+                    "__cells": [r.astype(np.int32) for r in order],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "cvec",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k by cosine.
+
+    Index build: spherical k-means centroids fitted on a driver-side corpus
+    sample (seeded, bounded); every corpus vector is assigned to its
+    nearest centroid cell — one numpy GEMM per Arrow batch, corpus scanned
+    once and bucketed by cell id. Search: each query probes its ``nprobe``
+    nearest cells, candidates come from an equi-join on cell id, exact
+    cosine re-ranks. Recall rises with nprobe; per-query work falls from
+    |corpus| to ~nprobe/|cells| of it.
+    Returns (query_id, corpus_id, cosine, rank).
+    """
+    sample = [
+        r[0]
+        for r in corpus.select(corpus_vec).limit(train_sample).collect()
+    ]
+    C = _spherical_kmeans(
+        np.asarray(sample, dtype=np.float64), n_centroids, kmeans_iters, seed
+    )
+
+    c_assigned = _with_cells(corpus, corpus_id, corpus_vec, C, 1, "__cv").select(
+        corpus_id, "__cv", F.col("__cells")[0].alias("cell")
+    )
+    q_cells = _with_cells(queries, query_id, query_vec, C, nprobe, "__qv").select(
+        query_id, "__qv", F.explode("__cells").alias("cell")
+    )
+
+    scored = q_cells.join(c_assigned, "cell").select(
+        query_id,
+        corpus_id,
+        _cosine_udf(F.col("__qv"), F.col("__cv")).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()

@@ -112,10 +112,11 @@ class DistributedLogReg:
         label_idx_col: str = "label_idx",
         batch_col: str = "batch_id",
         n_batches: int | None = None,
-        max_steps: int = 50,
-        max_epochs: int = 1,
+        max_steps: int = 3000,
+        max_epochs: int = 4,
         tree_depth: int | None = None,
-        cluster_by_batch: bool = False,
+        cluster_by_batch: bool | None = None,
+        epoch_callback=None,
     ) -> "DistributedLogReg":
         """Train over a cached (features, label_idx, batch_id) DataFrame.
 
@@ -136,17 +137,27 @@ class DistributedLogReg:
         cached partitions (the in-memory columnar cache keeps per-batch
         min/max stats) instead of scanning every partition per step — the
         right layout when n_batches x steps is large relative to cluster
-        cores. Adds one up-front shuffle; results are identical.
+        cores. Adds one up-front shuffle; results are identical. Default
+        (None) = auto: cluster when n_batches >= 32, where per-step
+        full-cache scans start to dominate.
+
+        ``epoch_callback``: optional ``f(epoch_idx)`` invoked after each
+        completed epoch with the model already updated — the hook the
+        reference's validation_step/on_validation_epoch_end uses
+        (modlyn/models/_simple_logreg_model.py:88-103).
+
+        Defaults (max_steps=3000, max_epochs=4) mirror the reference fit()
+        (_simple_logreg_model.py:120-123) so direct engine callers train to
+        the same budget as the facade.
         """
         data = df.select(features_col, label_idx_col, batch_col)
-        if cluster_by_batch:
-            nb = n_batches
-            if nb is None:
-                nb = data.agg(F.max(batch_col)).collect()[0][0] + 1
-            data = data.repartition(nb, batch_col)
-        data = data.cache()
         if n_batches is None:
             n_batches = data.agg(F.max(batch_col)).collect()[0][0] + 1
+        if cluster_by_batch is None:
+            cluster_by_batch = n_batches >= 32
+        if cluster_by_batch:
+            data = data.repartition(n_batches, batch_col)
+        data = data.cache()
 
         fc, lc = features_col, label_idx_col
         k, d = self.k, self.d
@@ -190,7 +201,9 @@ class DistributedLogReg:
                 )
 
         step = 0
-        for _ in range(max_epochs):
+        for epoch in range(max_epochs):
+            if step >= max_steps:
+                break
             for bid in range(n_batches):
                 if step >= max_steps:
                     break
@@ -220,6 +233,8 @@ class DistributedLogReg:
                 self.b = self._optb.step(self.b, gb)
                 self.losses.append(loss)
                 step += 1
+            if epoch_callback is not None:
+                epoch_callback(epoch)
         data.unpersist()
         return self
 

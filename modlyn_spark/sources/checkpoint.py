@@ -24,7 +24,6 @@ checks every bucket's count+hash against its manifest.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +33,64 @@ _BUCKET = "__ckpt_bucket"
 
 
 def _manifest_dir(path: str) -> str:
-    return os.path.join(path, "_manifest")
+    return path.rstrip("/") + "/_manifest"
+
+
+# -- manifest IO via the Hadoop FileSystem API --------------------------------
+# The data goes through Spark writers, which resolve any Hadoop-supported
+# scheme (hdfs://, s3a://, file://...). Manifests must live on the SAME
+# filesystem or resume/verify silently see nothing — so they are read and
+# written through org.apache.hadoop.fs.FileSystem (via the session JVM), not
+# driver-local os.* calls.
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm
+
+
+def _fs_list_json(spark: SparkSession, directory: str) -> list[str]:
+    """Names of bucket-*.json files in ``directory`` ([] if absent)."""
+    fs, jvm = _fs_for(spark, directory)
+    jdir = jvm.org.apache.hadoop.fs.Path(directory)
+    if not fs.exists(jdir):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(jdir)
+        if st.getPath().getName().startswith("bucket-")
+        and st.getPath().getName().endswith(".json")
+    ]
+
+
+def _fs_read_json(spark: SparkSession, file_path: str) -> dict:
+    fs, jvm = _fs_for(spark, file_path)
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(file_path))
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(data)
+
+
+def _fs_write_json_atomic(spark: SparkSession, directory: str, name: str, rec: dict):
+    """Write ``<directory>/<name>`` via temp-file + rename (the manifest
+    commit point)."""
+    fs, jvm = _fs_for(spark, directory)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(directory))
+    tmp = Path(directory, f".{name}.tmp")
+    dst = Path(directory, name)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(rec).encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    fs.rename(tmp, dst)
 
 
 def _bucket_metrics(df: DataFrame, data_cols: list[str]) -> DataFrame:
@@ -52,17 +108,16 @@ def _bucket_metrics(df: DataFrame, data_cols: list[str]) -> DataFrame:
     )
 
 
-def completed_buckets(path: str) -> dict[int, dict]:
+def completed_buckets(path: str, spark: SparkSession | None = None) -> dict[int, dict]:
     """Read the manifest: bucket -> {rows, content_hash, ...}."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("completed_buckets needs an active SparkSession")
     mdir = _manifest_dir(path)
     out: dict[int, dict] = {}
-    if not os.path.isdir(mdir):
-        return out
-    for f in os.listdir(mdir):
-        if f.startswith("bucket-") and f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                rec = json.load(fh)
-            out[int(rec["bucket"])] = rec
+    for f in _fs_list_json(spark, mdir):
+        rec = _fs_read_json(spark, f"{mdir}/{f}")
+        out[int(rec["bucket"])] = rec
     return out
 
 
@@ -81,7 +136,7 @@ def write_checkpointed(
     buckets; calling on a complete output is a no-op.
     """
     spark = df.sparkSession
-    done = completed_buckets(path)
+    done = completed_buckets(path, spark)
     bucketed = df.withColumn(
         _BUCKET, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
     )
@@ -104,7 +159,7 @@ def write_checkpointed(
     data_cols = [c for c in df.columns]
     written = spark.read.parquet(path).where(F.col(_BUCKET).isin(todo_buckets))
     metrics = _bucket_metrics(written.select(*data_cols, _BUCKET), data_cols).collect()
-    os.makedirs(_manifest_dir(path), exist_ok=True)
+    mdir = _manifest_dir(path)
     now = time.time()
     for r in metrics:
         rec = {
@@ -116,11 +171,7 @@ def write_checkpointed(
             "key_cols": key_cols,
             "n_buckets": n_buckets,
         }
-        tmp = os.path.join(_manifest_dir(path), f".bucket-{rec['bucket']}.tmp")
-        dst = os.path.join(_manifest_dir(path), f"bucket-{rec['bucket']}.json")
-        with open(tmp, "w") as fh:
-            json.dump(rec, fh)
-        os.replace(tmp, dst)  # atomic manifest commit
+        _fs_write_json_atomic(spark, mdir, f"bucket-{rec['bucket']}.json", rec)
         result["rows_written"] += rec["rows"]
     # buckets that produced zero rows still need a manifest (else they'd be
     # recomputed forever)
@@ -136,10 +187,7 @@ def write_checkpointed(
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
             }
-            tmp = os.path.join(_manifest_dir(path), f".bucket-{b}.tmp")
-            with open(tmp, "w") as fh:
-                json.dump(rec, fh)
-            os.replace(tmp, os.path.join(_manifest_dir(path), f"bucket-{b}.json"))
+            _fs_write_json_atomic(spark, mdir, f"bucket-{b}.json", rec)
     return result
 
 
@@ -151,7 +199,7 @@ def read_checkpointed(spark: SparkSession, path: str) -> DataFrame:
 def verify(spark: SparkSession, path: str) -> dict:
     """Lineage audit: recompute per-bucket count+hash from the stored data
     and compare with the manifests. Returns {"ok": bool, "bad_buckets": []}."""
-    done = completed_buckets(path)
+    done = completed_buckets(path, spark)
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != _BUCKET]
     got = {

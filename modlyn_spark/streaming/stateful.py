@@ -36,6 +36,10 @@ LAST_STATE_SCHEMA = StructType(
     ]
 )
 
+# sentinel for "no timestamp observed yet" — INT64_MIN so even
+# pre-epoch (negative-us) timestamps compare above it
+_NO_TS = -(2**63)
+
 _STATE_SCHEMA = StructType(
     [
         StructField("last_ts_us", LongType()),
@@ -53,11 +57,17 @@ def last_state_fn(
     if state.exists:
         last_ts_us, last_value, n_updates = state.get
     else:
-        last_ts_us, last_value, n_updates = -1, None, 0
+        last_ts_us, last_value, n_updates = _NO_TS, None, 0
     for pdf in pdfs:
         if pdf.empty:
             continue
         n_updates += len(pdf)
+        # NaT rows carry no ordering information — skip them (they still
+        # count as updates); without this, NaT -> INT64_MIN would poison
+        # argmax and a null-only batch would fabricate a timestamp
+        pdf = pdf[pdf["ts"].notna()]
+        if pdf.empty:
+            continue
         ts_us = (pdf["ts"].astype("datetime64[us]").astype("int64")).to_numpy()
         i = int(ts_us.argmax())
         if int(ts_us[i]) >= last_ts_us:
@@ -68,7 +78,11 @@ def last_state_fn(
     yield pd.DataFrame(
         {
             "key": [key[0]],
-            "last_ts": [pd.Timestamp(last_ts_us, unit="us")],
+            # while the sentinel is still in place no real timestamp has
+            # been observed: emit null, not 1969-12-31T23:59:59.999999
+            "last_ts": [
+                pd.Timestamp(last_ts_us, unit="us") if last_ts_us != _NO_TS else pd.NaT
+            ],
             "last_value": [last_value],
             "n_updates": [n_updates],
         }

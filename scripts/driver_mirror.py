@@ -1,0 +1,107 @@
+"""Local mirror of the external driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry against its oracle_sql() on the
+same parquet tables (default sf0.01, the driver's gate SF) and compares
+row count, column set, VALUE equality and — stricter than the pytest
+contract test — post-normalization DTYPE equality, because the driver's
+value hash is typed: a DuckDB HUGEINT rendered as float64 hash-mismatches
+a Spark BIGINT even when every value is equal (the round-1 lesson).
+
+Usage: python scripts/driver_mirror.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            out[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            out[c] = s.astype(str)
+    return out.sort_values(list(out.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(got) != len(exp):
+        return [f"rows {len(got)} vs {len(exp)}"]
+    g, e = norm(got), norm(exp)
+    if list(g.columns) != list(e.columns):
+        return [f"columns {list(g.columns)} vs {list(e.columns)}"]
+    for c in g.columns:
+        gk, ek = g[c].dtype.kind, e[c].dtype.kind
+        if gk != ek:
+            problems.append(f"{c}: DTYPE {g[c].dtype} vs {e[c].dtype} (typed-hash mismatch)")
+            continue
+        if gk == "f":
+            a, b = g[c].to_numpy(), e[c].to_numpy()
+            m = ~(np.isnan(a) & np.isnan(b))
+            if not np.allclose(a[m], b[m], rtol=1e-9, atol=1e-8):
+                bad = np.abs(np.nan_to_num(a) - np.nan_to_num(b))
+                problems.append(f"{c}: float diff max {bad.max():.3e}")
+        else:
+            if not g[c].where(g[c].notna(), None).equals(e[c].where(e[c].notna(), None)):
+                problems.append(f"{c}: value mismatch")
+    return problems
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from modlyn_spark.session import get_spark
+
+    spark = get_spark(app_name="driver_mirror")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    n_bad = 0
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = q(spark, sf).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            n_bad += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok   {name}: {len(got)} rows (no oracle)")
+            continue
+        exp = con.sql(sql).df()
+        problems = compare(name, got, exp)
+        if problems:
+            n_bad += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(got)} rows == oracle")
+    print(f"{'ALL GREEN' if not n_bad else f'{n_bad} FAILURES'}")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

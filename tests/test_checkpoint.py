@@ -88,6 +88,13 @@ def test_lineage_audit_detects_corruption(spark, out_dir):
     rec["content_hash"] += 1  # tamper
     with open(os.path.join(mdir, "bucket-0.json"), "w") as fh:
         json.dump(rec, fh)
+    # drop Hadoop LocalFileSystem's checksum sidecar: manifest IO goes
+    # through the Hadoop FS API now, and a raw local edit would otherwise be
+    # caught by the transport-level CRC before verify() sees the record —
+    # the audit under test is the semantic count+hash check
+    crc = os.path.join(mdir, ".bucket-0.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     v = verify(spark, out_dir)
     assert not v["ok"] and v["bad_buckets"] == [0]
 

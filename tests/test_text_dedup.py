@@ -182,12 +182,22 @@ def test_simhash_finds_planted_near_dups(spark, docs):
     assert (pairs["hamming"] <= 8).all()
 
 
-def test_embedding_dup_pairs_vs_duckdb(emb):
-    sub = emb.limit(60)
+def test_embedding_dup_pairs_vs_duckdb(spark, emb):
+    """LSH-bucketed near-dup pairs == DuckDB's exact all-pairs join on a
+    corpus with planted half-scale copies (0.5x is exact in IEEE floats, so
+    the copy's direction — and therefore its hyperplane signature — is
+    bit-identical and recall is structural, not statistical)."""
+    base = emb.limit(60).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    copies = base.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("v", lambda x: x * 0.5).alias("v"),
+    )
     got = (
         embedding_dup_pairs(
-            sub.select(F.col("vec_id"), F.col("embedding")), "vec_id", "embedding",
-            threshold=0.2,
+            base.unionByName(copies), "vec_id", "v", threshold=0.99,
+            bits=8, tables=4,
         )
         .toPandas()
         .sort_values(["id1", "id2"])
@@ -195,16 +205,27 @@ def test_embedding_dup_pairs_vs_duckdb(emb):
     )
     exp = duckdb.sql(
         f"""
-        WITH e AS (SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' LIMIT 60)
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                    FROM '{SF}/embeddings.parquet' LIMIT 60),
+        e AS (SELECT * FROM e0 UNION ALL
+              SELECT vec_id + 1000000, list_transform(v, x -> x * 0.5) FROM e0)
         SELECT a.vec_id id1, b.vec_id id2,
-               list_cosine_similarity(a.embedding, b.embedding) AS cosine
+               list_cosine_similarity(a.v, b.v) AS cosine
         FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.2
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         ORDER BY 1, 2
         """
     ).df()
-    assert len(got) == len(exp)
+    assert len(got) == len(exp) == 60
+    assert got["id1"].tolist() == exp["id1"].tolist()
+    assert got["id2"].tolist() == exp["id2"].tolist()
     assert np.allclose(got["cosine"].values, exp["cosine"].values, atol=1e-5)
+    # and the plan must be bucketed — no cartesian/broadcast-nested-loop join
+    plan = embedding_dup_pairs(
+        base.unionByName(copies), "vec_id", "v", threshold=0.99
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_cosine_topk_vs_duckdb(emb):
