@@ -223,41 +223,71 @@ def minhash_signature_udf(
     return df.mapInPandas(run, schema=schema)
 
 
+def _fnv1a64_batch(tokens: list[bytes]) -> np.ndarray:
+    """Vectorized 64-bit FNV-1a over a token batch: tokens padded into one
+    (n_tokens x max_len) byte matrix, the hash chain iterated over CHAR
+    POSITIONS (a dozen-odd vectorized uint64 ops) instead of per token —
+    bit-identical to the scalar loop (uint64 arithmetic wraps mod 2^64)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    lens = np.array([len(t) for t in tokens])
+    max_len = int(lens.max()) if len(lens) else 0
+    M = np.zeros((len(tokens), max_len), dtype=np.uint8)
+    for i, t in enumerate(tokens):
+        M[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+    h = np.full(len(tokens), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            active = lens > j
+            h[active] = (h[active] ^ M[active, j].astype(np.uint64)) * prime
+    return h
+
+
 def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> DataFrame:
-    """64-bit simhash over word tokens (vectorized pandas UDF; the 64-lane
-    bit-vote has no tidy built-in form). Deterministic: tokens hashed with
-    a fixed 64-bit FNV-1a, bit votes +-1, sign -> bit."""
+    """64-bit simhash over word tokens (Arrow-batched pandas UDF; the
+    64-lane bit-vote has no tidy built-in form). Deterministic: tokens
+    hashed with a fixed 64-bit FNV-1a, bit votes +-1, sign -> bit.
+
+    Fully vectorized per batch: each batch's DISTINCT tokens are hashed
+    once with ``_fnv1a64_batch`` (shared vocabulary across documents is
+    hashed once, not once per occurrence), bits expanded to a
+    (n_unique x 64) matrix, and per-document votes accumulated with one
+    ``np.add.at`` over the occurrence->document segment index — no
+    per-token Python in the loop."""
 
     schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
-
-    def fnv1a64(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
 
         tok = re.compile("[a-z0-9]+")
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for t in pdf[text_col]:
-                votes = np.zeros(64, dtype=np.int64)
-                for w in tok.findall(str(t).lower()):
-                    h = np.uint64(fnv1a64(w))
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    votes += np.where(bits == 1, 1, -1)
-                v = 0
-                for i in range(63, -1, -1):
-                    v = (v << 1) | int(votes[i] > 0)
-                if v >= 1 << 63:
-                    v -= 1 << 64
-                out.append(v)
+            per_doc = [
+                [w.encode("utf-8") for w in tok.findall(str(t).lower())]
+                for t in pdf[text_col]
+            ]
+            counts = np.array([len(ts) for ts in per_doc])
+            flat = [w for ts in per_doc for w in ts]
+            votes = np.zeros((len(per_doc), 64), dtype=np.int64)
+            if flat:
+                uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+                hashes = _fnv1a64_batch(list(uniq))
+                bits = (
+                    (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.int64)
+                contrib = 2 * bits - 1  # (n_unique, 64), votes +-1
+                seg = np.repeat(np.arange(len(per_doc)), counts)
+                np.add.at(votes, seg, contrib[inv])
+            sig = ((votes > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
             pdf = pdf.copy()
-            pdf[out_col] = out
+            pdf[out_col] = sig.view(np.int64)  # twos-complement bit reinterpret
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
