@@ -438,6 +438,25 @@ def q_f_statistic(spark, sf_dir):
     )
 
 
+def q_wilcoxon_scores(spark, sf_dir):
+    """Per-class Wilcoxon rank-sum z-scores (class vs rest) — the
+    reference quickstart's second scoring method (scanpy
+    rank_genes_groups method='wilcoxon'; reference docs/quickstart.ipynb
+    cell 8c058e6c)."""
+    from modlyn_spark.scoring.stats import wilcoxon_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr("cast(label as string) as label", "embedding as features")
+    out = wilcoxon_scores(df, "label", "features")
+    return out.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        "n1",
+        F.round("rank_sum", 4).alias("rank_sum"),
+        F.round("z", 4).alias("z"),
+    )
+
+
 def q_topn_jaccard(spark, sf_dir):
     from modlyn_spark.eval.jaccard import topn_jaccard
     from modlyn_spark.scoring.stats import class_feature_stats
@@ -748,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_minmax": q_global_minmax,
         "class_feature_stats": q_class_feature_stats,
         "f_statistic": q_f_statistic,
+        "wilcoxon_scores": q_wilcoxon_scores,
         "topn_jaccard": q_topn_jaccard,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1043,6 +1063,31 @@ def oracle_sql() -> dict[str, str]:
                      sum(s.n * s.var_pop) AS ssw,
                      min(g.k) AS k, min(g.n_total) AS n_total
               FROM s JOIN g USING (pos) GROUP BY s.pos)
+        """,
+        "wilcoxon_scores": """
+            WITH x AS (SELECT CAST(label AS VARCHAR) AS label, g - 1 AS pos,
+                              CAST(x AS DOUBLE) AS v
+                       FROM (SELECT label, unnest(embedding) AS x,
+                                    generate_subscripts(embedding, 1) AS g
+                             FROM embeddings)),
+            r AS (SELECT label, pos,
+                         rank() OVER (PARTITION BY pos ORDER BY v)
+                           + (count(*) OVER (PARTITION BY pos, v) - 1) / 2.0
+                           AS avg_rank,
+                         count(*) OVER (PARTITION BY pos, v) AS t
+                  FROM x),
+            s AS (SELECT label, pos, sum(avg_rank) AS rank_sum,
+                         count(*) AS n1, sum(t * t - 1.0) AS tie_part
+                  FROM r GROUP BY 1, 2),
+            g AS (SELECT pos, sum(n1) AS nt, sum(tie_part) AS ties
+                  FROM s GROUP BY 1)
+            SELECT s.label, s.pos, CAST(s.n1 AS BIGINT) AS n1,
+                   round(s.rank_sum, 4) AS rank_sum,
+                   round((s.rank_sum - s.n1 * (g.nt + 1) / 2.0)
+                         / sqrt(s.n1 * (g.nt - s.n1) / 12.0
+                                * ((g.nt + 1) - g.ties / (g.nt * (g.nt - 1.0)))),
+                         4) AS z
+            FROM s JOIN g USING (pos)
         """,
         "topn_jaccard": """
             WITH x AS (SELECT CAST(label AS VARCHAR) AS label, g - 1 AS pos,

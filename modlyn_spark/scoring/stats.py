@@ -155,6 +155,80 @@ def class_feature_stats(
     return p.groupBy("label").applyInPandas(combine, schema=combine_schema)
 
 
+def wilcoxon_scores(
+    df: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+) -> DataFrame:
+    """Per-class per-feature Wilcoxon rank-sum z-scores (class vs rest).
+
+    The distributed analogue of scanpy's rank_genes_groups(method=
+    "wilcoxon") — the second scoring method the reference quickstart
+    compares against the logreg weights (reference docs/quickstart.ipynb
+    cell 8c058e6c; SURVEY.md §2.1 N2). For each feature position, values
+    are ranked over ALL rows (average ranks for ties), and each class's
+    rank sum is z-scored against the null N(n1(N+1)/2, n1*n2/12*((N+1) -
+    tie_term)) with the standard tie correction tie_term =
+    sum_t(t^3 - t)/(N(N-1)).
+
+    Physical plan: posexplode -> ONE exchange on ``pos`` serving both
+    windows (rank + tie-peer count share partitioning and sort order:
+    ties are counted with a RANGE BETWEEN CURRENT ROW AND CURRENT ROW
+    frame, i.e. order-key peers — no second shuffle on (pos, value)),
+    then a map-side-combinable groupBy(label, pos) whose output is tiny
+    (k x d rows), and a final window over pos for the grand totals.
+    Ranking n values per feature is a per-feature sort — embarrassingly
+    parallel across the d feature partitions.
+
+    Returns DataFrame(label, pos, n1, rank_sum, z).
+    """
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(label_col).cast("string").alias("label"),
+        F.posexplode(features_col).alias("pos", "x"),
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+
+    w_rank = Window.partitionBy("pos").orderBy("x")
+    # peers of the current order key == tie-group size t (same exchange)
+    w_ties = w_rank.rangeBetween(0, 0)
+    ranked = ex.select(
+        "label",
+        "pos",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0
+        ).alias("avg_rank"),
+        F.count(F.lit(1)).over(w_ties).alias("t"),
+    )
+    # sum_groups(t^3 - t) == sum_rows(t^2 - 1): each tie group of size t
+    # contributes t rows of (t^2 - 1)
+    per_class = ranked.groupBy("label", "pos").agg(
+        F.sum("avg_rank").alias("rank_sum"),
+        F.count(F.lit(1)).alias("n1"),
+        F.sum(F.col("t") * F.col("t") - 1.0).alias("tie_part"),
+    )
+    w_pos = Window.partitionBy("pos")
+    tot = per_class.withColumn("n_total", F.sum("n1").over(w_pos)).withColumn(
+        "tie_sum", F.sum("tie_part").over(w_pos)
+    )
+    n1, nt = F.col("n1"), F.col("n_total")
+    mu = n1 * (nt + 1) / 2.0
+    var = (
+        n1 * (nt - n1) / 12.0
+        * ((nt + 1) - F.col("tie_sum") / (nt * (nt - 1.0)))
+    )
+    return tot.select(
+        "label",
+        "pos",
+        "n1",
+        "rank_sum",
+        F.when(var > 0, (F.col("rank_sum") - mu) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
 def f_statistic(stats: DataFrame) -> DataFrame:
     """One-way ANOVA F per feature from long-form class stats.
 

@@ -146,3 +146,119 @@ def test_weights_long_roundtrip(spark, matrix_pdf):
     assert len(long) == K * D
     wide = long.pivot(index="label", columns="pos", values="weight")
     assert np.allclose(wide.values, model.W)
+
+
+def test_wilcoxon_vs_oracle(spark, matrix_pdf):
+    from modlyn_spark.oracle.pandas_oracle import oracle_wilcoxon
+    from modlyn_spark.scoring.stats import wilcoxon_scores
+
+    pdf, X, labels = matrix_pdf
+    got = (
+        wilcoxon_scores(_spark_df(spark, pdf), "label", "features")
+        .toPandas()
+        .sort_values(["label", "pos"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_wilcoxon(X, labels)
+        .sort_values(["label", "pos"])
+        .reset_index(drop=True)
+    )
+    assert got["n1"].tolist() == exp["n1"].tolist()
+    assert np.allclose(got["rank_sum"].values, exp["rank_sum"].values)
+    assert np.allclose(got["z"].values, exp["z"].values, rtol=1e-9, atol=1e-9)
+    # the planted shifts must dominate: class_i's own shifted feature i has
+    # the largest positive z among its features
+    for i in range(K):
+        sub = exp[exp["label"] == f"class_{i}"].set_index("pos")["z"]
+        assert sub.idxmax() == i
+
+
+def test_wilcoxon_vs_scipy(spark, matrix_pdf):
+    scipy_stats = pytest.importorskip("scipy.stats")
+    from modlyn_spark.oracle.pandas_oracle import oracle_wilcoxon
+
+    pdf, X, labels = matrix_pdf
+    exp = oracle_wilcoxon(X, labels)
+    for c in ["class_0", "class_2"]:
+        for j in [0, D - 1]:
+            a = X[(labels == c).to_numpy(), j].astype(np.float64)
+            b = X[(labels != c).to_numpy(), j].astype(np.float64)
+            # mannwhitneyu z (tie-corrected, no continuity): U1 relates to
+            # the rank sum via R = U1 + n1(n1+1)/2
+            res = scipy_stats.mannwhitneyu(
+                a, b, alternative="two-sided", method="asymptotic",
+                use_continuity=False,
+            )
+            n1, n2 = len(a), len(b)
+            mu_u = n1 * n2 / 2.0
+            z_scipy = float(
+                np.sign(res.statistic - mu_u)
+                * scipy_stats.norm.isf(res.pvalue / 2.0)
+            )
+            z_ours = float(
+                exp[(exp["label"] == c) & (exp["pos"] == j)]["z"].iloc[0]
+            )
+            assert np.isclose(z_ours, z_scipy, rtol=1e-6, atol=1e-8)
+
+
+def test_compare_scores_three_methods(spark, matrix_pdf):
+    """CompareScores over logreg + F-stat + wilcoxon (the reference
+    quickstart's method set) through topn_jaccard, vs the pandas oracle."""
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.eval.jaccard import topn_jaccard
+    from modlyn_spark.oracle.pandas_oracle import oracle_jaccard, oracle_wilcoxon
+    from modlyn_spark.scoring.stats import wilcoxon_scores
+
+    pdf, X, labels = matrix_pdf
+    df = _spark_df(spark, pdf)
+    stats = class_feature_stats(df, "label", "features", strategy="partial")
+    m_mean = stats.select(
+        F.lit("mean").alias("method"), "label", "pos",
+        F.col("mean").alias("score"),
+    )
+    wil = wilcoxon_scores(df, "label", "features")
+    m_wil = wil.select(
+        F.lit("wilcoxon").alias("method"), "label", "pos",
+        F.col("z").alias("score"),
+    )
+    m_var = stats.select(
+        F.lit("meanvar").alias("method"), "label", "pos",
+        (F.col("mean") + F.sqrt("var_pop")).alias("score"),
+    )
+    got = (
+        topn_jaccard(
+            m_mean.unionByName(m_wil).unionByName(m_var), [5],
+            include_random_baseline=False,
+        )
+        .toPandas()
+        .sort_values(["method1", "method2", "label", "n_top"])
+        .reset_index(drop=True)
+    )
+    # three methods -> three unordered method pairs per label
+    assert set(zip(got["method1"], got["method2"])) == {
+        ("mean", "meanvar"), ("mean", "wilcoxon"), ("meanvar", "wilcoxon"),
+    }
+    # oracle check for the mean-vs-wilcoxon pair
+    from modlyn_spark.oracle.pandas_oracle import oracle_class_feature_stats
+
+    stats_o = oracle_class_feature_stats(X, labels)
+    wil_o = oracle_wilcoxon(X, labels)
+    for c in sorted(pd.unique(labels)):
+        top_mean = set(
+            stats_o[stats_o["label"] == c]
+            .assign(a=lambda t: t["mean"].abs())
+            .nlargest(5, "a")["pos"]
+        )
+        top_wil = set(
+            wil_o[wil_o["label"] == c]
+            .assign(a=lambda t: t["z"].abs())
+            .nlargest(5, "a")["pos"]
+        )
+        exp_j = len(top_mean & top_wil) / len(top_mean | top_wil)
+        row = got[
+            (got["method1"] == "mean") & (got["method2"] == "wilcoxon")
+            & (got["label"] == c)
+        ]
+        assert np.isclose(row["jaccard"].iloc[0], exp_j)
