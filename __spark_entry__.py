@@ -788,12 +788,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
-# oracle SQL (DuckDB). Omitted entries fall back to the driver's rows-only
-# check: minhash/simhash/LSH (hash functions differ engine-to-engine by
-# design), logreg (iterative), streaming (no session_window in SQL), and the
-# synthetic image pipeline (generator RNG not SQL-expressible) — each is
-# covered by its own oracle-verified pytest instead.
+# oracle SQL (DuckDB). Every queries() entry has an oracle. Two of them are
+# fixture-backed (iterative training / synthetic-source pipelines are not
+# directly SQL-expressible): the expected outputs are precomputed by the
+# INDEPENDENT single-node numpy/pandas implementations in
+# modlyn_spark/oracle/pandas_oracle.py (scripts/make_oracle_fixtures.py,
+# deterministic) and the SQL reads the parquet fixture. ``logreg_weights``'s
+# fixture is bound to the driver's correctness SF (sf0.01) because the
+# trained weights depend on the input table; ``image_pipeline`` is a pure
+# function of its synthetic generator and holds at every SF.
 # ---------------------------------------------------------------------------
+
+_FIXTURES = "/root/repo/tests/fixtures"
+
+# oracle entries whose fixture was computed from one specific sf_dir (the
+# local pytest contract runs rows-only for these at other SFs; the external
+# driver's gate IS this SF)
+SF_BOUND_ORACLES = {"logreg_weights": "/root/testdata/sf0.01"}
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -1198,6 +1209,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "logreg_weights": f"""
+            SELECT label, pos, round(weight, 6) AS weight
+            FROM read_parquet('{_FIXTURES}/logreg_weights_sf001.parquet')
+        """,
+        "image_pipeline": f"""
+            SELECT image_id, label,
+                   round(f_phash_hamming, 4) AS f_phash_hamming,
+                   round(f_version, 4) AS f_version,
+                   round(f_age_sec, 4) AS f_age_sec
+            FROM read_parquet('{_FIXTURES}/image_pipeline_expected.parquet')
         """,
         # streaming session_window == batch sessions on the same input; the
         # one semantic difference is the boundary: session_window starts a

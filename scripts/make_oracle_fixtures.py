@@ -1,0 +1,114 @@
+"""Generate DuckDB-readable oracle fixtures for the two driver queries whose
+expected outputs are not directly SQL-expressible:
+
+- ``logreg_weights``: iterative Adam training. The expected weights are
+  recomputed from the sf0.01 embeddings table by the INDEPENDENT numpy
+  implementation (modlyn_spark.oracle.pandas_oracle.oracle_logreg — torch-
+  parity Adam, float64, deterministic md5 batching replicated with hashlib),
+  NOT by the Spark engine under test.
+
+- ``image_pipeline``: the synthetic image source is a pure function of
+  (image_id, version), so the expected per-request features are recomputed
+  single-node with pandas groupby/shift + pd.merge_asof (oracle_asof /
+  oracle_hamming) — again independent of every Spark operator involved.
+
+The driver's oracle_sql() entries read these parquet files via
+read_parquet() and round exactly like the Spark queries do. Regenerate with:
+
+    python scripts/make_oracle_fixtures.py
+
+Fixtures change only when the input tables (sf0.01) or the query
+definitions change; the script is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures"
+)
+SF_GATE = "/root/testdata/sf0.01"  # the driver's correctness SF
+
+
+def make_logreg_fixture() -> str:
+    """Expected (label, pos, weight) for q_logreg_weights at sf0.01:
+    8 steps over 4 md5 batches (2 epochs), lr/wd defaults."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_logreg
+    from modlyn_spark.scoring.logreg import assign_batches_pandas
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].astype(str)
+    batch_ids = assign_batches_pandas(emb, ["vec_id"], 4)
+    weights, _ = oracle_logreg(
+        X, labels, batch_ids, max_steps=8, n_epochs=4
+    )
+    out = os.path.join(FIXTURE_DIR, "logreg_weights_sf001.parquet")
+    weights.astype({"pos": "int64"}).to_parquet(out, index=False)
+    return out
+
+
+def make_image_pipeline_fixture() -> str:
+    """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
+    for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_asof, oracle_hamming
+    from modlyn_spark.sources.images import (
+        generate_images_pandas,
+        synth_feature_requests,
+    )
+
+    images = generate_images_pandas(50, hot_every=25, hot_factor=10)
+    requests = synth_feature_requests(images)
+
+    st = images.sort_values(["image_id", "ts"], kind="mergesort").copy()
+    # nullable Int64 BEFORE the shift: plain int64 shift() promotes to
+    # float64 and silently corrupts 64-bit hashes (53-bit mantissa)
+    ph = st["phash"].astype("Int64")
+    lag = ph.groupby(st["image_id"], sort=False).shift(1)
+    st["phash_hamming"] = (
+        oracle_hamming(ph, lag).astype("float64").fillna(0.0)
+    )
+    st["state_ts"] = st["ts"]
+    st["version_f"] = st["version"].astype("float64")
+
+    joined = oracle_asof(
+        requests,
+        st[["image_id", "ts", "phash_hamming", "version_f", "state_ts"]],
+        on="image_id",
+        left_ts="feature_ts",
+        right_ts="ts",
+        payload=["phash_hamming", "version_f", "state_ts"],
+    )
+    age = (joined["feature_ts"] - joined["state_ts"]).dt.total_seconds()
+    out_pdf = pd.DataFrame(
+        {
+            "image_id": joined["image_id"],
+            "label": joined["label"],
+            "f_phash_hamming": joined["phash_hamming"].fillna(-1.0),
+            "f_version": joined["version_f"].fillna(-1.0),
+            "f_age_sec": age.fillna(-1.0),
+        }
+    )
+    out = os.path.join(FIXTURE_DIR, "image_pipeline_expected.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
+def main() -> int:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    p1 = make_logreg_fixture()
+    print(f"wrote {p1}")
+    p2 = make_image_pipeline_fixture()
+    print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

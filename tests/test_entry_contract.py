@@ -56,6 +56,11 @@ def test_query_vs_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     got = q(spark, SF).toPandas()
     sql = entrymod.oracle_sql().get(name)
+    bound = getattr(entrymod, "SF_BOUND_ORACLES", {}).get(name)
+    if bound is not None and bound != SF:
+        # fixture-backed oracle computed from a different sf_dir — the
+        # external driver's gate runs at exactly `bound`; here: rows-only
+        sql = None
     if sql is None:
         # rows-only check (approximate / iterative / non-SQL ops)
         assert len(got) >= 0
