@@ -153,8 +153,10 @@ def asof_join(
             ``F.expr("INTERVAL 1 HOUR")``): matches older than
             ``left_ts - tolerance`` are nulled out.
         strategy: "auto" | "union" | "merge" | "broadcast".
-        num_buckets: bucket count for the merge strategy (default:
-            spark.sql.shuffle.partitions).
+        num_buckets: bucket count for the merge strategy (default: auto —
+            sized to the Catalyst input-size estimate at ~64 MB per
+            bucket, floored at spark.sql.shuffle.partitions; see
+            _auto_num_buckets).
         hot_keys: explicit list of skewed key values to salt (merge strategy).
         hot_key_threshold: if set, hot keys are detected with a right-side
             count: keys with more than this many rows are salted.
@@ -331,6 +333,36 @@ def _bucket_expr(on: list[str], n: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(n)).cast("int")
 
 
+_TARGET_BUCKET_BYTES = 64 << 20  # ~64 MB of (estimated) input per bucket
+
+
+def _auto_num_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    target_bytes: int = _TARGET_BUCKET_BYTES,
+) -> int:
+    """Size merge buckets to the DATA, not the cluster.
+
+    Each merge bucket is materialized as one pandas frame inside one
+    executor task, so the bucket count must scale with input volume:
+    defaulting to spark.sql.shuffle.partitions puts data/n rows in one
+    frame — fine at bench scale, an OOM at 100 TB. Derive n from the
+    Catalyst optimizer size estimate at ~64 MB of estimated input per
+    bucket (the same sizing rule the scaling run validated for shuffle
+    partitions), floored at shuffle.partitions (never LESS parallel than
+    the session default) and capped at 2^20 buckets. Falls back to
+    shuffle.partitions when Catalyst has no estimate.
+    """
+    spark = left.sparkSession
+    base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    est = _estimated_bytes(left) + _estimated_bytes(right)
+    if est >= 1 << 61:  # no usable estimate
+        return base
+    need = (est + target_bytes - 1) // target_bytes
+    return int(min(max(base, need), 1 << 20))
+
+
 def _asof_merge(
     left: DataFrame,
     right: DataFrame,
@@ -347,7 +379,7 @@ def _asof_merge(
     salt_factor: int,
 ) -> DataFrame:
     spark = left.sparkSession
-    n = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_buckets or _auto_num_buckets(left, right)
 
     if hot_keys is None and hot_key_threshold is not None:
         hot_keys = _detect_hot_keys(right, on, hot_key_threshold)
