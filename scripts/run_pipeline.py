@@ -11,11 +11,12 @@ per-bucket lineage (row count + order-insensitive content hash) is persisted
 alongside the data (north_rule C1/C2). The scoring summary (per-feature
 F-statistics) lands as a tiny parquet next to it.
 
-Iceberg note: the catalog layer is format-pluggable — in this environment no
-Iceberg runtime jar is available, so tables are parquet directories; on a
-cluster with iceberg-spark-runtime on the classpath the same reads/writes go
-through `format("iceberg")` and the manifest layer sits on top of Iceberg
-snapshots unchanged.
+Iceberg: IO goes through modlyn_spark.sources.catalog — pass
+--format iceberg (plus the SparkCatalog confs, see README §Iceberg) to read
+table identifiers instead of parquet paths, optionally pinning the input
+commit with --snapshot-id; the manifest layer sits on top of Iceberg
+snapshots unchanged. In this sandbox no Iceberg jar ships, so the default
+stays parquet.
 """
 
 from __future__ import annotations
@@ -36,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["union", "merge", "broadcast"])
     p.add_argument("--hot-key-threshold", type=int, default=None)
     p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--format", default=None, choices=["parquet", "iceberg"],
+                   help="table format for --images/--requests/--score-out "
+                        "(default: $MODLYN_TABLE_FORMAT or parquet); iceberg "
+                        "inputs may be table identifiers, and "
+                        "--snapshot-id pins the images input commit")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="Iceberg snapshot id to read --images at "
+                        "(reproducible resume against a pinned commit)")
     p.add_argument(
         "--verify-invariants",
         action="store_true",
@@ -59,8 +68,11 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("modlyn-pipeline")
 
-    images = spark.read.parquet(args.images)
-    requests = spark.read.parquet(args.requests)
+    from modlyn_spark.sources.catalog import read_table, write_table
+
+    images = read_table(spark, args.images, format=args.format,
+                        snapshot_id=args.snapshot_id)
+    requests = read_table(spark, args.requests, format=args.format)
 
     if args.verify_invariants:
         from pyspark.sql import functions as F
@@ -101,7 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         from modlyn_spark.sources.checkpoint import read_checkpointed
 
         ranked = score_features(read_checkpointed(spark, args.out))
-        ranked.write.mode("overwrite").parquet(args.score_out)
+        write_table(ranked, args.score_out, format=args.format, mode="overwrite")
         summary["score_out"] = args.score_out
     print(json.dumps(summary))
     return 0
