@@ -89,13 +89,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = None,
+    hot_shingle_chunk: int | None = 4096,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard similar pairs via inverted index.
 
     Returns (id1, id2, jaccard) with id1 < id2 and jaccard >= threshold.
-    ``max_shingle_freq`` drops shingles appearing in more than that many
-    docs before the self-join (skew guard; exactness then becomes a lower
-    bound — leave None for exact semantics).
+
+    Skew guards, in order of preference:
+
+    ``hot_shingle_chunk`` (default ON at 4096): EXACTNESS-PRESERVING
+    balancing for stop-shingles. A shingle shared by f documents forces
+    f^2/2 candidate pairs — that work is inherent to exact semantics, but
+    landing it on ONE reducer key is not. Shingles with f > chunk get
+    two-sided chunk salting: each posting is assigned a chunk
+    c = hash(doc) mod m (m = ceil(f/chunk)); the left side replicates to
+    keys (s, c, j) for all j, the right side to (s, i, c) for all i, so
+    every pair meets on exactly one of m^2 keys carrying ~chunk^2 pairs.
+    Replication factor is m on hot postings only; output is identical to
+    the unsalted join.
+
+    ``max_shingle_freq``: LOSSY cutoff — drops shingles above the
+    frequency cap entirely before the join. Jaccard becomes a lower bound
+    (pairs sharing only ultra-common shingles are missed). Use when
+    stop-shingle pair volume itself (not its distribution) is the
+    bottleneck; leave None for exact semantics.
     """
     sh = df.select(
         F.col(id_col).alias("did"),
@@ -106,10 +123,36 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = inv.groupBy("s").count().where(F.col("count") <= max_shingle_freq)
         inv = inv.join(F.broadcast(freq.select("s")), "s")
-    a = inv.select(F.col("did").alias("id1"), "s")
-    b = inv.select(F.col("did").alias("id2"), "s")
+    if hot_shingle_chunk is not None:
+        hot = (
+            inv.groupBy("s")
+            .count()
+            .where(F.col("count") > hot_shingle_chunk)
+            .select(
+                "s",
+                F.ceil(F.col("count") / hot_shingle_chunk).cast("int").alias("m"),
+            )
+        )
+        salted = inv.join(F.broadcast(hot), "s", "left").withColumn(
+            "m", F.coalesce("m", F.lit(1))
+        )
+        chunk = F.pmod(F.xxhash64("did"), F.col("m")).cast("int")
+        others = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
+        a = salted.select(
+            F.col("did").alias("id1"), "s",
+            chunk.alias("kx"), others.alias("ky"),
+        )
+        b = salted.select(
+            F.col("did").alias("id2"), "s",
+            others.alias("kx"), chunk.alias("ky"),
+        )
+        join_keys = ["s", "kx", "ky"]
+    else:
+        a = inv.select(F.col("did").alias("id1"), "s")
+        b = inv.select(F.col("did").alias("id2"), "s")
+        join_keys = ["s"]
     common = (
-        a.join(b, "s")
+        a.join(b, join_keys)
         .where(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("c"))

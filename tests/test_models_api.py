@@ -67,3 +67,51 @@ def test_evaluate_report(spark, adata_like):
         {"precision", "recall", "f1-score", "support"} <= set(rep[c])
         for c in ["alpha", "beta", "gamma"]
     )
+
+
+def test_per_epoch_validation_metrics(spark, adata_like):
+    """val_df triggers per-epoch macro-F1/accuracy (the reference's
+    validation_step + on_validation_epoch_end), matching the numpy oracle's
+    post-hoc predictions at the final epoch."""
+    import numpy as np
+
+    from modlyn_spark.scoring.metrics import classification_report
+
+    model = SimpleLogReg(adata_like, label_column="cell_type")
+    model.fit(
+        adata_like,
+        val_df=adata_like,
+        n_batches=4,
+        max_steps=8,
+        max_epochs=2,
+    )
+    assert len(model.val_metrics) == 2
+    assert [m["epoch"] for m in model.val_metrics] == [0, 1]
+    for m in model.val_metrics:
+        assert 0.0 <= m["val_macro_f1"] <= 1.0
+        assert 0.0 <= m["val_accuracy"] <= 1.0
+    # last epoch's metrics == a post-hoc evaluate() of the final model
+    rep = model.evaluate(adata_like)
+    assert np.isclose(model.val_metrics[-1]["val_macro_f1"], rep["macro_f1"])
+    assert np.isclose(model.val_metrics[-1]["val_accuracy"], rep["accuracy"])
+
+
+def test_label_alignment_on_subset_frames(spark, adata_like):
+    """fit/evaluate on a frame holding a SUBSET of the constructor's
+    classes must keep indices aligned to the model's class axis (and an
+    unseen label must raise) — the silent-misalignment bug class."""
+    from pyspark.sql import functions as F
+
+    model = SimpleLogReg(adata_like, label_column="cell_type")
+    sub = adata_like.where(F.col("cell_type") != "alpha")
+    enc = model._encode_labels(sub)
+    got = {
+        r["cell_type"]: r["cell_type_idx"]
+        for r in enc.select("cell_type", "cell_type_idx").distinct().collect()
+    }
+    # 'beta' and 'gamma' keep their GLOBAL indices (1, 2), not 0, 1
+    assert got == {"beta": 1, "gamma": 2}
+
+    alien = adata_like.withColumn("cell_type", F.lit("delta"))
+    with pytest.raises(ValueError, match="absent from the model's classes"):
+        model._encode_labels(alien)

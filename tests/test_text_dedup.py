@@ -297,3 +297,30 @@ def test_lsh_topk_recall(emb):
     self_rows = approx[approx["query_id"] == approx["corpus_id"]]
     assert len(self_rows) == 10
     assert (self_rows["rank"] == 1).all()
+
+
+def test_ngram_hot_shingle_salting_is_exact(spark):
+    """Two-sided chunk salting for stop-shingles returns the IDENTICAL
+    pair set as the unsalted join — forced here with a chunk size far
+    below every shingle's document frequency."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plain = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, hot_shingle_chunk=None
+        )
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, hot_shingle_chunk=5
+        )
+        .toPandas()
+        .sort_values(["id1", "id2"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) == len(salted) and len(plain) > 0
+    assert plain["id1"].tolist() == salted["id1"].tolist()
+    assert plain["id2"].tolist() == salted["id2"].tolist()
+    assert np.allclose(plain["jaccard"].values, salted["jaccard"].values)
