@@ -181,3 +181,18 @@ class SimpleLogReg:
         return classification_report(
             pred, f"{self.label_column}_idx", "pred_idx", self.classes
         )
+
+    # -- plotting passthroughs (matplotlib-gated; reference
+    # _simple_logreg_model.py:194,225) --------------------------------------
+
+    def plot_losses(self, figsize: tuple = (15, 6)):
+        from modlyn_spark.plots import plot_losses
+
+        return plot_losses(self.losses, self.val_metrics, figsize=figsize)
+
+    def plot_classification_report(self, df: DataFrame, figsize: tuple = (12, 6)):
+        from modlyn_spark.plots import plot_classification_report
+
+        return plot_classification_report(
+            self.evaluate(df), self.classes, figsize=figsize
+        )
