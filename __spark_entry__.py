@@ -502,14 +502,16 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH candidates + EXACT n-gram Jaccard verification: every
     emitted pair carries the exact similarity, so the DuckDB exact pair set
     is the oracle and the driver's hash-match doubles as a 100%-recall
-    check of the banding (k=64, bands=16: a j=0.85 pair is missed with
-    p ~ 7e-6). minhash_dedup_groups (star-edge grouping, the O(n x bands)
+    check of the banding (k=96, bands=16: the fixture's lowest-similarity
+    pair, j=0.9, is missed with p ~ 5e-6; 6 rows per band rejects the
+    j~0.5 template-noise cloud that dominates this corpus).
+    minhash_dedup_groups (star-edge grouping, the O(n x bands)
     dedup regime) stays pytest-gated — its est_jaccard output is
     hash-family-specific by design."""
     from modlyn_spark.operators.dedup import minhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = minhash_near_dup_pairs(docs, "doc_id", "text", k=64, bands=16,
+    out = minhash_near_dup_pairs(docs, "doc_id", "text", k=96, bands=16,
                                  threshold=0.8)
     return out.select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
 

@@ -62,7 +62,14 @@ def main() -> None:
     bench("tpch_q1", lambda: run(qs["tpch_q1"](spark, sf_dir)))
     bench("class_feature_stats", lambda: run(qs["class_feature_stats"](spark, sf_dir)))
     bench("f_statistic", lambda: run(qs["f_statistic"](spark, sf_dir)))
+    # NOTE r01 -> r02: the dedup_minhash_lsh QUERY changed semantics —
+    # r01 benched star-edge dedup groups (est-scored, O(n x bands)); r02's
+    # driver query is the exact-verified pair set (every pair re-scored by
+    # exact n-gram Jaccard — inherently heavier: DuckDB needs ~150s for the
+    # same answer at sf0.1). dedup_minhash_groups keeps the r01-comparable
+    # workload measurable under its own name.
     bench("dedup_minhash_lsh", lambda: run(qs["dedup_minhash_lsh"](spark, sf_dir)))
+    bench("dedup_minhash_groups", lambda: run(_minhash_groups(spark, sf_dir)))
     bench("ann_cosine_topk", lambda: run(qs["ann_cosine_topk"](spark, sf_dir)))
     bench("image_pipeline", lambda: run(qs["image_pipeline"](spark, sf_dir)))
 
@@ -87,6 +94,15 @@ def _flagship(spark, sf_dir):
     from modlyn_spark.plans.pipeline import events_feature_pipeline
 
     return events_feature_pipeline(spark, sf_dir)
+
+
+def _minhash_groups(spark, sf_dir):
+    """r01's dedup workload: star-edge near-dup grouping (same params)."""
+    from modlyn_spark.operators.dedup import minhash_dedup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_groups(docs, "doc_id", "text", k=32, bands=4,
+                                threshold=0.9)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
 from modlyn_spark.functions.text import (
     char_shingles,
     doc_fingerprint,
@@ -33,6 +38,18 @@ from modlyn_spark.functions.text import (
     minhash_signature_udf,
     simhash64_udf,
 )
+
+
+@pandas_udf(DoubleType())
+def _est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
+    """Estimated Jaccard = fraction of equal minhash lanes, vectorized per
+    Arrow batch (one (n x k) elementwise compare instead of per-pair JVM
+    higher-order lambdas)."""
+    if len(sig1) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.stack(sig1.to_numpy())
+    B = np.stack(sig2.to_numpy())
+    return pd.Series((A == B).mean(axis=1))
 
 
 def _signatures(
@@ -193,47 +210,44 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     sig = _signatures(df, id_col, text_col, k, n, impl).cache()
+    # CANDIDATES TRAVEL LIGHT: the banded self-join and the pair dedup move
+    # only (id, band-hash) / (id1, id2) — never the k-lane signatures. An
+    # earlier formulation carried both 64-lane arrays through the join and
+    # dropDuplicates, turning a noisy corpus's millions of candidate pairs
+    # into gigabytes of shuffle; signatures are joined back exactly once
+    # per DISTINCT pair (band index is baked into the bucket hash).
     banded = sig.select(
         "did",
-        "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bh"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("sig")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("did", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-
-    a = banded.select(
-        F.col("did").alias("id1"), F.col("sig").alias("sig1"), "band", "bh"
+        ).alias("bh"),
     )
-    b = banded.select(
-        F.col("did").alias("id2"), F.col("sig").alias("sig2"), "band", "bh"
-    )
+    a = banded.select(F.col("did").alias("id1"), "bh")
+    b = banded.select(F.col("did").alias("id2"), "bh")
     cand = (
-        a.join(b, ["band", "bh"])
+        a.join(b, "bh")
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "sig1", "sig2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig1", "sig2", lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ) / F.lit(float(len(range(k))))
-    return cand.select("id1", "id2", est.alias("est_jaccard")).where(
-        F.col("est_jaccard") >= threshold
+    s1 = sig.select(F.col("did").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("did").alias("id2"), F.col("sig").alias("sig2"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", _est_jaccard_udf("sig1", "sig2").alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
     )
 
 
@@ -410,7 +424,7 @@ def minhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     *,
-    k: int = 64,
+    k: int = 96,
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.8,
@@ -423,8 +437,11 @@ def minhash_near_dup_pairs(
     agreement), every output pair carries the exact Jaccard — so on a
     corpus where banding recall is 1.0 the result set equals the exact
     inverted-index join's, at candidate-pair cost. Miss probability for a
-    pair at Jaccard j is (1 - j^(k/bands))^bands — at the defaults (64/16,
-    4 rows per band) a j=0.85 pair is missed with p ~ 7e-6.
+    pair at Jaccard j is (1 - j^(k/bands))^bands — at the defaults (96/16,
+    6 rows per band) a j=0.9 pair is missed with p ~ 5e-6 and a j=0.85
+    pair with p ~ 5e-4, while sub-threshold noise (the j~0.5 template
+    cloud that dominates web corpora) collides in only ~20% of cases —
+    rows-per-band is the noise-rejection knob, bands the recall knob.
 
     ``est_margin``: banded buckets also admit a long tail of sub-threshold
     noise pairs (4 shared lanes is a weak filter); before the exact verify
