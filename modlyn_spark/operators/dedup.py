@@ -273,6 +273,12 @@ def minhash_dedup_groups(
 
     Returns (doc_id, keep_id, est_jaccard): one row per document that is a
     near-duplicate of a smaller-id representative (keep_id < doc_id).
+    Unlike ``minhash_lsh_pairs`` (whose candidate volume is quadratic in
+    bucket size, so candidates must travel without signatures), star edges
+    are LINEAR in n x bands — carrying the signature through the one
+    bucket-window shuffle is cheaper than re-joining the signature table
+    afterwards (measured: the re-join variant is ~3x slower at sf0.1).
+
     Transitive chains collapse to the chain's bucket-level minimum; like all
     LSH dedup this is approximate — recall rises with ``bands``.
     """
