@@ -519,7 +519,15 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 def q_dedup_simhash(spark, sf_dir):
     """SimHash pigeonhole candidates (radius 8 -> 9 blocks, exact within
     the radius) + EXACT n-gram Jaccard verification — same oracle contract
-    as dedup_minhash_lsh: the exact pair set at threshold 0.8."""
+    as dedup_minhash_lsh: the exact pair set at threshold 0.8.
+
+    Exactness is a FIXTURE contract, not a theorem: simhash hamming is not
+    bounded by Jaccard, so the claim is "radius 8 recalls every j>=0.8
+    pair of THIS corpus" (verified: planted pairs sit at hamming <= 8 at
+    sf0.001/sf0.01/sf0.1; the driver gate runs at sf0.01). On arbitrary
+    corpora radius is a recall-tuning knob — see
+    tests/test_dedup_property.py for the property that IS corpus-free
+    (precision 1.0 / subset-of-exact)."""
     from modlyn_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1094,12 +1102,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM r GROUP BY 1, 2),
             g AS (SELECT pos, sum(n1) AS nt, sum(tie_part) AS ties
                   FROM s GROUP BY 1)
+            -- zero-variance guard mirrors the engine (stats.py): a fully
+            -- tied feature yields z = 0.0, not 0/sqrt(0) = NaN
             SELECT s.label, s.pos, CAST(s.n1 AS BIGINT) AS n1,
                    round(s.rank_sum, 4) AS rank_sum,
-                   round((s.rank_sum - s.n1 * (g.nt + 1) / 2.0)
-                         / sqrt(s.n1 * (g.nt - s.n1) / 12.0
-                                * ((g.nt + 1) - g.ties / (g.nt * (g.nt - 1.0)))),
-                         4) AS z
+                   round(CASE WHEN s.n1 * (g.nt - s.n1) / 12.0
+                              * ((g.nt + 1) - g.ties / (g.nt * (g.nt - 1.0))) > 0
+                         THEN (s.rank_sum - s.n1 * (g.nt + 1) / 2.0)
+                              / sqrt(s.n1 * (g.nt - s.n1) / 12.0
+                                     * ((g.nt + 1) - g.ties / (g.nt * (g.nt - 1.0))))
+                         ELSE 0.0 END, 4) AS z
             FROM s JOIN g USING (pos)
         """,
         "topn_jaccard": """

@@ -81,19 +81,22 @@ class SimpleLogReg:
         from pyspark.sql import functions as F
 
         idx_col = f"{self.label_column}_idx"
+        # eager unseen-label check: one column-pruned, map-side-combined
+        # distinct over the label column (k-ish rows back to the driver) —
+        # the price of a clear ValueError before any training work starts
+        seen = {
+            r[0] for r in df.select(self.label_column).distinct().collect()
+        }
+        unseen = sorted(x for x in seen - set(self.classes) if x is not None)
+        if unseen:
+            raise ValueError(
+                f"labels {unseen!r} are absent from the model's "
+                f"classes {self.classes!r}"
+            )
         mapping = F.create_map(
             *[x for i, c in enumerate(self.classes) for x in (F.lit(c), F.lit(i))]
         )
-        enc = df.withColumn(idx_col, mapping[F.col(self.label_column)])
-        n_unseen = enc.where(
-            F.col(idx_col).isNull() & F.col(self.label_column).isNotNull()
-        ).count()
-        if n_unseen:
-            raise ValueError(
-                f"{n_unseen} rows carry labels absent from the model's "
-                f"classes {self.classes!r}"
-            )
-        return enc
+        return df.withColumn(idx_col, mapping[F.col(self.label_column)])
 
     def fit(
         self,

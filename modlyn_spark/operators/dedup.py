@@ -350,11 +350,21 @@ def simhash_pairs(
     Larger radii mean narrower blocks (more bucket collisions to verify) —
     the inherent pigeonhole price. Returns (id1, id2, hamming)."""
     if not 0 <= max_hamming <= 16:
-        raise ValueError("max_hamming must be in [0, 16] (blocks >= 4 bits)")
+        raise ValueError("max_hamming must be in [0, 16] (blocks >= 3 bits)")
     n_blocks = max_hamming + 1
     base, extra = divmod(64, n_blocks)
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def _block(i: int):
+        # full-width block (max_hamming=0): the value IS the hash — a
+        # 64-bit mask literal would overflow LongType
+        if widths[i] == 64:
+            return F.col("sh")
+        return (
+            F.shiftrightunsigned(F.col("sh"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        )
     sh = simhash64_udf(
         df.select(F.col(id_col).alias("did"), text_col), text_col, "sh"
     ).select("did", "sh")
@@ -364,12 +374,7 @@ def simhash_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("sh"), offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("bv"),
-                    )
+                    F.struct(F.lit(i).alias("blk"), _block(i).alias("bv"))
                     for i in range(n_blocks)
                 ]
             )
@@ -525,21 +530,27 @@ def embedding_dup_pairs(
         df, id_col, vec_col, dim=dim, bits=bits, tables=tables, seed=seed,
         out_vec="__v",
     )
-    a = sigs.select(
-        F.col(id_col).alias("id1"), F.col("__v").alias("v1"), "tbl", "sig"
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id2"), F.col("__v").alias("v2"), "tbl", "sig"
-    )
+    # candidates travel light (same rule as minhash_lsh_pairs): the bucket
+    # self-join and pair dedup move only ids + bucket keys; the (possibly
+    # high-dimensional) vectors join back once per DISTINCT pair for the
+    # exact cosine verification
+    a = sigs.select(F.col(id_col).alias("id1"), "tbl", "sig")
+    b = sigs.select(F.col(id_col).alias("id2"), "tbl", "sig")
     cand = (
         a.join(b, ["tbl", "sig"])
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "v1", "v2")
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+    )
+    v1 = vecs.select(F.col(id_col).alias("id1"), F.col("__v").alias("v1"))
+    v2 = vecs.select(F.col(id_col).alias("id2"), F.col("__v").alias("v2"))
     return (
-        cand.select(
-            "id1", "id2", _cosine_udf(F.col("v1"), F.col("v2")).alias("cosine")
-        )
+        cand.join(v1, "id1")
+        .join(v2, "id2")
+        .select("id1", "id2", _cosine_udf(F.col("v1"), F.col("v2")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -90,7 +90,16 @@ def cosine_topk(
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    return len(df.select(vec_col).first()[0])
+    """Infer vector dimensionality from the first row (one eager job).
+    Raises a clear error on an empty frame or a null leading vector —
+    callers that may see either should pass ``dim=`` explicitly."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: {vec_col!r} has no non-null first "
+            "row (empty input?) — pass dim= explicitly"
+        )
+    return len(row[0])
 
 
 # -- random-hyperplane LSH -----------------------------------------------------

@@ -50,7 +50,9 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
         return [f"columns {list(g.columns)} vs {list(e.columns)}"]
     for c in g.columns:
         gk, ek = g[c].dtype.kind, e[c].dtype.kind
-        if gk != ek:
+        if str(g[c].dtype) != str(e[c].dtype):
+            # exact dtype, not just kind: int32-vs-int64 / float32-vs-
+            # float64 also break the driver's typed hash
             problems.append(f"{c}: DTYPE {g[c].dtype} vs {e[c].dtype} (typed-hash mismatch)")
             continue
         if gk == "f":
@@ -89,6 +91,10 @@ def main() -> int:
             n_bad += 1
             continue
         sql = oracles.get(name)
+        bound = getattr(entry, "SF_BOUND_ORACLES", {}).get(name)
+        if bound is not None and bound != sf:
+            print(f"ok   {name}: {len(got)} rows (oracle fixture bound to {bound}; rows-only here)")
+            continue
         if sql is None:
             print(f"ok   {name}: {len(got)} rows (no oracle)")
             continue

@@ -324,3 +324,19 @@ def test_ngram_hot_shingle_salting_is_exact(spark):
     assert plain["id1"].tolist() == salted["id1"].tolist()
     assert plain["id2"].tolist() == salted["id2"].tolist()
     assert np.allclose(plain["jaccard"].values, salted["jaccard"].values)
+
+
+def test_simhash_radius_zero_and_sixteen(spark, docs):
+    """Edge radii: max_hamming=0 (one 64-bit block — exact-simhash match;
+    a naive 64-bit mask literal would overflow LongType) and the maximum
+    radius 16 (17 narrow blocks) both plan and run."""
+    base = docs.select("doc_id", "text").limit(30)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = base.unionByName(dup)
+    z = simhash_pairs(both, "doc_id", "text", max_hamming=0).toPandas()
+    # exact copies have identical simhash -> hamming 0 pairs found
+    assert len(z) >= 30 and (z["hamming"] == 0).all()
+    wide = simhash_pairs(base, "doc_id", "text", max_hamming=16).toPandas()
+    assert (wide["hamming"] <= 16).all()
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_pairs(base, "doc_id", "text", max_hamming=17)
