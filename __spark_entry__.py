@@ -160,6 +160,83 @@ def q_tpch_q6_forecast_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q4_order_priority(spark, sf_dir):
+    """Existence semi-join: orders with at least one bulk (quantity > 45)
+    lineitem, counted per priority (TPC-H Q4 shape over this testdata's
+    trimmed lineitem schema). The EXISTS becomes a left-semi hash join;
+    the date filter is pushed to the orders scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bulk = li.where(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .join(bulk, orders.o_orderkey == bulk.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """Revenue lost to returned items per customer, top 20 (TPC-H Q10
+    shape): fact-fact join shuffles on the key, the customer dim is
+    broadcast into the final enrich."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12_shipmode(spark, sf_dir):
+    """Line-status service levels (TPC-H Q12 shape over the trimmed
+    schema): conditional aggregation over a joined fact pair, the shipdate
+    filter pushed to the lineitem scan."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact per-event-type percentiles of the value column (the
+    distribution-profiling primitive a data-quality pipeline needs).
+    Exact F.percentile here (oracle-able vs DuckDB quantile_cont); the
+    sketch tier — percentile_approx / approx_count_distinct, constant
+    memory at any scale — is covered by an accuracy-tolerance pytest
+    (tests/test_sketches.py) since sketch outputs are engine-specific."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99"),
+    )
+
+
 def q_json_props(spark, sf_dir):
     """JSON extraction from the events props column (get_json_object +
     typed cast) — the semi-structured path."""
@@ -753,6 +830,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q12_shipmode": q_tpch_q12_shipmode,
+        "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "filter_min_class_freq": q_filter_min_class_freq,
         "filter_isin": q_filter_isin,
@@ -889,6 +970,45 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.03 AND 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY 1
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q12_shipmode": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY 1
         """,
         "json_props": """
             SELECT event_id,

@@ -1,0 +1,60 @@
+"""Sketch tier: constant-memory approximations whose outputs are
+engine-specific (so they are accuracy-gated here rather than hash-gated by
+the driver oracle — the exact percentile/count-distinct twins ARE
+oracle-gated via the value_percentiles / groupby_count queries).
+
+- percentile_approx: rank error is bounded by 1/accuracy — with
+  accuracy=10000 on a 10k-row group the approximate quantile must sit
+  within a tight value band of the exact one.
+- approx_count_distinct: HyperLogLog++ with rsd=0.02 must land within a
+  few percent of the exact distinct count.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_percentile_approx_accuracy(spark, events):
+    both = events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("exact_p50"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile("value", 0.99).alias("exact_p99"),
+        F.percentile_approx("value", 0.99, 10000).alias("approx_p99"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    for r in both.collect():
+        spread = r["hi"] - r["lo"]
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.02 * spread, r
+        assert abs(r["approx_p99"] - r["exact_p99"]) <= 0.02 * spread, r
+
+
+def test_approx_count_distinct_accuracy(spark, events):
+    both = events.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+    ).collect()[0]
+    rel_err = abs(both["approx"] - both["exact"]) / both["exact"]
+    assert rel_err <= 0.06, (both["exact"], both["approx"], rel_err)
+
+
+def test_sketches_are_partial_aggregable(spark, events):
+    """The scale property that makes sketches worth having: the plan shows
+    partial (map-side) aggregation — no full shuffle of raw values."""
+    plan = (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial" in plan.lower()
