@@ -42,23 +42,42 @@ IMAGE_FEATURE_NAMES = [
 ]
 
 
-def image_state_features(images: DataFrame, gap_seconds: int = 600) -> DataFrame:
+def image_state_features(
+    images: DataFrame, gap_seconds: int = 600, *, decode_px_stats: bool = False
+) -> DataFrame:
     """Per-state-row windowed features over the image table.
 
     All four window features share partitionBy(image_id) orderBy(ts) — one
-    shuffle total. Binary payload is projected out immediately; pixel stats
-    ride as scalars (here: a cheap proxy from phash; decode-based stats can
-    be joined in upstream if the caller ran decode_image_stats)."""
+    shuffle total. Binary payload is projected out immediately.
+
+    ``decode_px_stats=False`` (default): pixel stats ride as a cheap
+    phash-derived proxy, null on even versions to exercise backfill.
+    ``decode_px_stats=True``: the D1 decode path — every image is decoded
+    once (Arrow-batched mapInPandas over the bytes column, BEFORE any
+    shuffle) and its real per-pixel mean joins the state row on
+    (image_id, version); only the scalar statistics cross the join
+    shuffle, the binary payload never does.
+    """
     slim = images.select("image_id", "ts", "version", "phash", "w", "h")
     f1 = with_lag_lead(slim, "image_id", "ts", "phash", delta=False, hamming=True)
     f2 = sessionize(f1, "image_id", "ts", gap_seconds)
     f3 = rolling_stats(f2, "image_id", "ts", "version", n_rows=1000, prefix="sess")
-    # px_mean proxy: deterministic per-state scalar; null on even versions to
-    # exercise backfill (real deployments join decode_image_stats here)
-    f3 = f3.withColumn(
-        "px_mean_raw",
-        F.when(F.col("version") % 2 == 1, F.col("phash") % 256).cast("double"),
-    )
+    if decode_px_stats:
+        from modlyn_spark.functions.image import decode_image_stats
+
+        px = decode_image_stats(images).select(
+            "image_id",
+            F.col("ts_version").alias("version"),
+            F.col("px_mean").alias("px_mean_raw"),
+        )
+        f3 = f3.join(px, ["image_id", "version"], "left")
+    else:
+        # px_mean proxy: deterministic per-state scalar; null on even
+        # versions to exercise backfill
+        f3 = f3.withColumn(
+            "px_mean_raw",
+            F.when(F.col("version") % 2 == 1, F.col("phash") % 256).cast("double"),
+        )
     f4 = backfill(f3, "image_id", "ts", "px_mean_raw", suffix="_f")
     return f4.select(
         "image_id",
@@ -80,12 +99,15 @@ def image_feature_pipeline(
     gap_seconds: int = 600,
     asof_strategy: str = "union",
     hot_key_threshold: int | None = None,
+    decode_px_stats: bool = False,
 ) -> DataFrame:
     """requests(image_id, feature_ts, label) -> point-in-time feature vectors.
 
     Returns DataFrame(image_id, feature_ts, label, features: array<double>)
-    with features = IMAGE_FEATURE_NAMES, all as-of the request timestamp."""
-    state = image_state_features(images, gap_seconds)
+    with features = IMAGE_FEATURE_NAMES, all as-of the request timestamp.
+    ``decode_px_stats=True`` swaps the px_mean proxy for real decoded
+    per-pixel means (see image_state_features)."""
+    state = image_state_features(images, gap_seconds, decode_px_stats=decode_px_stats)
     joined = asof_join(
         requests,
         state,

@@ -136,3 +136,48 @@ def test_score_features_runs(spark):
     ranked = score_features(feats).toPandas()
     assert len(ranked) == len(IMAGE_FEATURE_NAMES)
     assert (ranked["f_stat"].values >= 0).all() | np.isnan(ranked["f_stat"].values).any()
+
+
+def test_pipeline_decode_px_stats_path(spark):
+    """decode_px_stats=True feeds REAL decoded per-pixel means through the
+    pipeline: px_mean_ffill (features[4]) must equal the reference
+    generator's pixel mean for the matched state (pure function of
+    (image_id, version % 2)), row by row."""
+    import numpy as np
+
+    from modlyn_spark.plans.pipeline import image_feature_pipeline
+    from modlyn_spark.sources.images import (
+        generate_images_df,
+        generate_images_pandas,
+        reference_pixels,
+        synth_feature_requests,
+    )
+
+    images = generate_images_df(spark, 12)
+    requests = spark.createDataFrame(
+        synth_feature_requests(generate_images_pandas(12))
+    )
+    out = image_feature_pipeline(
+        images, requests, decode_px_stats=True
+    ).toPandas()
+    from modlyn_spark.sources.images import entity_fmt
+
+    matched = out[out["features"].map(lambda f: f[1] >= 0)]
+    assert len(matched) > 0
+    n_exact = 0
+    for _, r in matched.iterrows():
+        version = int(r["features"][1])
+        exp = float(reference_pixels(r["image_id"], version % 2).mean())
+        if entity_fmt(r["image_id"]) == "png":
+            # lossless: decoded mean is bit-exact
+            assert np.isclose(r["features"][4], exp, atol=1e-9), (
+                r["image_id"], version, r["features"][4], exp,
+            )
+            n_exact += 1
+        else:
+            # qpng is lossy (PSNR >= 40 dB): the mean shifts by at most a
+            # few quantization steps
+            assert abs(r["features"][4] - exp) < 2.0, (
+                r["image_id"], version, r["features"][4], exp,
+            )
+    assert n_exact > 0

@@ -104,3 +104,45 @@ def test_fstat_marks_signal_features(spark, strong_signal):
     fs = f_statistic(stats).toPandas()
     top6 = set(fs.nlargest(6, "f_stat")["pos"])
     assert top6 == {0, 1, 2, 3, 4, 5}
+
+
+def test_quickstart_three_method_compare(spark, strong_signal):
+    """The full quickstart story: modlyn_logreg vs rank_genes_groups-style
+    scores — with BOTH reference comparison methods (mean-based and
+    wilcoxon; docs/quickstart.ipynb cell 8c058e6c) in one CompareScores.
+    On the planted strong signal every method must rank the two marker
+    features of each class first, so pairwise Jaccard at n_top=2 is 1.0."""
+    from modlyn_spark.scoring.stats import wilcoxon_scores
+
+    df = strong_signal
+    classes, enc = label_encode(df, "label")
+    enc = assign_batches(enc, ["row_id"], 4)
+    model = DistributedLogReg(D, classes, learning_rate=0.5, weight_decay=1e-3)
+    model.fit(enc, max_steps=60, max_epochs=15, n_batches=4)
+    w = model.get_weights()
+
+    stats = class_feature_stats(df, "label", "features").toPandas()
+    grand = stats.groupby("pos").apply(
+        lambda g: (g["mean"] * g["n"]).sum() / g["n"].sum()
+    )
+    stats["score"] = stats["mean"] - stats["pos"].map(grand)
+    m2 = stats.pivot(index="label", columns="pos", values="score")
+    m2.columns = [f"f{j:04d}" for j in m2.columns]
+    m2.attrs["method_name"] = "mean_diff"
+
+    wil = wilcoxon_scores(df, "label", "features").toPandas()
+    m3 = wil.pivot(index="label", columns="pos", values="z")
+    m3.columns = [f"f{j:04d}" for j in m3.columns]
+    m3.attrs["method_name"] = "wilcoxon"
+
+    # each class's top-2 |z| features are exactly its planted markers
+    for i, c in enumerate(sorted(m3.index)):
+        top2 = set(m3.loc[c].abs().nlargest(2).index)
+        assert top2 == {f"f{2*i:04d}", f"f{2*i+1:04d}"}, (c, top2)
+
+    cmp = CompareScores([w, m2, m3], n_top_values=[2, 5])
+    res = cmp.compute_jaccard_comparison()
+    at2 = res[(res["n_top"] == 2) & (res["method_pair"] != "Random baseline")]
+    # 3 methods -> 3 pairs x K classes rows at n_top=2, all Jaccard 1.0
+    assert len(at2) == 3 * K
+    assert (at2["jaccard"] == 1.0).all(), at2
