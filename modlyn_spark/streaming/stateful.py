@@ -109,3 +109,150 @@ def streaming_last_state(events, key: str, ts: str, value: str):
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming point-in-time enrichment ---------------------------------------
+
+ENRICH_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("request_id", LongType()),
+        StructField("request_ts", TimestampType()),
+        StructField("state_ts", TimestampType()),
+        StructField("state_value", DoubleType()),
+    ]
+)
+
+# per-key retained state history: parallel arrays of (ts_us, value)
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_ENRICH_STATE_SCHEMA = StructType(
+    [
+        StructField("ts_us", ArrayType(LongType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _asof_enrich_fn(max_history: int):
+    """Factory for the applyInPandasWithState update function of
+    ``streaming_asof_enrich`` (closure carries the retention cap)."""
+    import numpy as np
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts_hist, val_hist = state.get
+            ts_hist, val_hist = list(ts_hist), list(val_hist)
+        else:
+            ts_hist, val_hist = [], []
+        requests: list[tuple[int, int]] = []  # (request_id, req_ts_us)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf[pdf["ts"].notna()]
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            is_req = pdf["is_request"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            rids = pdf["request_id"].to_numpy()
+            for i in range(len(pdf)):
+                if bool(is_req[i]):
+                    requests.append((int(rids[i]), int(ts_us[i])))
+                else:
+                    ts_hist.append(int(ts_us[i]))
+                    val_hist.append(
+                        None if pd.isna(vals[i]) else float(vals[i])
+                    )
+        # sort state history once per batch (stable: later arrival of an
+        # equal-ts state wins, matching the batch as-of's max-ts tie rule
+        # only when values are deduplicated upstream — document)
+        if ts_hist:
+            order = np.argsort(np.asarray(ts_hist), kind="stable")
+            ts_arr = [ts_hist[i] for i in order]
+            val_arr = [val_hist[i] for i in order]
+        else:
+            ts_arr, val_arr = [], []
+        if len(ts_arr) > max_history:
+            ts_arr = ts_arr[-max_history:]
+            val_arr = val_arr[-max_history:]
+        state.update((ts_arr, val_arr))
+        if requests:
+            out = {
+                "key": [], "request_id": [], "request_ts": [],
+                "state_ts": [], "state_value": [],
+            }
+            ts_np = np.asarray(ts_arr, dtype=np.int64)
+            for rid, rts in requests:
+                # latest state with ts <= request ts (binary search)
+                pos = int(np.searchsorted(ts_np, rts, side="right")) - 1
+                out["key"].append(key[0])
+                out["request_id"].append(rid)
+                out["request_ts"].append(pd.Timestamp(rts, unit="us"))
+                if pos >= 0:
+                    out["state_ts"].append(pd.Timestamp(ts_np[pos], unit="us"))
+                    out["state_value"].append(val_arr[pos])
+                else:
+                    out["state_ts"].append(pd.NaT)
+                    out["state_value"].append(None)
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def streaming_asof_enrich(
+    events,
+    requests,
+    *,
+    key: str,
+    event_ts: str,
+    value: str,
+    request_ts: str,
+    request_id: str,
+    max_history: int = 10_000,
+):
+    """Streaming point-in-time enrichment: each request is answered with
+    the entity's latest state at the request timestamp — the streaming
+    dual of operators.asof.asof_join, serving arriving feature requests
+    without rescanning history (the north_star's serving-side story).
+
+    Built by UNIONING the state stream and the request stream (tagged)
+    into one keyed stream and folding both through a single
+    applyInPandasWithState: per key the function maintains a ts-sorted
+    state history (bounded by ``max_history``, oldest evicted) and
+    binary-searches each request. Output: (key, request_id, request_ts,
+    state_ts, state_value); state_ts/state_value are null when no state
+    precedes the request.
+
+    Semantics: exact point-in-time (== the batch as-of join) whenever a
+    request's preceding state rows arrive in the same or an earlier
+    micro-batch — guaranteed under trigger(availableNow) over a complete
+    history, and for live streams whenever ingestion preserves per-entity
+    ordering. A state row arriving in a LATER micro-batch than a request
+    it should have served cannot retroactively re-emit that request (the
+    answer was already appended) — the inherent streaming-vs-batch gap,
+    shared with every low-latency serving layer.
+    """
+    from pyspark.sql import functions as F
+
+    ev = events.select(
+        F.col(key).cast("string").alias("key"),
+        F.col(event_ts).cast("timestamp_ltz").alias("ts"),
+        F.col(value).cast("double").alias("value"),
+        F.lit(False).alias("is_request"),
+        F.lit(None).cast("long").alias("request_id"),
+    )
+    req = requests.select(
+        F.col(key).cast("string").alias("key"),
+        F.col(request_ts).cast("timestamp_ltz").alias("ts"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(True).alias("is_request"),
+        F.col(request_id).cast("long").alias("request_id"),
+    )
+    return ev.unionByName(req).groupBy("key").applyInPandasWithState(
+        _asof_enrich_fn(max_history),
+        outputStructType=ENRICH_SCHEMA,
+        stateStructType=_ENRICH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
