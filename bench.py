@@ -72,6 +72,14 @@ def main() -> None:
     bench("dedup_minhash_groups", lambda: run(_minhash_groups(spark, sf_dir)))
     bench("ann_cosine_topk", lambda: run(qs["ann_cosine_topk"](spark, sf_dir)))
     bench("image_pipeline", lambda: run(qs["image_pipeline"](spark, sf_dir)))
+    # round-2 additions: rank-based scoring, bucketed embedding dedup,
+    # simhash near-dup (exact-verified), percentile profiling
+    bench("wilcoxon_scores", lambda: run(qs["wilcoxon_scores"](spark, sf_dir)))
+    bench("embedding_dup_pairs",
+          lambda: run(qs["embedding_dup_pairs"](spark, sf_dir)))
+    bench("dedup_simhash", lambda: run(qs["dedup_simhash"](spark, sf_dir)))
+    bench("value_percentiles",
+          lambda: run(qs["value_percentiles"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
