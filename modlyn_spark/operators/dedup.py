@@ -41,6 +41,23 @@ from modlyn_spark.functions.text import (
 
 
 @pandas_udf(DoubleType())
+def _packed_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard of two SORTED-unique packed-shingle arrays —
+    np.intersect1d(assume_unique=True) per pair. Identical value to the
+    string-shingle formulation (packing is a bijection), at ~1/4 the
+    bytes per row through the verification joins."""
+    out = np.empty(len(a), dtype=np.float64)
+    for i, (x, y) in enumerate(zip(a.to_numpy(), b.to_numpy())):
+        nx, ny = len(x), len(y)
+        if nx == 0 and ny == 0:
+            out[i] = 0.0
+            continue
+        c = len(np.intersect1d(x, y, assume_unique=True))
+        out[i] = c / (nx + ny - c)
+    return pd.Series(out)
+
+
+@pandas_udf(DoubleType())
 def _est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
     """Estimated Jaccard = fraction of equal minhash lanes, vectorized per
     Arrow batch (one (n x k) elementwise compare instead of per-pair JVM
@@ -395,6 +412,42 @@ def simhash_pairs(
     )
 
 
+def _packed_shingle_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(did, psh): each document's DISTINCT character n-grams packed into
+    sorted int64s — n codepoints x 21 bits (n <= 3 fits 63 bits), a
+    bijection with the character-shingle set, so set sizes and
+    intersections are exactly those of ``char_shingles``. Codepoints (not
+    utf-8 bytes) keep the bijection on non-ASCII text."""
+    from pyspark.sql.types import ArrayType as _Arr, LongType as _Long
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    schema = _ST([df.schema[id_col], _SF("psh", _Arr(_Long()))])
+
+    def run(batches):
+        shifts = (np.arange(n - 1, -1, -1, dtype=np.int64) * 21)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for t in pdf[text_col]:
+                cp = np.frombuffer(
+                    str(t).lower().encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if len(cp) < n:
+                    out.append([])
+                    continue
+                w = np.lib.stride_tricks.sliding_window_view(cp, n)
+                packed = (w << shifts).sum(axis=1)
+                out.append(np.unique(packed).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "psh": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema).select(
+        F.col(id_col).alias("did"), "psh"
+    )
+
+
 def _verify_pairs_exact_jaccard(
     df: DataFrame,
     cand: DataFrame,
@@ -411,9 +464,25 @@ def _verify_pairs_exact_jaccard(
     the approximate stage (MinHash bands / SimHash blocks) only prunes the
     pair space; every emitted pair carries the exact similarity, so
     precision is 1.0 by construction and recall is the only approximation.
-    Shingle arrays are joined in for candidates only — O(|candidates|)
-    array intersections, never O(n^2).
+    Shingle sets are joined in for candidates only — O(|candidates|)
+    intersections, never O(n^2) — and travel as packed sorted int64
+    arrays when n <= 3 (bijective with the string shingles, ~4x lighter
+    through the two joins, intersected vectorized); the string-array path
+    is the n > 3 fallback.
     """
+    if n <= 3:
+        sh = _packed_shingle_arrays(df, id_col, text_col, n)
+        p1 = sh.select(F.col("did").alias("id1"), F.col("psh").alias("psh1"))
+        p2 = sh.select(F.col("did").alias("id2"), F.col("psh").alias("psh2"))
+        return (
+            cand.join(p1, "id1")
+            .join(p2, "id2")
+            .select(
+                "id1", "id2",
+                _packed_jaccard_udf("psh1", "psh2").alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     sh = df.select(
         F.col(id_col).alias("did"),
         char_shingles(F.col(text_col), n).alias("sh"),
