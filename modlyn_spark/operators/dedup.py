@@ -407,8 +407,12 @@ def simhash_pairs(
             "id2",
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
         )
-        .dropDuplicates(["id1", "id2"])
+        # radius filter BEFORE the pair dedup: hamming is deterministic
+        # per pair, and block-collision noise (pairs close on one narrow
+        # block, far overall) dominates the pre-dedup volume — filtering
+        # first shrinks the dedup exchange by ~10x
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id1", "id2"])
     )
 
 
