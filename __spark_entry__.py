@@ -643,6 +643,25 @@ _PLANTED_EMB_SQL = """
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive closure of the near-dup pair graph: A~B and B~C collapse
+    to one component even when A~C was never emitted — pointer-doubling
+    min-label propagation (O(log diameter) rounds) over the exact-verified
+    minhash pairs. Oracle: DuckDB recursive-CTE reachability over the
+    exact pair set."""
+    from modlyn_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_dup_pairs(docs, "doc_id", "text", k=96, bands=16,
+                                   threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
     """Near-duplicate pairs over the planted corpus — LSH-bucketed
     candidates + exact cosine verify, NO cartesian join and no input cap
@@ -864,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1270,6 +1290,30 @@ def oracle_sql() -> dict[str, str]:
         # stage (banding / pigeonhole blocks) dropped a true pair
         "dedup_minhash_lsh": _ngram_pairs_sql(0.8),
         "dedup_simhash": _ngram_pairs_sql(0.8),
+        "dedup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(lower(text)) - 2),
+                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2
+              FROM c JOIN sh s1 ON s1.doc_id = id1 JOIN sh s2 ON s2.doc_id = id2
+              WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.8),
+            edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+            SELECT u AS doc_id, least(u, min(v)) AS component
+            FROM reach GROUP BY u
+        """,
         "embedding_dup_pairs": f"""
             WITH e AS ({_PLANTED_EMB_SQL})
             SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -349,6 +349,85 @@ def minhash_dedup_groups(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph — the transitive
+    closure production dedup needs on top of pairwise output: A~B and B~C
+    must collapse to ONE keeper even when A~C was never emitted.
+
+    Algorithm: iterative minimum-label propagation with POINTER DOUBLING.
+    Each round every node takes the min of (its label, neighbors' labels)
+    — one shuffle over the edge list — then labels follow their own
+    parent's label (label <- label[label], one self-join), which halves
+    the remaining path length. Doubling gives O(log(diameter)) rounds on
+    chains, where plain propagation needs O(diameter). Each round's
+    labels are localCheckpoint()ed: persist alone leaves the logical plan
+    growing two joins per round, and iterative plans blow up the
+    analyzer/optimizer (OOM building plan strings) long before the data
+    is large — checkpointing truncates lineage so every round plans
+    against a flat scan. Convergence is a change count; the loop hard-
+    stops at ``max_iter`` (2^25-long chains exceed any real dup cluster).
+
+    Returns (node, component) for every node appearing in an edge, with
+    component = the minimum node id reachable from it.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: every edge carries its endpoint's current label
+        neigh = (
+            sym.join(labels, sym.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        stepped = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # pointer doubling: comp <- comp's own comp
+        parent = stepped.select(
+            F.col("node").alias("comp"), F.col("comp").alias("gcomp")
+        )
+        doubled = (
+            stepped.join(parent, "comp", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("gcomp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            doubled.join(labels.withColumnRenamed("comp", "old"), "node")
+            .where(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -340,3 +340,57 @@ def test_simhash_radius_zero_and_sixteen(spark, docs):
     assert (wide["hamming"] <= 16).all()
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_pairs(base, "doc_id", "text", max_hamming=17)
+
+
+def _uf_components(edges):
+    """Union-find oracle (pure python)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_chain_star_random(spark):
+    import random
+
+    from modlyn_spark.operators.dedup import connected_components
+
+    # long chain (pointer doubling must collapse it), a star, an isolated
+    # pair, plus random graphs
+    cases = [
+        [(i, i + 1) for i in range(40)],                       # 41-chain
+        [(100, x) for x in range(101, 110)] + [(200, 201)],    # star + pair
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randint(5, 60)
+        cases.append(
+            [(rng.randint(0, n), rng.randint(0, n)) for _ in range(n)]
+        )
+    for edges in cases:
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["id1", "id2"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        exp = _uf_components(edges)
+        # min-reachable labels: normalize oracle to min-of-component
+        comp_min = {}
+        for node, root in exp.items():
+            comp_min.setdefault(root, node)
+            comp_min[root] = min(comp_min[root], node)
+        exp_min = {n: comp_min[r] for n, r in exp.items()}
+        assert got == exp_min, edges
