@@ -41,7 +41,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
 
     def run(df) -> int:
-        return df.count()
+        """Force FULL evaluation: hash every output column of every row
+        into one aggregate. A bare count() lets Catalyst prune unreferenced
+        window/aggregate expressions (the project's recorded benching trap
+        — a count over a percentile query times a key-only groupBy), so the
+        consumer must reference every column. xxhash64 over all columns,
+        summed in decimal(38,0) (ANSI-safe), one tiny result row."""
+        row = (
+            df.select(F.xxhash64(*df.columns).alias("__h"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__h").cast("decimal(38,0)")).alias("s"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"])
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

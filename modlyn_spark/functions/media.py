@@ -73,6 +73,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                     f"WAV format tag {fmt_tag} (non-PCM) not supported"
                 )
         elif cid == b"data":
+            if bits is None:
+                raise ValueError(
+                    "malformed WAV: data chunk before (or without) fmt chunk"
+                )
             if bits != 16:
                 raise NotImplementedError(f"{bits}-bit PCM not supported")
             pcm = np.frombuffer(body, dtype="<i2").astype(np.float64) / 32767.0

@@ -81,13 +81,24 @@ class SimpleLogReg:
         from pyspark.sql import functions as F
 
         idx_col = f"{self.label_column}_idx"
-        # eager unseen-label check: one column-pruned, map-side-combined
-        # distinct over the label column (k-ish rows back to the driver) —
-        # the price of a clear ValueError before any training work starts
-        seen = {
-            r[0] for r in df.select(self.label_column).distinct().collect()
-        }
-        unseen = sorted(x for x in seen - set(self.classes) if x is not None)
+        # eager unseen-label check, driver-safe: distinct labels anti-join
+        # the (broadcast) class list and at most 20 offenders come back —
+        # bounded even if a caller passes a near-unique column as the
+        # label by mistake (a bare distinct().collect() would ship it all)
+        classes_df = df.sparkSession.createDataFrame(
+            [(c,) for c in self.classes], [self.label_column]
+        )
+        unseen = sorted(
+            r[0]
+            for r in (
+                df.select(self.label_column)
+                .where(F.col(self.label_column).isNotNull())
+                .distinct()
+                .join(F.broadcast(classes_df), self.label_column, "left_anti")
+                .limit(20)
+                .collect()
+            )
+        )
         if unseen:
             raise ValueError(
                 f"labels {unseen!r} are absent from the model's "

@@ -422,6 +422,9 @@ def connected_components(
             .where(F.col("comp") != F.col("old"))
             .count()
         )
+        # release the superseded round's checkpoint blocks (doubled is
+        # already materialized, so nothing recomputes through the old one)
+        labels.unpersist()
         labels = doubled
         if changed == 0:
             break
@@ -502,7 +505,10 @@ def _packed_shingle_arrays(
     sorted int64s — n codepoints x 21 bits (n <= 3 fits 63 bits), a
     bijection with the character-shingle set, so set sizes and
     intersections are exactly those of ``char_shingles``. Codepoints (not
-    utf-8 bytes) keep the bijection on non-ASCII text."""
+    utf-8 bytes) keep the bijection on non-ASCII text; lowercasing happens
+    JVM-side (F.lower) BEFORE the UDF so locale-sensitive mappings (Greek
+    final sigma etc.) match the string-shingle path exactly; NULL text
+    packs to the empty set, exactly like char_shingles on NULL."""
     from pyspark.sql.types import ArrayType as _Arr, LongType as _Long
     from pyspark.sql.types import StructField as _SF, StructType as _ST
 
@@ -514,9 +520,12 @@ def _packed_shingle_arrays(
             if pdf.empty:
                 continue
             out = []
-            for t in pdf[text_col]:
+            for t in pdf["__lowered"]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    out.append([])
+                    continue
                 cp = np.frombuffer(
-                    str(t).lower().encode("utf-32-le"), dtype=np.uint32
+                    t.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
                 if len(cp) < n:
                     out.append([])
@@ -526,8 +535,10 @@ def _packed_shingle_arrays(
                 out.append(np.unique(packed).tolist())
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "psh": out})
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema).select(
-        F.col(id_col).alias("did"), "psh"
+    return (
+        df.select(id_col, F.lower(F.col(text_col)).alias("__lowered"))
+        .mapInPandas(run, schema=schema)
+        .select(F.col(id_col).alias("did"), "psh")
     )
 
 

@@ -173,10 +173,14 @@ def _asof_enrich_fn(max_history: int):
             val_arr = [val_hist[i] for i in order]
         else:
             ts_arr, val_arr = [], []
+        # answer THIS batch's requests against the full merged history;
+        # truncate only what is carried forward — evicting before
+        # answering would null out a request whose preceding state is
+        # still in hand this very micro-batch
         if len(ts_arr) > max_history:
-            ts_arr = ts_arr[-max_history:]
-            val_arr = val_arr[-max_history:]
-        state.update((ts_arr, val_arr))
+            state.update((ts_arr[-max_history:], val_arr[-max_history:]))
+        else:
+            state.update((ts_arr, val_arr))
         if requests:
             out = {
                 "key": [], "request_id": [], "request_ts": [],

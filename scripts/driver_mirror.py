@@ -92,7 +92,9 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         bound = getattr(entry, "SF_BOUND_ORACLES", {}).get(name)
-        if bound is not None and bound != sf:
+        # normalize before comparing: a trailing slash / relative form /
+        # symlink must not silently downgrade the bound oracle at its own SF
+        if bound is not None and os.path.realpath(bound) != os.path.realpath(sf):
             print(f"ok   {name}: {len(got)} rows (oracle fixture bound to {bound}; rows-only here)")
             continue
         if sql is None:
