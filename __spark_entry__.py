@@ -793,6 +793,24 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings (cluster-based
+    curation primitive): centroid partials via one GEMM per Arrow batch,
+    driver combine in sorted-partition order (deterministic at any
+    parallelism). Oracle: fixture precomputed by the independent numpy
+    twin (oracle_kmeans) — iterative, so SF-bound like logreg_weights."""
+    from modlyn_spark.operators.clustering import kmeans_assign, kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    C, _ = kmeans_fit(df, "v", k=4, max_iter=8)
+    return kmeans_assign(df, "v", C).select(
+        "vec_id", "cluster", F.round("sq_dist", 4).alias("sq_dist")
+    )
+
+
 def q_logreg_weights(spark, sf_dir):
     from modlyn_spark.scoring.logreg import DistributedLogReg, assign_batches
     from modlyn_spark.scoring.stats import label_encode
@@ -892,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "kmeans_clusters": q_kmeans_clusters,
         "logreg_weights": q_logreg_weights,
         "stream_session_stats": q_stream_session_stats,
         "image_pipeline": q_image_pipeline,
@@ -915,7 +934,10 @@ _FIXTURES = "/root/repo/tests/fixtures"
 # oracle entries whose fixture was computed from one specific sf_dir (the
 # local pytest contract runs rows-only for these at other SFs; the external
 # driver's gate IS this SF)
-SF_BOUND_ORACLES = {"logreg_weights": "/root/testdata/sf0.01"}
+SF_BOUND_ORACLES = {
+    "logreg_weights": "/root/testdata/sf0.01",
+    "kmeans_clusters": "/root/testdata/sf0.01",
+}
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -1387,6 +1409,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "kmeans_clusters": f"""
+            SELECT vec_id, cluster, round(sq_dist, 4) AS sq_dist
+            FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')
         """,
         "logreg_weights": f"""
             SELECT label, pos, round(weight, 6) AS weight

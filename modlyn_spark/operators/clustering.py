@@ -1,0 +1,164 @@
+"""Distributed k-means over embedding columns (Lloyd's algorithm).
+
+The curation primitive LLM-data pipelines use for topic balancing,
+cluster-based sampling, and semantic dedup at corpus scale. Same
+physical pattern as the scoring layer (scoring/stats.py partials):
+
+- centroids live on the driver (k x dim — tiny) and broadcast each
+  round inside the UDF closure;
+- one ``mapInPandas`` pass per round computes, per input partition, the
+  per-cluster (count, vector sum, inertia) partials with a single
+  (batch x dim) @ (dim x k) GEMM per Arrow batch — rows never shuffle,
+  only k x (dim + 2) scalars per partition come back;
+- partials combine on the driver in sorted-partition order (float64),
+  so results are deterministic at ANY parallelism — the same N-vs-4N
+  invariant the logreg trainer guarantees;
+- iteration stops when assignments imply unchanged centroids (movement
+  below ``tol``) or at ``max_iter``.
+
+Initialization is a seeded shuffle-free sample (first ``sample`` rows,
+like the IVF index build) — deterministic and replicable by the numpy
+oracle (oracle_kmeans) for the fixture-backed correctness gate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("counts", ArrayType(LongType())),
+        StructField("sums", ArrayType(DoubleType())),  # flattened (k, dim)
+        StructField("inertia", DoubleType()),
+    ]
+)
+
+
+def _init_centroids(
+    df: DataFrame, vec_col: str, k: int, sample: int, seed: int
+) -> np.ndarray:
+    X = np.asarray(
+        [r[0] for r in df.select(vec_col).limit(sample).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
+    return X[idx].copy()
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    max_iter: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, list[float]]:
+    """Fit k-means; returns (centroids (k, dim), inertia history)."""
+    C = _init_centroids(df, vec_col, k, sample, seed)
+    dim = C.shape[1]
+    data = df.select(vec_col).cache()
+    history: list[float] = []
+
+    for _ in range(max_iter):
+        C_b = C  # captured in the closure, shipped with the task
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            counts = np.zeros(len(C_b), dtype=np.int64)
+            sums = np.zeros((len(C_b), dim), dtype=np.float64)
+            inertia = 0.0
+            c_sq = (C_b * C_b).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d = -2.0 * (X @ C_b.T) + c_sq[None, :]
+                a = d.argmin(axis=1)
+                inertia += float(
+                    (d[np.arange(len(X)), a] + (X * X).sum(axis=1)).sum()
+                )
+                counts += np.bincount(a, minlength=len(C_b))
+                np.add.at(sums, a, X)
+            if counts.sum():
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid],
+                        "counts": [counts.tolist()],
+                        "sums": [sums.ravel().tolist()],
+                        "inertia": [inertia],
+                    }
+                )
+
+        parts = data.mapInPandas(partials, schema=_PARTIAL_SCHEMA).collect()
+        parts.sort(key=lambda r: r["pid"])  # deterministic combine order
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        inertia = 0.0
+        for r in parts:
+            counts += np.asarray(r["counts"], dtype=np.int64)
+            sums += np.asarray(r["sums"], dtype=np.float64).reshape(k, dim)
+            inertia += r["inertia"]
+        history.append(inertia)
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        move = float(np.abs(newC - C).max())
+        C = newC
+        if move <= tol:
+            break
+    data.unpersist()
+    return C, history
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    *,
+    out_col: str = "cluster",
+    dist_col: str | None = "sq_dist",
+) -> DataFrame:
+    """Assign every row to its nearest centroid (one GEMM per Arrow
+    batch). Appends ``out_col`` (int) and optionally ``dist_col``
+    (squared euclidean distance, double)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    fields = df.schema.fields + [StructField(out_col, IntegerType())]
+    if dist_col:
+        fields = fields + [StructField(dist_col, DoubleType())]
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = -2.0 * (X @ C.T) + c_sq[None, :]
+            a = d.argmin(axis=1)
+            out = pdf.copy()
+            out[out_col] = a.astype(np.int32)
+            if dist_col:
+                out[dist_col] = d[np.arange(len(X)), a] + (X * X).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

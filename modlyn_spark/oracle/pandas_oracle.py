@@ -347,3 +347,38 @@ def oracle_wilcoxon(X: np.ndarray, labels: pd.Series) -> pd.DataFrame:
             rows.append({"label": str(c), "pos": j, "n1": n1,
                          "rank_sum": r, "z": z})
     return pd.DataFrame(rows)
+
+
+def oracle_kmeans(
+    X: np.ndarray,
+    k: int,
+    *,
+    max_iter: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, np.ndarray, list[float]]:
+    """Single-node Lloyd's twin of operators.clustering.kmeans_fit: same
+    seeded first-``sample``-rows init, same distance algebra, same
+    stopping rule. Returns (centroids, assignments, inertia history)."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    pool = X[:sample]
+    C = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)].copy()
+    history: list[float] = []
+    for _ in range(max_iter):
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = d.argmin(axis=1)
+        inertia = float((d[np.arange(len(X)), a] + (X * X).sum(axis=1)).sum())
+        history.append(inertia)
+        newC = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        move = float(np.abs(newC - C).max())
+        C = newC
+        if move <= tol:
+            break
+    d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    return C, d.argmin(axis=1), history

@@ -101,12 +101,36 @@ def make_image_pipeline_fixture() -> str:
     return out
 
 
+def make_kmeans_fixture() -> str:
+    """Expected (vec_id, cluster, sq_dist) for q_kmeans_clusters at
+    sf0.01: single-node Lloyd's twin (oracle_kmeans), k=4, max_iter=8."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_kmeans
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C, a, _ = oracle_kmeans(X, 4, max_iter=8)
+    d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    sq = d[np.arange(len(X)), a] + (X * X).sum(axis=1)
+    out_pdf = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy(),
+            "cluster": a.astype("int32"),
+            "sq_dist": sq,
+        }
+    )
+    out = os.path.join(FIXTURE_DIR, "kmeans_clusters_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
     print(f"wrote {p1}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
+    p3 = make_kmeans_fixture()
+    print(f"wrote {p3}")
     return 0
 
 

@@ -262,3 +262,39 @@ def test_compare_scores_three_methods(spark, matrix_pdf):
             & (got["label"] == c)
         ]
         assert np.isclose(row["jaccard"].iloc[0], exp_j)
+
+
+def test_kmeans_matches_numpy_oracle(spark):
+    """Distributed Lloyd's == single-node numpy twin: same init, same
+    trajectory (allclose centroids per construction), identical final
+    assignments on the real embeddings table; deterministic across
+    parallelism (partition-sorted partial combine)."""
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.clustering import kmeans_assign, kmeans_fit
+    from modlyn_spark.oracle.pandas_oracle import oracle_kmeans
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    X = np.stack(
+        df.orderBy("vec_id").toPandas()["v"].to_numpy()
+    ).astype(np.float64)
+
+    C, hist = kmeans_fit(df, "v", k=4, max_iter=8)
+    C_o, a_o, hist_o = oracle_kmeans(X, 4, max_iter=8)
+    assert np.allclose(C, C_o, rtol=1e-9, atol=1e-9)
+    assert len(hist) == len(hist_o)
+    assert np.allclose(hist, hist_o, rtol=1e-9)
+    # inertia must be non-increasing (Lloyd's invariant)
+    assert all(b <= a + 1e-6 for a, b in zip(hist, hist[1:]))
+
+    got = (
+        kmeans_assign(df, "v", C)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert (got["cluster"].to_numpy() == a_o).all()
