@@ -72,6 +72,11 @@ def kmeans_fit(
 ) -> tuple[np.ndarray, list[float]]:
     """Fit k-means; returns (centroids (k, dim), inertia history)."""
     C = _init_centroids(df, vec_col, k, sample, seed)
+    if len(C) < k:
+        # fewer distinct init rows than requested clusters: proceed with
+        # the smaller k (matches the oracle twin's behavior) instead of
+        # shape-mismatching the partial combine
+        k = len(C)
     dim = C.shape[1]
     data = df.select(vec_col).cache()
     history: list[float] = []
