@@ -3,10 +3,15 @@
 ``entry(spark)`` runs the flagship point-in-time feature pipeline on
 sf0.001. ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 (plus the training-data-pipeline operators); ``oracle_sql()``
-gives the DuckDB-equivalent SQL for every SQL-expressible one. Column
-names and types are aligned between both sides; float aggregates are
-rounded identically (round(x, 4)) so the driver's value-hash compares
-stable doubles.
+covers EVERY entry (51/51 in round 2): SQL-expressible operators get
+DuckDB SQL directly; iterative/synthetic ones (logreg, k-means, the image
+pipeline) get fixture-backed oracles precomputed by the independent
+numpy/pandas implementations (scripts/make_oracle_fixtures.py), read via
+read_parquet. Column names and types are aligned between both sides;
+float aggregates are rounded identically (round(x, N)) so the driver's
+TYPED value-hash compares stable doubles — validate any change with
+``python scripts/driver_mirror.py`` (exact-dtype comparison) before
+shipping.
 """
 
 from __future__ import annotations
