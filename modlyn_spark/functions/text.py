@@ -204,6 +204,14 @@ def minhash_signature_udf(
                 continue
             sigs = []
             for t in pdf[text_col]:
+                # NULL guard BEFORE str(): str(None) would fabricate the
+                # literal token "none" and make every pair of NULL-text
+                # docs an est-Jaccard-1.0 duplicate. NULL packs to the
+                # sentinel signature, exactly like text shorter than n
+                # (char_shingles: NULL -> empty set).
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    sigs.append(empty_sig)
+                    continue
                 b = np.frombuffer(str(t).lower().encode("utf-8"), dtype=np.uint8)
                 if len(b) < n:
                     sigs.append(empty_sig)
@@ -254,7 +262,13 @@ def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> Dat
     hashed once, not once per occurrence), bits expanded to a
     (n_unique x 64) matrix, and per-document votes accumulated with one
     ``np.add.at`` over the occurrence->document segment index — no
-    per-token Python in the loop."""
+    per-token Python in the loop.
+
+    NULL text and token-less text (no [a-z0-9] runs) hash to NULL, not to
+    a shared value: str(None) would fabricate a "none" token, and an
+    all-zero vote vector collapses every empty doc onto simhash 0 — either
+    way two contentless docs would look like hamming-0 duplicates.
+    ``simhash_pairs`` filters the NULLs before bucketing."""
 
     schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
 
@@ -267,7 +281,9 @@ def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> Dat
             if pdf.empty:
                 continue
             per_doc = [
-                [w.encode("utf-8") for w in tok.findall(str(t).lower())]
+                []
+                if t is None or (isinstance(t, float) and pd.isna(t))
+                else [w.encode("utf-8") for w in tok.findall(str(t).lower())]
                 for t in pdf[text_col]
             ]
             counts = np.array([len(ts) for ts in per_doc])
@@ -287,7 +303,9 @@ def simhash64_udf(df: DataFrame, text_col: str, out_col: str = "simhash") -> Dat
                 axis=1, dtype=np.uint64
             )
             pdf = pdf.copy()
-            pdf[out_col] = sig.view(np.int64)  # twos-complement bit reinterpret
+            vals = pd.array(sig.view(np.int64), dtype="Int64")
+            vals[counts == 0] = pd.NA  # contentless docs -> NULL simhash
+            pdf[out_col] = vals
             yield pdf
 
     return df.mapInPandas(run, schema=schema)

@@ -13,9 +13,11 @@ Scale design notes (the 100 TB story):
 - MinHash+LSH: k-lane signatures (JVM-side), banded bucketing; only
   bucket-colliding pairs are candidates, verified by signature agreement.
   Sub-quadratic: cost ~ sum over buckets of bucket^2, controlled by bands.
-- SimHash: 64-bit near-dup with hamming radius; bucketed by 16-bit prefix
-  blocks (pigeonhole: radius<=3 means at least one of 4 blocks matches
-  exactly) so candidate pairs come from equi-joins, never a cross join.
+- SimHash: 64-bit near-dup with hamming radius; Manku-style multi-block
+  pigeonhole keys (radius r, m blocks: hashes within r agree on some
+  (m-r)-subset of blocks) so candidate pairs come from ONE equi-join on
+  subset-combination keys, never a cross join; key width scales with the
+  radius instead of collapsing to ~7-bit blocks.
 - embedding cosine: exact threshold pairs via block-nested join only in
   the small case; the scale path is LSH bucketing from
   modlyn_spark.operators.similarity.
@@ -74,15 +76,27 @@ def _signatures(
 ) -> DataFrame:
     """(did, sig) table via the chosen MinHash implementation: "numpy"
     (vectorized Arrow UDF — the fast path) or "jvm" (pure column
-    expressions). Same estimator, different hash family."""
+    expressions). Same estimator, different hash family.
+
+    Shingle-less documents (NULL text, or text shorter than n) are DROPPED
+    here: both implementations emit the same all-sentinel signature for
+    them, so without the filter every pair of contentless docs would
+    collide in every band and est-score 1.0 — while their exact Jaccard is
+    0 (empty sets). Dropping matches the exact inverted-index semantics
+    (no shingles -> no postings -> no pairs)."""
+    from modlyn_spark.functions.text import _MERSENNE31
+
     if impl == "numpy":
-        return minhash_signature_udf(
+        sig = minhash_signature_udf(
             df.select(F.col(id_col).alias("did"), text_col), text_col, "sig", k=k, n=n
         ).select("did", "sig")
-    return df.select(
-        F.col(id_col).alias("did"),
-        minhash_signature(F.col(text_col), k=k, n=n).alias("sig"),
-    )
+    else:
+        sig = df.select(
+            F.col(id_col).alias("did"),
+            minhash_signature(F.col(text_col), k=k, n=n).alias("sig"),
+        )
+    sentinel = F.array(*[F.lit(_MERSENNE31)] * k)
+    return sig.where(F.col("sig").isNotNull() & (F.col("sig") != sentinel))
 
 
 def dedup_exact(
@@ -437,52 +451,79 @@ def simhash_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a hamming radius.
 
-    Pigeonhole bucketing: the 64-bit hash splits into ``max_hamming + 1``
-    blocks — two hashes differing in at most ``max_hamming`` bits MUST agree
-    exactly on at least one block (the differing bits can poison at most
-    ``max_hamming`` of them), so candidates come from block-count equi-joins
-    on (block_idx, block_value) and recall within the radius is exact.
-    A fixed 4-block split would silently miss pairs for any radius > 3.
-    Larger radii mean narrower blocks (more bucket collisions to verify) —
-    the inherent pigeonhole price. Returns (id1, id2, hamming)."""
+    Pigeonhole bucketing, generalized to MULTI-BLOCK keys (Manku, Jain &
+    Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 §3):
+    the 64-bit hash splits into ``m = n_blocks`` blocks; two hashes within
+    hamming ``r`` can disagree on at most ``r`` blocks, so they MUST agree
+    exactly on at least ``m - r`` blocks — in particular on at least one
+    specific (m-r)-subset. Every doc is therefore keyed by each of the
+    C(m, m-r) subset-value combinations (xxhash64 of combo index + the
+    subset's block values) and candidates come from one equi-join on that
+    key. Recall within the radius stays exact for ANY m > r.
+
+    m trades row replication (C(m, m-r) keys per doc) against candidate
+    noise (random pairs collide with prob ~ C(m, m-r) * 2^-(64*(m-r)/m)):
+
+        r=8, m=9  ->   9 keys x  7.1-bit  (P_rand ~ 6.7e-2: QUADRATIC
+                       candidate volume on a web corpus — the r <= 3
+                       design silently degrades at larger radii)
+        r=8, m=10 ->  45 keys x 12.8-bit  (P_rand ~ 6.3e-3)
+        r=8, m=11 -> 165 keys x 17.5-bit  (P_rand ~ 9.2e-4)
+
+    Default: m = r+1 for r <= 3 (the classic single-block key is optimal
+    there: widest blocks, fewest keys), else m = r+2 (two-block keys);
+    pass ``n_blocks`` to push further down the noise curve when the
+    corpus is large enough that candidates dominate the replicated
+    key-shuffle. Returns (id1, id2, hamming)."""
+    from itertools import combinations
+    from math import comb
+
     if not 0 <= max_hamming <= 16:
-        raise ValueError("max_hamming must be in [0, 16] (blocks >= 3 bits)")
-    n_blocks = max_hamming + 1
+        raise ValueError("max_hamming must be in [0, 16]")
+    if n_blocks is None:
+        n_blocks = max_hamming + 1 if max_hamming <= 3 else max_hamming + 2
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError("need max_hamming < n_blocks <= 64")
+    subset = n_blocks - max_hamming
+    if comb(n_blocks, subset) > 1024:
+        raise ValueError(
+            f"C({n_blocks}, {subset}) keys per row — lower n_blocks"
+        )
     base, extra = divmod(64, n_blocks)
     widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
 
     def _block(i: int):
-        # full-width block (max_hamming=0): the value IS the hash — a
-        # 64-bit mask literal would overflow LongType
+        # full-width block (max_hamming=0, n_blocks=1): the value IS the
+        # hash — a 64-bit mask literal would overflow LongType
         if widths[i] == 64:
             return F.col("sh")
         return (
             F.shiftrightunsigned(F.col("sh"), offsets[i])
             .bitwiseAND(F.lit((1 << widths[i]) - 1))
         )
-    sh = simhash64_udf(
-        df.select(F.col(id_col).alias("did"), text_col), text_col, "sh"
-    ).select("did", "sh")
-    blocks = sh.select(
-        "did",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("blk"), _block(i).alias("bv"))
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("did", "sh", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
-    a = blocks.select(F.col("did").alias("id1"), F.col("sh").alias("sh1"), "blk", "bv")
-    b = blocks.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"), "blk", "bv")
+
+    sh = (
+        simhash64_udf(
+            df.select(F.col(id_col).alias("did"), text_col), text_col, "sh"
+        )
+        .select("did", "sh")
+        # contentless docs hash to NULL (see simhash64_udf) — never bucketed
+        .where(F.col("sh").isNotNull())
+    )
+    keys = [
+        F.xxhash64(F.lit(ci), *[_block(i) for i in combo])
+        for ci, combo in enumerate(combinations(range(n_blocks), subset))
+    ]
+    blocks = sh.select("did", "sh", F.explode(F.array(*keys)).alias("bh"))
+    a = blocks.select(F.col("did").alias("id1"), F.col("sh").alias("sh1"), "bh")
+    b = blocks.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"), "bh")
     return (
-        a.join(b, ["blk", "bv"])
+        a.join(b, "bh")
         .where(F.col("id1") < F.col("id2"))
         .select(
             "id1",
@@ -490,9 +531,9 @@ def simhash_pairs(
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
         )
         # radius filter BEFORE the pair dedup: hamming is deterministic
-        # per pair, and block-collision noise (pairs close on one narrow
-        # block, far overall) dominates the pre-dedup volume — filtering
-        # first shrinks the dedup exchange by ~10x
+        # per pair, and key-collision noise (pairs close on one key, far
+        # overall) dominates the pre-dedup volume — filtering first
+        # shrinks the dedup exchange by ~10x
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
     )
@@ -644,15 +685,16 @@ def simhash_near_dup_pairs(
     max_hamming: int = 8,
     n: int = 3,
     threshold: float = 0.8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash candidates (pigeonhole blocks, exact within the hamming
-    radius) verified by EXACT n-gram Jaccard. Recall misses only pairs
-    whose simhash hamming exceeds ``max_hamming`` while their n-gram
+    """SimHash candidates (multi-block pigeonhole keys, exact within the
+    hamming radius) verified by EXACT n-gram Jaccard. Recall misses only
+    pairs whose simhash hamming exceeds ``max_hamming`` while their n-gram
     Jaccard still clears ``threshold`` — radius 8 covers Jaccard-0.8 pairs
     comfortably on word-shuffled near-dups. Returns (id1, id2, jaccard)."""
-    cand = simhash_pairs(df, id_col, text_col, max_hamming=max_hamming).select(
-        "id1", "id2"
-    )
+    cand = simhash_pairs(
+        df, id_col, text_col, max_hamming=max_hamming, n_blocks=n_blocks
+    ).select("id1", "id2")
     return _verify_pairs_exact_jaccard(
         df, cand, id_col, text_col, n=n, threshold=threshold
     )

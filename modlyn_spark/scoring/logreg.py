@@ -277,6 +277,20 @@ class DistributedLogReg:
             )
         return out.collect()
 
+    @classmethod
+    def from_weights_long(cls, weights: pd.DataFrame) -> "DistributedLogReg":
+        """Rebuild a model from the long-form (label, pos, weight) score
+        matrix (the ``weights_long`` sink format). Bias is zero — the
+        score-matrix export carries W only, like the reference's
+        feature-score sink (modlyn/models/_simple_logreg_model.py:170-192).
+        Class axis = sorted labels, matching ``label_encode``."""
+        classes = sorted(weights["label"].astype(str).unique())
+        d = int(weights["pos"].max()) + 1
+        m = cls(d, classes)
+        piv = weights.pivot(index="label", columns="pos", values="weight")
+        m.W = piv.loc[classes, list(range(d))].to_numpy(dtype=np.float64)
+        return m
+
     # -- outputs -------------------------------------------------------------
 
     def get_weights(self, feature_names: list[str] | None = None) -> pd.DataFrame:

@@ -25,6 +25,110 @@ def confusion_matrix(
     )
 
 
+def classification_report_df(
+    df: DataFrame,
+    true_col: str = "label_idx",
+    pred_col: str = "pred_idx",
+) -> DataFrame:
+    """DataFrame-native classification report (reference M4/M5,
+    modlyn/models/_simple_logreg_model.py:225-255): one row per class with
+    (label, precision, recall, f1, support), plus three summary rows —
+    '__accuracy__' (precision=recall=f1=accuracy, support=total),
+    '__macro__' (unweighted means) and '__weighted__' (support-weighted
+    means, support=total). sklearn classification_report parity.
+
+    Distributed shape: ONE small shuffle (groupBy(true, pred).count() —
+    k x k rows), then per-class arithmetic as broadcastable joins over the
+    k-row label set. Nothing is collected; at 100 TB the only data-sized
+    pass is the confusion-matrix aggregate, which is map-side combinable.
+    """
+    cm = (
+        df.groupBy(
+            F.col(true_col).cast("string").alias("t"),
+            F.col(pred_col).cast("string").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    labs = (
+        cm.select(F.col("t").alias("label"))
+        .union(cm.select(F.col("p").alias("label")))
+        .distinct()
+    )
+    tp = cm.where(F.col("t") == F.col("p")).select(
+        F.col("t").alias("label"), F.col("n").alias("tp")
+    )
+    pred_n = cm.groupBy(F.col("p").alias("label")).agg(F.sum("n").alias("pred_n"))
+    true_n = cm.groupBy(F.col("t").alias("label")).agg(F.sum("n").alias("true_n"))
+    per = (
+        labs.join(tp, "label", "left")
+        .join(pred_n, "label", "left")
+        .join(true_n, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).alias("true_n"),
+        )
+        .select(
+            "label",
+            F.when(F.col("pred_n") > 0, F.col("tp") * 1.0 / F.col("pred_n"))
+            .otherwise(0.0)
+            .alias("precision"),
+            F.when(F.col("true_n") > 0, F.col("tp") * 1.0 / F.col("true_n"))
+            .otherwise(0.0)
+            .alias("recall"),
+            F.col("tp"),
+            F.col("true_n"),
+        )
+        .select(
+            "label",
+            "precision",
+            "recall",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2.0 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            )
+            .otherwise(0.0)
+            .alias("f1"),
+            F.col("true_n").cast("long").alias("support"),
+            F.col("tp"),
+        )
+    )
+    summary = per.agg(
+        (F.sum("tp") * 1.0 / F.sum("support")).alias("accuracy"),
+        F.avg("precision").alias("m_p"),
+        F.avg("recall").alias("m_r"),
+        F.avg("f1").alias("m_f"),
+        (F.sum(F.col("precision") * F.col("support")) / F.sum("support")).alias("w_p"),
+        (F.sum(F.col("recall") * F.col("support")) / F.sum("support")).alias("w_r"),
+        (F.sum(F.col("f1") * F.col("support")) / F.sum("support")).alias("w_f"),
+        F.sum("support").cast("long").alias("total"),
+    )
+    acc = summary.select(
+        F.lit("__accuracy__").alias("label"),
+        F.col("accuracy").alias("precision"),
+        F.col("accuracy").alias("recall"),
+        F.col("accuracy").alias("f1"),
+        F.col("total").alias("support"),
+    )
+    macro = summary.select(
+        F.lit("__macro__").alias("label"),
+        F.col("m_p").alias("precision"),
+        F.col("m_r").alias("recall"),
+        F.col("m_f").alias("f1"),
+        F.col("total").alias("support"),
+    )
+    weighted = summary.select(
+        F.lit("__weighted__").alias("label"),
+        F.col("w_p").alias("precision"),
+        F.col("w_r").alias("recall"),
+        F.col("w_f").alias("f1"),
+        F.col("total").alias("support"),
+    )
+    return per.drop("tp").unionByName(acc).unionByName(macro).unionByName(weighted)
+
+
 def classification_report(
     df: DataFrame,
     true_col: str = "label_idx",

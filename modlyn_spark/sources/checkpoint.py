@@ -76,8 +76,15 @@ def _fs_read_json(spark: SparkSession, file_path: str) -> dict:
 
 
 def _fs_write_json_atomic(spark: SparkSession, directory: str, name: str, rec: dict):
-    """Write ``<directory>/<name>`` via temp-file + rename (the manifest
-    commit point)."""
+    """Write ``<directory>/<name>`` via temp-file + delete + rename.
+
+    NOT fully atomic: a crash between the delete and the rename (or a
+    copy+delete rename on an object store) can lose an already-existing
+    manifest. The failure is benign by design — a missing manifest only
+    makes resume recompute that bucket, and the recompute is idempotent —
+    so the window is accepted rather than paying for a FileContext/
+    Options.Rename.OVERWRITE dependency that not every Hadoop FS provides.
+    """
     fs, jvm = _fs_for(spark, directory)
     Path = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(Path(directory))
@@ -93,16 +100,50 @@ def _fs_write_json_atomic(spark: SparkSession, directory: str, name: str, rec: d
     fs.rename(tmp, dst)
 
 
-def _bucket_metrics(df: DataFrame, data_cols: list[str]) -> DataFrame:
+# -- hash families -------------------------------------------------------------
+# Default family: Spark xxhash64 (JVM-native, fastest). Portable family:
+# md5-derived — bucket = first 8 hex digits of md5(key) mod n, row hash =
+# first 15 hex digits (60 bits) of md5 over the '\x1f'-joined stringified
+# row — chosen because md5 + hex->int are expressible IDENTICALLY in any
+# ANSI engine (DuckDB: CAST('0x'||substr(md5(s),1,15) AS BIGINT)), so an
+# EXTERNAL system can audit the persisted lineage metrics without Spark.
+
+_HASH_XX = "xxhash64"
+_HASH_MD5 = "portable-md5"
+_SEP = "\x1f"
+_MOD61 = 2**61
+
+
+def _portable_row_hash(data_cols: list[str]):
+    s = F.concat_ws(_SEP, *[F.col(c).cast("string") for c in data_cols])
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
+def _bucket_col(key_cols: list[str], n_buckets: int, hash_family: str):
+    if hash_family == _HASH_MD5:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        return F.pmod(h, F.lit(n_buckets)).cast("int")
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _bucket_metrics(
+    df: DataFrame, data_cols: list[str], hash_family: str = _HASH_XX
+) -> DataFrame:
     """Per-bucket (rows, content_hash): order-insensitive sum of per-row
-    xxhash64 over all payload columns (cast to string for type stability)."""
+    hashes over all payload columns (cast to string for type stability)."""
     # sum in decimal(38,0) (no ANSI long-overflow), reduce mod 2^61 -> long
-    row_hash = F.xxhash64(*[F.col(c).cast("string") for c in data_cols]).cast(
-        "decimal(38,0)"
-    )
+    if hash_family == _HASH_MD5:
+        row_hash = _portable_row_hash(data_cols)
+    else:
+        row_hash = F.xxhash64(*[F.col(c).cast("string") for c in data_cols]).cast(
+            "decimal(38,0)"
+        )
     return df.groupBy(_BUCKET).agg(
         F.count(F.lit(1)).alias("rows"),
-        F.pmod(F.sum(row_hash), F.lit(2**61).cast("decimal(38,0)"))
+        F.pmod(F.sum(row_hash), F.lit(_MOD61).cast("decimal(38,0)"))
         .cast("long")
         .alias("content_hash"),
     )
@@ -128,18 +169,24 @@ def write_checkpointed(
     *,
     n_buckets: int = 16,
     lineage: str = "",
+    portable_hash: bool = False,
 ) -> dict:
     """Write ``df`` to ``path`` bucket-by-bucket with resume support.
 
     Returns {"computed": [...], "skipped": [...], "rows_written": int}.
     Calling again after a partial failure completes only the missing
     buckets; calling on a complete output is a no-op.
+
+    ``portable_hash=True`` switches bucket assignment and the manifest
+    content hash to the md5-derived family so the lineage metrics can be
+    recomputed by any external SQL engine (slower than xxhash64; use for
+    externally-audited commits). The family used is recorded per manifest
+    and honored by ``verify``.
     """
     spark = df.sparkSession
+    hash_family = _HASH_MD5 if portable_hash else _HASH_XX
     done = completed_buckets(path, spark)
-    bucketed = df.withColumn(
-        _BUCKET, F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
-    )
+    bucketed = df.withColumn(_BUCKET, _bucket_col(key_cols, n_buckets, hash_family))
     todo_buckets = [b for b in range(n_buckets) if b not in done]
     result = {"computed": todo_buckets, "skipped": sorted(done), "rows_written": 0}
     if not todo_buckets:
@@ -158,7 +205,9 @@ def write_checkpointed(
     # the hash covers what was actually written)
     data_cols = [c for c in df.columns]
     written = spark.read.parquet(path).where(F.col(_BUCKET).isin(todo_buckets))
-    metrics = _bucket_metrics(written.select(*data_cols, _BUCKET), data_cols).collect()
+    metrics = _bucket_metrics(
+        written.select(*data_cols, _BUCKET), data_cols, hash_family
+    ).collect()
     mdir = _manifest_dir(path)
     now = time.time()
     for r in metrics:
@@ -170,6 +219,7 @@ def write_checkpointed(
             "lineage": lineage,
             "key_cols": key_cols,
             "n_buckets": n_buckets,
+            "hash": hash_family,
         }
         _fs_write_json_atomic(spark, mdir, f"bucket-{rec['bucket']}.json", rec)
         result["rows_written"] += rec["rows"]
@@ -186,6 +236,7 @@ def write_checkpointed(
                 "lineage": lineage,
                 "key_cols": key_cols,
                 "n_buckets": n_buckets,
+                "hash": hash_family,
             }
             _fs_write_json_atomic(spark, mdir, f"bucket-{b}.json", rec)
     return result
@@ -202,9 +253,13 @@ def verify(spark: SparkSession, path: str) -> dict:
     done = completed_buckets(path, spark)
     df = spark.read.parquet(path)
     data_cols = [c for c in df.columns if c != _BUCKET]
+    # honor the hash family the manifests were committed with
+    family = next(
+        (rec.get("hash", _HASH_XX) for rec in done.values()), _HASH_XX
+    )
     got = {
         int(r[_BUCKET]): (int(r["rows"]), int(r["content_hash"]) if r["content_hash"] is not None else 0)
-        for r in _bucket_metrics(df, data_cols).collect()
+        for r in _bucket_metrics(df, data_cols, family).collect()
     }
     bad = []
     for b, rec in done.items():

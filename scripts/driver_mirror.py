@@ -7,7 +7,14 @@ contract test — post-normalization DTYPE equality, because the driver's
 value hash is typed: a DuckDB HUGEINT rendered as float64 hash-mismatches
 a Spark BIGINT even when every value is equal (the round-1 lesson).
 
-Usage: python scripts/driver_mirror.py [sf_dir] [query ...]
+Also enforces the driver-contract shape invariants the external gate
+punishes silently: at most 50 queries() entries (the r02 driver ran
+exactly the first 50 of 51 and dropped the flagship), and oracle coverage
+for every entry.
+
+Usage: python scripts/driver_mirror.py [--retired] [sf_dir] [query ...]
+       --retired additionally runs retired_queries() against
+       retired_oracle_sql() (entries kept out of the 50-slot contract).
 """
 
 from __future__ import annotations
@@ -68,8 +75,10 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--retired"]
+    retired = "--retired" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from modlyn_spark.session import get_spark
@@ -80,6 +89,18 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    # contract-shape gate: a 51st entry silently gets NO correctness row
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries() entries — the external driver runs at most 50 "
+        "(r02 evidence); retire or merge entries"
+    )
+    no_oracle = sorted(set(qs) - set(oracles))
+    assert not no_oracle, f"queries() entries without an oracle: {no_oracle}"
+    if retired:
+        rq = entry.retired_queries()
+        qs = {**qs, **rq}
+        oracles = {**oracles, **entry.retired_oracle_sql()}
+        print(f"(including {len(rq)} retired entries)")
     n_bad = 0
     for name, q in sorted(qs.items()):
         if only and name not in only:

@@ -105,3 +105,58 @@ def test_manifest_records_lineage(spark, out_dir):
     recs = completed_buckets(out_dir)
     assert all(r["lineage"] == "filter:view<-events" for r in recs.values())
     assert sum(r["rows"] for r in recs.values()) == ev.count()
+
+
+def test_portable_hash_family_audits_externally(spark, out_dir):
+    """portable_hash=True commits md5-family lineage metrics that an
+    EXTERNAL engine can recompute verbatim — here DuckDB rebuilds every
+    bucket's (n_rows, content_hash) from the raw parquet and must match
+    the manifests bit-for-bit (the q_checkpoint_lineage gate contract)."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_checkpointed(
+        docs, out_dir, ["doc_id"], n_buckets=8, portable_hash=True
+    )
+    manifests = completed_buckets(out_dir, spark)
+    assert all(rec["hash"] == "portable-md5" for rec in manifests.values())
+    # verify() must honor the recorded family
+    assert verify(spark, out_dir)["ok"]
+
+    con = duckdb.connect()
+    got = {
+        int(b): (int(r), int(h))
+        for b, r, h in con.execute(
+            """
+            WITH h AS (
+              SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 8 AS INT) AS bucket,
+                     CAST(('0x' || substr(md5(concat_ws(chr(31),
+                          CAST(doc_id AS VARCHAR), text, lang, source,
+                          CAST(n_chars AS VARCHAR))), 1, 15)) AS BIGINT) AS rh
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet'))
+            SELECT bucket, count(*), CAST(sum(rh) % 2305843009213693952 AS BIGINT)
+            FROM h GROUP BY 1
+            """
+        ).fetchall()
+    }
+    exp = {
+        b: (rec["rows"], rec["content_hash"])
+        for b, rec in manifests.items()
+        if rec["rows"] > 0
+    }
+    assert got == exp
+
+
+def test_default_family_unchanged_and_resumable(spark, out_dir):
+    """Default (xxhash64) manifests carry the family tag and still resume
+    + verify exactly as before the portable family landed."""
+    ev = _events(spark).select("event_id", "user_id", "value")
+    write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
+    manifests = completed_buckets(out_dir, spark)
+    assert all(rec["hash"] == "xxhash64" for rec in manifests.values())
+    assert verify(spark, out_dir)["ok"]
+    res = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
+    assert res["computed"] == [] and sorted(res["skipped"]) == [0, 1, 2, 3]

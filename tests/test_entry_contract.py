@@ -46,11 +46,32 @@ def test_entry_smoke(spark):
     assert list(pdf.columns)  # stable schema
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_contract_shape():
+    """The external driver runs at most 50 queries() entries (r02 ran
+    exactly the first 50 of 51, silently dropping the flagship). Guard the
+    cap, full oracle coverage, and the flagship-first pin."""
+    qs = entrymod.queries()
+    assert len(qs) <= 50
+    assert set(qs) == set(entrymod.oracle_sql())
+    assert next(iter(qs)) == "image_pipeline"
+    rq = entrymod.retired_queries()
+    assert set(rq) == set(entrymod.retired_oracle_sql())
+    assert not set(rq) & set(qs)
+
+
+def _all_queries():
+    return {**entrymod.queries(), **entrymod.retired_queries()}
+
+
+def _all_oracles():
+    return {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+
+
+@pytest.mark.parametrize("name", sorted(_all_queries().keys()))
 def test_query_vs_oracle(spark, duck, name):
-    q = entrymod.queries()[name]
+    q = _all_queries()[name]
     got = q(spark, SF).toPandas()
-    sql = entrymod.oracle_sql().get(name)
+    sql = _all_oracles().get(name)
     bound = getattr(entrymod, "SF_BOUND_ORACLES", {}).get(name)
     if bound is not None and os.path.realpath(bound) != os.path.realpath(SF):
         # fixture-backed oracle computed from a different sf_dir — the

@@ -298,3 +298,59 @@ def test_kmeans_matches_numpy_oracle(spark):
         .toPandas()
     )
     assert (got["cluster"].to_numpy() == a_o).all()
+
+
+def test_classification_report_df_matches_dict_report(spark, matrix_pdf):
+    """Distributed DataFrame report == driver-side dict report (which is
+    itself sklearn-parity-tested): per-class precision/recall/F1/support
+    plus the accuracy/macro/weighted summary rows."""
+    from modlyn_spark.scoring.metrics import classification_report_df
+
+    pdf = matrix_pdf[0].copy()
+    rng = np.random.default_rng(7)
+    pdf["pred"] = rng.permutation(pdf["label"].to_numpy())  # noisy predictions
+    df = spark.createDataFrame(pdf[["label", "pred"]])
+    rep = classification_report(df, "label", "pred")
+    out = {
+        r["label"]: r
+        for r in classification_report_df(df, "label", "pred").collect()
+    }
+    labels = [k for k in rep if not str(k).startswith("__") and k not in
+              ("accuracy", "macro_f1", "weighted_f1")]
+    for c in labels:
+        row = out[str(c)]
+        assert row["precision"] == pytest.approx(rep[c]["precision"], abs=1e-12)
+        assert row["recall"] == pytest.approx(rep[c]["recall"], abs=1e-12)
+        assert row["f1"] == pytest.approx(rep[c]["f1-score"], abs=1e-12)
+        assert row["support"] == rep[c]["support"]
+    assert out["__accuracy__"]["f1"] == pytest.approx(rep["accuracy"], abs=1e-12)
+    assert out["__macro__"]["f1"] == pytest.approx(rep["macro_f1"], abs=1e-12)
+    assert out["__weighted__"]["f1"] == pytest.approx(rep["weighted_f1"], abs=1e-12)
+    assert out["__macro__"]["support"] == len(pdf)
+
+
+def test_from_weights_long_roundtrip_predicts(spark, matrix_pdf):
+    """from_weights_long(weights_long(...)) reproduces W exactly and the
+    rebuilt model (bias 0) predicts argmax(X @ W.T) — the M3 gate path."""
+    from modlyn_spark.scoring.logreg import DistributedLogReg
+
+    classes = sorted(matrix_pdf[0]["label"].astype(str).unique())
+    m = DistributedLogReg(8, classes)
+    rng = np.random.default_rng(3)
+    m.W = rng.standard_normal(m.W.shape)
+    long = m.weights_long(spark).toPandas()
+    m2 = DistributedLogReg.from_weights_long(long)
+    assert m2.classes == [str(c) for c in classes]
+    np.testing.assert_allclose(m2.W, m.W)
+    X = rng.standard_normal((40, 8))
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": range(40), "features": [list(r) for r in X]})
+    )
+    got = (
+        m2.predict_df(df, "features", "pred_idx")
+        .orderBy("id")
+        .select("pred_idx")
+        .toPandas()["pred_idx"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(got, np.argmax(X @ m.W.T, axis=1))

@@ -394,3 +394,69 @@ def test_connected_components_chain_star_random(spark):
             comp_min[root] = min(comp_min[root], node)
         exp_min = {n: comp_min[r] for n, r in exp.items()}
         assert got == exp_min, edges
+
+
+def test_contentless_docs_never_pair(spark):
+    """NULL text, empty text, sub-shingle text and token-less text must
+    NEVER be emitted as near-duplicates of each other by ANY est-scored or
+    verified path (the str(None)-fabricates-tokens / all-sentinel-signature
+    / simhash-0 collapse traps). Real planted dups in the same corpus must
+    still be found."""
+    import pandas as pd
+
+    from modlyn_spark.operators.dedup import (
+        minhash_dedup_groups,
+        minhash_lsh_pairs,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+        simhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6, 7],
+            "text": [None, None, "", "ab", "!!! ???", base, base + " zz",
+                     "completely different content about spark engines"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    contentless = {0, 1, 2, 3, 4}
+
+    for fn, kw in [
+        (minhash_lsh_pairs, dict(threshold=0.5)),
+        (minhash_near_dup_pairs, dict(threshold=0.5)),
+        (simhash_pairs, dict(max_hamming=16)),
+        (simhash_near_dup_pairs, dict(max_hamming=16, threshold=0.5)),
+    ]:
+        rows = fn(df, "doc_id", "text", **kw).collect()
+        pairs = {(r["id1"], r["id2"]) for r in rows}
+        bad = {p for p in pairs if p[0] in contentless or p[1] in contentless}
+        assert not bad, f"{fn.__name__} paired contentless docs: {bad}"
+        assert (5, 6) in pairs, f"{fn.__name__} lost the planted dup"
+
+    groups = minhash_dedup_groups(df, "doc_id", "text", threshold=0.5).collect()
+    assert all(
+        r["doc_id"] not in contentless and r["keep_id"] not in contentless
+        for r in groups
+    )
+    assert any(r["doc_id"] == 6 and r["keep_id"] == 5 for r in groups)
+
+
+def test_simhash_udf_null_semantics(spark):
+    """simhash64_udf: NULL for NULL/token-less text, unchanged values for
+    real text (the vectorized batch path must not shift segment indexes
+    when empty docs interleave with real ones)."""
+    import pandas as pd
+
+    from modlyn_spark.functions.text import simhash64_udf
+
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["hello world", None, "...", "hello world"]}
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in simhash64_udf(spark.createDataFrame(pdf), "text", "sh").collect()
+    }
+    assert out[1] is None and out[2] is None
+    assert out[0] is not None and out[0] == out[3]
