@@ -811,15 +811,17 @@ def q_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings (cluster-based
     curation primitive): centroid partials via one GEMM per Arrow batch,
     driver combine in sorted-partition order (deterministic at any
-    parallelism). Oracle: fixture precomputed by the independent numpy
-    twin (oracle_kmeans) — iterative, so SF-bound like logreg_weights."""
+    parallelism); init sampled by md5(vec_id) order (unbiased under any
+    storage order). Oracle: fixture precomputed by the independent numpy
+    twin (oracle_kmeans, same md5-ordered pool) — iterative, so SF-bound
+    like logreg_weights."""
     from modlyn_spark.operators.clustering import kmeans_assign, kmeans_fit
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    C, _ = kmeans_fit(df, "v", k=4, max_iter=8)
+    C, _ = kmeans_fit(df, "v", k=4, max_iter=8, id_col="vec_id")
     return kmeans_assign(df, "v", C).select(
         "vec_id", "cluster", F.round("sq_dist", 4).alias("sq_dist")
     )

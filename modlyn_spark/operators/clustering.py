@@ -16,9 +16,10 @@ physical pattern as the scoring layer (scoring/stats.py partials):
 - iteration stops when assignments imply unchanged centroids (movement
   below ``tol``) or at ``max_iter``.
 
-Initialization is a seeded shuffle-free sample (first ``sample`` rows,
-like the IVF index build) — deterministic and replicable by the numpy
-oracle (oracle_kmeans) for the fixture-backed correctness gate.
+Initialization is a seeded sample from the ``sample`` rows with the
+smallest md5(id) (like the IVF index build) — deterministic under any
+partitioning, unbiased under any storage order, and replicable by the
+numpy oracle (oracle_kmeans) for the fixture-backed correctness gate.
 """
 
 from __future__ import annotations
@@ -49,12 +50,33 @@ _PARTIAL_SCHEMA = StructType(
 
 
 def _init_centroids(
-    df: DataFrame, vec_col: str, k: int, sample: int, seed: int
+    df: DataFrame, vec_col: str, k: int, sample: int, seed: int,
+    id_col: str | None = None,
 ) -> np.ndarray:
-    X = np.asarray(
-        [r[0] for r in df.select(vec_col).limit(sample).collect()],
-        dtype=np.float64,
-    )
+    """Seeded centroid init from a bounded sample.
+
+    With ``id_col`` (recommended): the pool is the ``sample`` rows with the
+    smallest md5(id) — a deterministic shuffle that is UNBIASED under any
+    storage order and stable under any split/partitioning (plans as
+    TakeOrderedAndProject: per-partition top-n, no full sort). Without it,
+    falls back to limit(), which on a partitioned table returns one file's
+    prefix — order-dependent AND biased on clustered storage (e.g. a
+    label-sorted table seeds every centroid from one class).
+    """
+    sel = df.select(vec_col)
+    if id_col is not None:
+        sel = (
+            df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            .limit(sample)
+            .select(vec_col)
+        )
+    else:
+        sel = sel.limit(sample)
+    X = np.asarray([r[0] for r in sel.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError(
+            f"no rows to initialize centroids from ({vec_col!r} empty input?)"
+        )
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(X), size=min(k, len(X)), replace=False)
     return X[idx].copy()
@@ -69,9 +91,14 @@ def kmeans_fit(
     sample: int = 4096,
     seed: int = 42,
     tol: float = 1e-6,
+    id_col: str | None = None,
 ) -> tuple[np.ndarray, list[float]]:
-    """Fit k-means; returns (centroids (k, dim), inertia history)."""
-    C = _init_centroids(df, vec_col, k, sample, seed)
+    """Fit k-means; returns (centroids (k, dim), inertia history).
+
+    Pass ``id_col`` so the init sample is unbiased under any storage
+    order (see _init_centroids); the numpy twin (oracle_kmeans) mirrors
+    the same md5-ordered pool when given ids."""
+    C = _init_centroids(df, vec_col, k, sample, seed, id_col=id_col)
     if len(C) < k:
         # fewer distinct init rows than requested clusters: proceed with
         # the smaller k (matches the oracle twin's behavior) instead of

@@ -43,15 +43,26 @@ from pyspark.sql.types import (
 @pandas_udf(DoubleType())
 def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine of two array<double> columns, vectorized per Arrow
-    batch (one einsum instead of per-element JVM lambda evaluation)."""
+    batch (one einsum instead of per-element JVM lambda evaluation).
+
+    NULL array -> NULL result (like the JVM expression it replaced, and
+    unlike np.stack which would crash on None); zero-norm vector -> 0.0
+    (0/0 would yield NaN, and Spark orders NaN ABOVE all doubles, so a
+    zero-norm corpus row would rank FIRST in every top-k window)."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy()).astype(np.float64)
-    B = np.stack(b.to_numpy()).astype(np.float64)
-    dots = np.einsum("ij,ij->i", A, B)
-    na = np.linalg.norm(A, axis=1)
-    nb = np.linalg.norm(B, axis=1)
-    return pd.Series(dots / (na * nb))
+    av, bv = a.to_numpy(), b.to_numpy()
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(av, bv)], dtype=bool
+    )
+    out = pd.array([None] * len(av), dtype="Float64")
+    if valid.any():
+        A = np.stack(av[valid]).astype(np.float64)
+        B = np.stack(bv[valid]).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        out[valid] = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+    return pd.Series(out, dtype="Float64")
 
 
 def cosine_topk(
@@ -291,9 +302,19 @@ def ivf_cosine_topk(
     |corpus| to ~nprobe/|cells| of it.
     Returns (query_id, corpus_id, cosine, rank).
     """
+    # UNBIASED deterministic sample: bare limit() takes the first file's
+    # prefix, so clustered storage (e.g. sorted by topic) trains centroids
+    # on one topic. Ordering by md5(id) is a seeded-shuffle equivalent —
+    # stable under any input split/partitioning — and orderBy+limit plans
+    # as TakeOrderedAndProject (per-partition top-n, no full sort).
     sample = [
         r[0]
-        for r in corpus.select(corpus_vec).limit(train_sample).collect()
+        for r in corpus.orderBy(
+            F.md5(F.col(corpus_id).cast("string")), corpus_id
+        )
+        .limit(train_sample)
+        .select(corpus_vec)
+        .collect()
     ]
     C = _spherical_kmeans(
         np.asarray(sample, dtype=np.float64), n_centroids, kmeans_iters, seed

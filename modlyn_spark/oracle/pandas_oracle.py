@@ -357,13 +357,23 @@ def oracle_kmeans(
     sample: int = 4096,
     seed: int = 42,
     tol: float = 1e-6,
+    ids: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, list[float]]:
     """Single-node Lloyd's twin of operators.clustering.kmeans_fit: same
-    seeded first-``sample``-rows init, same distance algebra, same
-    stopping rule. Returns (centroids, assignments, inertia history)."""
+    seeded init pool (with ``ids``: the ``sample`` rows with the smallest
+    md5(str(id)), mirroring the engine's md5-ordered unbiased sample;
+    without: first rows), same distance algebra, same stopping rule.
+    Returns (centroids, assignments, inertia history)."""
+    import hashlib
+
     X = np.asarray(X, dtype=np.float64)
     rng = np.random.default_rng(seed)
-    pool = X[:sample]
+    if ids is not None:
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.array(keys), kind="stable")
+        pool = X[order[:sample]]
+    else:
+        pool = X[:sample]
     C = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)].copy()
     history: list[float] = []
     for _ in range(max_iter):

@@ -108,7 +108,7 @@ def make_kmeans_fixture() -> str:
 
     emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet").sort_values("vec_id")
     X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    C, a, _ = oracle_kmeans(X, 4, max_iter=8)
+    C, a, _ = oracle_kmeans(X, 4, max_iter=8, ids=emb["vec_id"].to_numpy())
     d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
     sq = d[np.arange(len(X)), a] + (X * X).sum(axis=1)
     out_pdf = pd.DataFrame(

@@ -283,8 +283,9 @@ def test_kmeans_matches_numpy_oracle(spark):
         df.orderBy("vec_id").toPandas()["v"].to_numpy()
     ).astype(np.float64)
 
-    C, hist = kmeans_fit(df, "v", k=4, max_iter=8)
-    C_o, a_o, hist_o = oracle_kmeans(X, 4, max_iter=8)
+    ids = df.orderBy("vec_id").toPandas()["vec_id"].to_numpy()
+    C, hist = kmeans_fit(df, "v", k=4, max_iter=8, id_col="vec_id")
+    C_o, a_o, hist_o = oracle_kmeans(X, 4, max_iter=8, ids=ids)
     assert np.allclose(C, C_o, rtol=1e-9, atol=1e-9)
     assert len(hist) == len(hist_o)
     assert np.allclose(hist, hist_o, rtol=1e-9)
@@ -354,3 +355,60 @@ def test_from_weights_long_roundtrip_predicts(spark, matrix_pdf):
         .to_numpy()
     )
     np.testing.assert_array_equal(got, np.argmax(X @ m.W.T, axis=1))
+
+
+def test_kmeans_init_unbiased_on_label_sorted_frame(spark):
+    """A label-SORTED table with a small init sample must still seed
+    centroids from multiple classes: md5(id)-ordered sampling is storage-
+    order-independent, where a bare limit() would return only the first
+    class's rows."""
+    from modlyn_spark.operators.clustering import _init_centroids
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0.0, 0.1, (200, 4))    # class A centered at 0
+    b = rng.normal(10.0, 0.1, (200, 4))   # class B centered at 10
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "v": [list(r) for r in np.vstack([a, b])],  # label-sorted: A then B
+        }
+    )
+    df = spark.createDataFrame(pdf).coalesce(1)  # one partition: worst case
+    C = _init_centroids(df, "v", k=8, sample=50, seed=42, id_col="id")
+    means = C.mean(axis=1)
+    assert (means < 5).any() and (means > 5).any(), (
+        "md5-ordered init sampled only one class"
+    )
+    # the old behavior (no id_col -> limit) demonstrates the bias
+    C_biased = _init_centroids(df, "v", k=8, sample=50, seed=42)
+    assert (C_biased.mean(axis=1) < 5).all()
+
+
+def test_kmeans_empty_input_raises_clear_error(spark):
+    from modlyn_spark.operators.clustering import kmeans_fit
+
+    empty = spark.createDataFrame([], "id bigint, v array<double>")
+    with pytest.raises(ValueError, match="no rows to initialize"):
+        kmeans_fit(empty, "v", k=3, id_col="id")
+
+
+def test_cosine_udf_zero_norm_and_null_guards(spark):
+    """Zero-norm vectors score 0.0 (NaN would sort ABOVE every double in a
+    desc top-k window); NULL vectors yield NULL (dropped), not a crash."""
+    from modlyn_spark.operators.similarity import _cosine_udf
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {
+            "i": [0, 1, 2],
+            "a": [[1.0, 0.0], [0.0, 0.0], None],
+            "b": [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]],
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "i", _cosine_udf(F.col("a"), F.col("b")).alias("c")
+    )
+    out = {r["i"]: r["c"] for r in df.collect()}
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] == 0.0
+    assert out[2] is None
