@@ -10,12 +10,12 @@ interlace; encoder writes filter-0 scanlines; decoder reverses filters
 0-4. It is exact (lossless), which makes the decoded-pixel allclose
 invariant checkable bit-for-bit.
 
-Lossy path: fmt="qpng" quantizes pixels to 16 levels before PNG-encoding —
-a deterministic stand-in for JPEG that exercises the PSNR >= 40 dB gate with
-real reconstruction error. fmt="jpeg" decoding is STUBBED (no codec in this
-environment) and raises NotImplementedError with a clear marker; the
-Spark-side plumbing (schema, batching, UDF signature) is identical either
-way and is what the tests exercise.
+Lossy paths: fmt="qpng" quantizes pixels to 64 levels before PNG-encoding
+(a fast deterministic lossy tier); fmt="jpeg"/"jpg" is a REAL minimal
+baseline JFIF codec in functions/jpeg.py (pure numpy: DCT, Annex-K quant
+tables, canonical Huffman, 4:2:0/4:4:4) — both exercise the PSNR >= 40 dB
+gate with genuine reconstruction error. Progressive JPEG raises
+NotImplementedError (out of scope).
 """
 
 from __future__ import annotations
@@ -160,10 +160,9 @@ def decode_bytes(data: bytes, fmt: str) -> np.ndarray:
     if fmt in ("png", "qpng"):
         return png_decode(data)
     if fmt in ("jpeg", "jpg"):
-        # STUB: no JPEG codec available in this environment. The Spark-side
-        # plumbing (binary column -> Arrow batch -> pandas UDF) is identical
-        # to the PNG path and fully tested there.
-        raise NotImplementedError("STUB: jpeg decode requires an image codec")
+        from modlyn_spark.functions.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown image format {fmt!r}")
 
 

@@ -55,8 +55,10 @@ def entity_size(image_id: str) -> tuple[int, int]:
 
 
 def entity_fmt(image_id: str) -> str:
-    # ~20% lossy rows exercise the PSNR path
-    return "qpng" if _hsh(image_id + "|fmt") % 5 == 0 else "png"
+    # ~40% lossy rows exercise the PSNR path: qpng (quantized PNG) and
+    # real baseline JPEG (functions/jpeg.py), ~20% each
+    r = _hsh(image_id + "|fmt") % 5
+    return "qpng" if r == 0 else ("jpeg" if r == 1 else "png")
 
 
 def reference_pixels(image_id: str, version: int) -> np.ndarray:
@@ -87,7 +89,17 @@ def reference_caption(image_id: str, version: int) -> str:
 def encode_row(image_id: str, version: int) -> tuple[bytes, str]:
     px = reference_pixels(image_id, version)
     fmt = entity_fmt(image_id)
-    data = qpng_encode(px) if fmt == "qpng" else png_encode(px)
+    if fmt == "qpng":
+        data = qpng_encode(px)
+    elif fmt == "jpeg":
+        from modlyn_spark.functions.jpeg import jpeg_encode
+
+        # q98 + 4:4:4: the checker+gradient reference pixels are
+        # high-frequency; this clears the PSNR >= 40 dB invariant with
+        # margin (measured worst ~43.8 dB over the generator corpus)
+        data = jpeg_encode(px, quality=98, subsampling="444")
+    else:
+        data = png_encode(px)
     return data, fmt
 
 

@@ -101,9 +101,53 @@ def test_qpng_psnr_above_gate():
         assert psnr(px, dec) > 30  # sanity; per-row gate tested distributed
 
 
-def test_jpeg_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="STUB"):
-        decode_bytes(b"\xff\xd8\xff", "jpeg")
+def test_jpeg_roundtrip_psnr_and_dims():
+    """Real baseline JPEG codec (functions/jpeg.py): gray and RGB, 4:2:0
+    and 4:4:4, odd sizes — dims exact, PSNR above the 40 dB gate at the
+    generator's settings."""
+    from modlyn_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(0)
+    gray = np.clip(
+        (np.linspace(0, 255, 64)[None, :] * 0.5
+         + np.linspace(0, 255, 64)[:, None] * 0.5).astype(int)
+        + rng.integers(-8, 8, (64, 64)),
+        0, 255,
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(gray, quality=95))
+    assert dec.shape == gray.shape
+    assert psnr(gray, dec) >= 40.0
+
+    for eid in ["img_00000000", "img_00000003", "img_00000007"]:
+        px = reference_pixels(eid, 1)
+        for q, sub in [(98, "444"), (95, "420")]:
+            dec = jpeg_decode(jpeg_encode(px, quality=q, subsampling=sub))
+            assert dec.shape == px.shape
+            if sub == "444":
+                assert psnr(px, dec) >= 40.0, (eid, q, sub)
+            else:
+                # 4:2:0 on checker-pattern chroma is inherently lossy;
+                # sanity floor only (the PSNR>=40 contract uses 4:4:4)
+                assert psnr(px, dec) >= 25.0
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    from modlyn_spark.functions.jpeg import jpeg_decode
+
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"notajpeg")
+    # progressive (SOF2) must fail loudly, not decode garbage
+    sof2 = b"\xFF\xD8" + b"\xFF\xC2" + (10).to_bytes(2, "big") + bytes(8)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(sof2 + b"\xFF\xD9")
+
+
+def test_jpeg_through_decode_bytes():
+    from modlyn_spark.functions.jpeg import jpeg_encode
+
+    px = reference_pixels("img_00000001", 0)
+    dec = decode_bytes(jpeg_encode(px, 98, "444"), "jpeg")
+    assert psnr(px, dec) >= 40.0
 
 
 def test_generator_pandas_spark_identical(spark):
@@ -133,6 +177,9 @@ def test_distributed_verify_invariants(spark):
     )
     assert np.isinf(lossless[lossless.fmt == "png"]["psnr_db"]).all()
     assert (lossless[lossless.fmt == "qpng"]["psnr_db"] >= 40.0).all()
+    jp = lossless[lossless.fmt == "jpeg"]
+    assert len(jp) > 0, "generator corpus must include real JPEG rows"
+    assert (jp["psnr_db"] >= 40.0).all()
 
 
 def test_decode_stats_and_phash_lag(spark):
