@@ -59,8 +59,15 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # optional subset (comma list) for big-SF runs where only the scaled
+    # tables' queries are meaningful: SPARK_GRAFT_QUERIES=a,b,c
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q
+    }
 
     def bench(name: str, fn) -> None:
+        if only and name not in only:
+            return
         t0 = time.perf_counter()
         n = fn()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -304,11 +304,16 @@ def minhash_dedup_groups(
 
     Returns (doc_id, keep_id, est_jaccard): one row per document that is a
     near-duplicate of a smaller-id representative (keep_id < doc_id).
-    Unlike ``minhash_lsh_pairs`` (whose candidate volume is quadratic in
-    bucket size, so candidates must travel without signatures), star edges
-    are LINEAR in n x bands — carrying the signature through the one
-    bucket-window shuffle is cheaper than re-joining the signature table
-    afterwards (measured: the re-join variant is ~3x slower at sf0.1).
+
+    Shuffle design — the same travels-light rule as ``minhash_lsh_pairs``:
+    the bucket shuffle moves only (did, band-hash); bucket representatives
+    come from a map-side-combinable groupBy(bh).min(did); the k-lane
+    signatures join in exactly TWICE (once per edge endpoint), i.e. n sig
+    rows per join instead of n x bands copies through a bucket window.
+    Measured at sf0.1 local[32] the window-carry variant and this one are
+    wall-time equal (6.1s vs 6.2-7.7s, hash-identical output; an earlier
+    "re-join 3x slower" measurement predates the light-candidates
+    refactor) — at web scale this variant shuffles ~bands/2 x fewer bytes.
 
     Transitive chains collapse to the chain's bucket-level minimum; like all
     LSH dedup this is approximate — recall rises with ``bands``.
@@ -319,7 +324,6 @@ def minhash_dedup_groups(
     sig = _signatures(df, id_col, text_col, k, n, impl).cache()
     banded = sig.select(
         "did",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -335,11 +339,11 @@ def minhash_dedup_groups(
             )
         ).alias("bh"),
     )
-    w = Window.partitionBy("bh")
+    reps = banded.groupBy("bh").agg(F.min("did").alias("rep"))
     edges = (
-        banded.withColumn("rep", F.min("did").over(w))
+        banded.join(reps, "bh")
         .where(F.col("did") > F.col("rep"))
-        .select("did", "rep", "sig")
+        .select("did", "rep")
         .dropDuplicates(["did", "rep"])
     )
     rep_sig = sig.select(F.col("did").alias("rep"), F.col("sig").alias("rep_sig"))
@@ -347,7 +351,8 @@ def minhash_dedup_groups(
         F.filter(F.zip_with("sig", "rep_sig", lambda x, y: x == y), lambda eq: eq)
     ) / F.lit(float(k))
     verified = (
-        edges.join(rep_sig, "rep")
+        edges.join(sig, "did")
+        .join(rep_sig, "rep")
         .select("did", "rep", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
