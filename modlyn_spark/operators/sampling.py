@@ -1,0 +1,125 @@
+"""Deterministic sampling and splitting for training-data curation.
+
+Spark's built-in ``df.sample`` / ``sampleBy`` draw from a per-partition
+RNG seeded by partition id: the selected ROWS change whenever the input
+splits differently (file layout, AQE, cluster size), which breaks
+reproducible corpus construction and train/test hygiene at 10^12 scale.
+
+Everything here is a PURE COLUMN FUNCTION of the row key instead:
+``u = md5(key)[:8 hex] / 2^32`` is a uniform-[0,1) hash draw, so
+
+- the same row gets the same verdict on ANY cluster, partitioning, or
+  engine (md5 is portable: DuckDB/Trino/pandas reproduce the row set
+  bit-for-bit — same family as sources/checkpoint.py's portable mode);
+- sampling is a narrow map (no shuffle, full predicate pushdown stays
+  available on other columns);
+- changing ``salt`` redraws independently (epoch-versioned corpora);
+- ``split_column`` assigns EVERY key to exactly one split, so a key can
+  never leak across train/test no matter how often it recurs.
+
+Reference context: modlyn subsets AnnData in-memory (reference
+modlyn/datasets semantics); at engine scale the equivalent primitive must
+be a distributed, storage-order-independent decision per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def _hash_unit(key_cols: list[str], salt: str) -> Column:
+    """Uniform [0, 1) draw as a pure function of (key, salt): first 8 hex
+    digits of md5 -> int -> / 2^32. Portable to any SQL engine."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
+                      F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keeps exactly the rows whose hash
+    draw falls under ``fraction``. Identical row set under any
+    partitioning/engine; no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_hash_unit(key_cols, salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict,
+    key_cols: list[str],
+    *,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample (Spark ``sampleBy``
+    semantics, minus the partitioning-dependent RNG): row kept iff its
+    hash draw < fractions[label] (``default`` for unlisted labels).
+    Labels are compared as strings. The class-balancing primitive:
+    downsample the template-heavy strata, keep the rare ones whole."""
+    u = _hash_unit(key_cols, salt)
+    frac = F.lit(float(default))
+    for lab, f in fractions.items():
+        frac = F.when(F.col(label_col).cast("string") == str(lab),
+                      F.lit(float(f))).otherwise(frac)
+    return df.where(u < frac)
+
+
+def stratified_take(
+    df: DataFrame,
+    label_col: str,
+    n_per_label: int,
+    key_cols: list[str],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n_per_label`` rows per stratum (or all rows of smaller
+    strata), chosen by smallest hash draw — a deterministic reservoir.
+    One shuffle (the per-label top-n window); ties are impossible up to
+    md5 collisions. Equivalent SQL: row_number() over (partition by label
+    order by md5(key)) <= n."""
+    if n_per_label <= 0:
+        raise ValueError("n_per_label must be positive")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
+                      F.lit(salt))
+    w = Window.partitionBy(label_col).orderBy(F.md5(key), *key_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_label)
+        .drop("__rn")
+    )
+
+
+def split_column(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict,
+    *,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split by hash range, e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}`` (must sum to ~1; the last
+    split absorbs rounding). The assignment is a pure function of the KEY,
+    so every occurrence of a key lands in the same split — the zero-leakage
+    property train/test hygiene needs when keys recur across rows."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    u = _hash_unit(key_cols, salt)
+    names = list(splits)
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        edges.append((name, acc))
+    expr = F.lit(names[-1])
+    for name, edge in reversed(edges):
+        expr = F.when(u < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

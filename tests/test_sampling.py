@@ -1,0 +1,129 @@
+"""Deterministic sampling/splitting: partitioning-independence, exact
+DuckDB parity of the selected row SET (the portability claim), stratum
+exactness, and the zero-leakage split property."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from modlyn_spark.operators.sampling import (
+    hash_sample,
+    split_column,
+    stratified_sample,
+    stratified_take,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_hash_sample_matches_duckdb_exactly(spark):
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample(_docs(spark), ["doc_id"], 0.3, salt="s1")
+        .select("doc_id")
+        .collect()
+    )
+    exp = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT doc_id FROM '{SF}/documents.parquet'
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|s1'), 1, 8))
+                       AS BIGINT) / 4294967296.0 < 0.3
+            """
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_hash_sample_partitioning_independent(spark):
+    docs = _docs(spark)
+    a = set(r["doc_id"] for r in hash_sample(docs.repartition(13), ["doc_id"], 0.25).select("doc_id").collect())
+    b = set(r["doc_id"] for r in hash_sample(docs.coalesce(1), ["doc_id"], 0.25).select("doc_id").collect())
+    assert a == b
+    n = docs.count()
+    assert abs(len(a) / n - 0.25) < 0.1  # binomial tolerance at n=500
+    # different salt redraws (almost surely a different set)
+    c = set(r["doc_id"] for r in hash_sample(docs, ["doc_id"], 0.25, salt="x").select("doc_id").collect())
+    assert c != a
+
+
+def test_stratified_sample_respects_per_label_fractions(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = stratified_sample(
+        emb, "label", {0: 1.0, 1: 0.0}, ["vec_id"], default=0.5
+    ).groupBy("label").count().collect()
+    counts = {r["label"]: r["count"] for r in out}
+    base = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    assert counts[0] == base[0]          # fraction 1.0 keeps everything
+    assert 1 not in counts               # fraction 0.0 drops the stratum
+    for lab in base:
+        if lab in (0, 1):
+            continue
+        assert abs(counts.get(lab, 0) / base[lab] - 0.5) < 0.25
+
+
+def test_stratified_take_exact_counts_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = stratified_take(emb, "label", 7, ["vec_id"])
+    counts = {r["label"]: r["count"] for r in out.groupBy("label").count().collect()}
+    base = {r["label"]: r["count"] for r in emb.groupBy("label").count().collect()}
+    for lab, n in base.items():
+        assert counts[lab] == min(7, n)
+    ids1 = sorted(r["vec_id"] for r in out.select("vec_id").collect())
+    ids2 = sorted(
+        r["vec_id"]
+        for r in stratified_take(emb.repartition(17), "label", 7, ["vec_id"])
+        .select("vec_id")
+        .collect()
+    )
+    assert ids1 == ids2
+
+
+def test_split_column_partition_function_and_no_leakage(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = split_column(ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every row assigned, fractions sane at the KEY level
+    per_user = out.select("user_id", "split").distinct()
+    # zero leakage: each user_id maps to exactly ONE split even though it
+    # recurs across many event rows (events at this SF: ~15 users, ~10k rows)
+    multi = per_user.groupBy("user_id").count().where("count > 1").count()
+    assert multi == 0
+    assert {r["split"] for r in per_user.collect()} <= {"train", "val", "test"}
+    # fraction accuracy needs a larger key population: 500 doc_ids
+    docs = split_column(
+        _docs(spark), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    frac = {r["split"]: r["count"] for r in docs.groupBy("split").count().collect()}
+    total = sum(frac.values())
+    assert total == _docs(spark).count()
+    assert abs(frac["train"] / total - 0.8) < 0.06  # ~3 sigma at n=500
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_column(ev, ["user_id"], {"a": 0.5, "b": 0.4})
+
+
+def test_hash_sample_pandas_twin(spark):
+    """The same decision rule reproduced in pandas/hashlib — the oracle
+    pattern any external system can implement."""
+    import hashlib
+
+    docs = _docs(spark).select("doc_id").toPandas()
+    keep = docs["doc_id"][
+        docs["doc_id"].map(
+            lambda d: int(hashlib.md5(f"{d}|".encode()).hexdigest()[:8], 16)
+            / 2**32
+            < 0.4
+        )
+    ]
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample(_docs(spark), ["doc_id"], 0.4).select("doc_id").collect()
+    )
+    assert got == sorted(keep.tolist())
