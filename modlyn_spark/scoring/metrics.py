@@ -37,10 +37,15 @@ def classification_report_df(
     '__macro__' (unweighted means) and '__weighted__' (support-weighted
     means, support=total). sklearn classification_report parity.
 
-    Distributed shape: ONE small shuffle (groupBy(true, pred).count() —
-    k x k rows), then per-class arithmetic as broadcastable joins over the
-    k-row label set. Nothing is collected; at 100 TB the only data-sized
-    pass is the confusion-matrix aggregate, which is map-side combinable.
+    Distributed shape: ONE data-sized pass (the map-side-combinable
+    groupBy(true, pred).count() — k x k result rows), then per-class
+    arithmetic as joins over the k-row label set. The confusion matrix is
+    eagerly localCheckpoint()ed: it is referenced by five downstream
+    branches (labels/tp/pred-n/true-n/totals), and without truncation
+    Catalyst would re-evaluate the whole upstream subtree — including any
+    prediction UDF over the full table — once per branch (measured: the
+    un-truncated report plan held 33 Exchanges and ~10 copies of the
+    predict stage; with the checkpoint it is one scan + small-data joins).
     """
     cm = (
         df.groupBy(
@@ -48,6 +53,7 @@ def classification_report_df(
             F.col(pred_col).cast("string").alias("p"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # k*k rows; truncates the data-sized subtree
     )
     labs = (
         cm.select(F.col("t").alias("label"))
@@ -94,7 +100,7 @@ def classification_report_df(
             F.col("true_n").cast("long").alias("support"),
             F.col("tp"),
         )
-    )
+    ).localCheckpoint()  # k rows, referenced by the output + 3 summary rows
     summary = per.agg(
         (F.sum("tp") * 1.0 / F.sum("support")).alias("accuracy"),
         F.avg("precision").alias("m_p"),
