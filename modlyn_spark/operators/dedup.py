@@ -705,6 +705,95 @@ def simhash_near_dup_pairs(
     )
 
 
+def minhash_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 96,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    est_margin: float = 0.15,
+    impl: str = "numpy",
+) -> DataFrame:
+    """CROSS-corpus near-duplicate detection — the benchmark-contamination
+    check: which ``probe`` documents (e.g. an eval set) appear
+    near-verbatim in ``corpus`` (e.g. the training set)?
+
+    Same candidates-then-exact-verify contract as
+    ``minhash_near_dup_pairs``, but the banded join is BETWEEN the two
+    tables (never within either), so cost is sum-over-buckets of
+    |corpus bucket| x |probe bucket| — linear in the corpora for bounded
+    buckets, and the probe side is typically tiny (an eval set), making
+    the join a near-broadcast. Candidates travel as bare id pairs; exact
+    packed-shingle Jaccard verifies each. Ids may overlap between the two
+    tables (they are independent id spaces).
+
+    Returns (corpus_id, probe_id, jaccard) with jaccard >= threshold.
+    """
+    csig = _signatures(corpus, id_col, text_col, k, n, impl)
+    psig = _signatures(probe, id_col, text_col, k, n, impl)
+    rows_per_band = k // bands
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        return sig.select(
+            F.col("did").alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("sig")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        )
+
+    cand = (
+        banded(csig, "corpus_id")
+        .join(banded(psig, "probe_id"), "bh")
+        .select("corpus_id", "probe_id")
+        .dropDuplicates(["corpus_id", "probe_id"])
+    )
+    # est-Jaccard pre-filter (cheap fixed-k compare) before shingle arrays
+    s1 = csig.select(F.col("did").alias("corpus_id"), F.col("sig").alias("sig1"))
+    s2 = psig.select(F.col("did").alias("probe_id"), F.col("sig").alias("sig2"))
+    cand = (
+        cand.join(s1, "corpus_id")
+        .join(s2, "probe_id")
+        .where(
+            _est_jaccard_udf("sig1", "sig2")
+            >= max(threshold - est_margin, 0.0)
+        )
+        .select("corpus_id", "probe_id")
+    )
+    csh = _packed_shingle_arrays(corpus, id_col, text_col, n).select(
+        F.col("did").alias("corpus_id"), F.col("psh").alias("psh1")
+    )
+    psh = _packed_shingle_arrays(probe, id_col, text_col, n).select(
+        F.col("did").alias("probe_id"), F.col("psh").alias("psh2")
+    )
+    return (
+        cand.join(csh, "corpus_id")
+        .join(psh, "probe_id")
+        .select(
+            "corpus_id",
+            "probe_id",
+            _packed_jaccard_udf("psh1", "psh2").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,148 @@
+"""Distributed PCA over embedding columns (covariance-partials + driver eigh).
+
+The curation primitive that precedes ANN / clustering / semantic dedup at
+corpus scale: decorrelate or reduce ``array<float>`` embeddings when dim
+is modest (d <= ~2000) and n is astronomically large — exactly the regime
+where the (d x d) covariance fits on the driver but the data never could.
+
+Physical shape (the same partial-aggregation pattern as scoring/stats.py
+and clustering.py):
+
+- one ``mapInPandas`` pass computes per-partition (n, col-sum, X^T X)
+  with a single (batch x d)^T @ (batch x d) GEMM per Arrow batch — rows
+  NEVER shuffle; d*(d+1) doubles per partition come back;
+- partials combine on the driver in sorted-partition order (float64), so
+  the fitted basis is deterministic at ANY parallelism — the same
+  N-vs-4N invariant the logreg trainer and k-means keep;
+- eigendecomposition of the (d x d) covariance runs on the driver
+  (np.linalg.eigh — symmetric, stable), eigenvectors sign-fixed so each
+  component's largest-|loading| entry is positive (basis is unique, not
+  just unique-up-to-sign);
+- ``pca_transform`` projects with one (batch x d) @ (d x k) GEMM per
+  Arrow batch.
+
+Reference context: modlyn selects features on dense matrices in memory;
+at engine scale the moment-based two-pass (moments, then project) is the
+standard distributed PCA (e.g. Spark MLlib's RowMatrix PCA uses the same
+Gramian-on-driver layout) re-expressed over DataFrames + Arrow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("pid", LongType()),
+        StructField("n", LongType()),
+        StructField("s", ArrayType(DoubleType())),      # column sums (d,)
+        StructField("xtx", ArrayType(DoubleType())),    # flattened (d, d)
+    ]
+)
+
+
+@dataclass
+class PCAModel:
+    mean: np.ndarray                 # (d,)
+    components: np.ndarray           # (k, d) rows = principal axes
+    explained_variance: np.ndarray   # (k,) eigenvalues, descending
+    explained_variance_ratio: np.ndarray  # (k,)
+    n_rows: int
+
+
+def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
+    """Fit PCA on an ``array``-typed column. One data pass; deterministic
+    under any partitioning. Requires at least 2 rows."""
+    from modlyn_spark.operators.similarity import _vec_dim
+
+    dim = _vec_dim(df, vec_col)
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"n_components must be in [1, {dim}]")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = np.zeros(dim, dtype=np.float64)
+        xtx = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n += len(X)
+            s += X.sum(axis=0)
+            xtx += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"pid": [pid], "n": [n], "s": [s.tolist()],
+                 "xtx": [xtx.ravel().tolist()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(partials, schema=_PARTIAL_SCHEMA).collect()
+    parts.sort(key=lambda r: r["pid"])  # deterministic combine order
+    n = 0
+    s = np.zeros(dim, dtype=np.float64)
+    xtx = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        n += int(r["n"])
+        s += np.asarray(r["s"], dtype=np.float64)
+        xtx += np.asarray(r["xtx"], dtype=np.float64).reshape(dim, dim)
+    if n < 2:
+        raise ValueError(f"PCA needs at least 2 rows (got {n})")
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    evals = np.maximum(evals[order], 0.0)
+    # sign fix: largest-|loading| entry of each component is positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total_var = float(np.maximum(np.trace(cov), 1e-300))
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        explained_variance=evals,
+        explained_variance_ratio=evals / total_var,
+        n_rows=n,
+    )
+
+
+def pca_transform(
+    df: DataFrame, vec_col: str, model: PCAModel, *, out_col: str = "pca"
+) -> DataFrame:
+    """Project vectors onto the fitted basis — one (batch x d) @ (d x k)
+    GEMM per Arrow batch, appended as ``out_col: array<double>``."""
+    mean, W = model.mean, model.components
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Z = (X - mean) @ W.T
+            out = pdf.copy()
+            out[out_col] = list(Z)
+            yield out
+
+    return df.mapInPandas(run, schema=schema)

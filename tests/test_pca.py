@@ -1,0 +1,105 @@
+"""Distributed PCA vs numpy: basis/variance allclose, partitioning
+determinism, projection correctness, reconstruction optimality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from modlyn_spark.operators.pca import pca_fit, pca_transform
+
+
+def _numpy_pca(X: np.ndarray, k: int):
+    """Independent single-node twin: covariance eigh with the same sign
+    convention."""
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    X = np.stack(
+        df.orderBy("vec_id").toPandas()["v"].to_numpy()
+    ).astype(np.float64)
+    return df, X
+
+
+def test_pca_matches_numpy(spark, emb):
+    df, X = emb
+    m = pca_fit(df, "v", 8)
+    mean, comps, evals = _numpy_pca(X, 8)
+    assert m.n_rows == len(X)
+    np.testing.assert_allclose(m.mean, mean, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(m.explained_variance, evals, rtol=1e-8)
+    np.testing.assert_allclose(m.components, comps, rtol=1e-6, atol=1e-8)
+    assert (np.diff(m.explained_variance) <= 1e-12).all()  # descending
+    assert 0 < m.explained_variance_ratio.sum() <= 1.0 + 1e-9
+
+
+def test_pca_partitioning_deterministic(spark, emb):
+    df, _ = emb
+    m1 = pca_fit(df.repartition(7), "v", 4)
+    m13 = pca_fit(df.coalesce(1), "v", 4)
+    np.testing.assert_allclose(m1.components, m13.components, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        m1.explained_variance, m13.explained_variance, rtol=1e-9
+    )
+
+
+def test_pca_transform_projects_correctly(spark, emb):
+    df, X = emb
+    m = pca_fit(df, "v", 4)
+    got = (
+        pca_transform(df, "v", m, out_col="z")
+        .orderBy("vec_id")
+        .select("z")
+        .toPandas()["z"]
+    )
+    Z = np.stack(got.to_numpy())
+    np.testing.assert_allclose(Z, (X - m.mean) @ m.components.T, rtol=1e-8, atol=1e-9)
+    # projected variance per component == eigenvalue (the PCA property)
+    np.testing.assert_allclose(
+        Z.var(axis=0, ddof=1), m.explained_variance, rtol=1e-8
+    )
+    # components are orthonormal
+    np.testing.assert_allclose(
+        m.components @ m.components.T, np.eye(4), atol=1e-9
+    )
+
+
+def test_pca_recovers_planted_low_rank(spark):
+    """A rank-2 + noise matrix: the top-2 subspace must capture ~all
+    variance and the reconstruction must beat any other 2-dim projection
+    (sanity of eigen ordering)."""
+    rng = np.random.default_rng(0)
+    basis = rng.standard_normal((2, 16))
+    Z = rng.standard_normal((400, 2)) * np.array([5.0, 2.0])
+    X = Z @ basis + rng.standard_normal((400, 16)) * 0.01
+    pdf = pd.DataFrame({"id": range(400), "v": [list(r) for r in X]})
+    df = __import__("pyspark").sql.SparkSession.getActiveSession().createDataFrame(pdf)
+    m = pca_fit(df, "v", 2)
+    assert m.explained_variance_ratio.sum() > 0.99
+
+
+def test_pca_errors(spark):
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "id bigint, v array<double>")
+    with pytest.raises(ValueError, match="at least 2 rows"):
+        pca_fit(one, "v", 1)
+    two = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])], "id bigint, v array<double>"
+    )
+    with pytest.raises(ValueError, match="n_components"):
+        pca_fit(two, "v", 3)

@@ -460,3 +460,70 @@ def test_simhash_udf_null_semantics(spark):
     }
     assert out[1] is None and out[2] is None
     assert out[0] is not None and out[0] == out[3]
+
+
+def test_minhash_contamination_vs_duckdb_exact(spark):
+    """Cross-corpus contamination: engine output == DuckDB's EXACT
+    cross-corpus 3-gram Jaccard pair set at the threshold (hash-match
+    doubles as a 100%-recall proof on this corpus), never pairs within a
+    corpus, and survives overlapping id spaces."""
+    import pandas as pd
+
+    from modlyn_spark.operators.dedup import minhash_contamination
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.iloc[: len(docs) // 2][["doc_id", "text"]].reset_index(drop=True)
+    # probe: some contaminated rows (verbatim + lightly mutated corpus
+    # texts) + clean rows; ids deliberately REUSE corpus ids (0, 1, ...)
+    probe_rows = []
+    for i in range(8):
+        t = corpus["text"].iloc[i]
+        probe_rows.append({"doc_id": i, "text": t if i % 2 == 0 else t + " zz"})
+    for i in range(8, 16):
+        probe_rows.append({"doc_id": i, "text": f"clean probe number {i} about nothing at all {i}"})
+    probe = pd.DataFrame(probe_rows)
+
+    got = (
+        minhash_contamination(
+            spark.createDataFrame(corpus),
+            spark.createDataFrame(probe),
+            "doc_id",
+            "text",
+            threshold=0.8,
+        )
+        .select("corpus_id", "probe_id", F.round("jaccard", 4).alias("j"))
+        .toPandas()
+        .sort_values(["corpus_id", "probe_id"])
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.register("corpus", corpus)
+    con.register("probe", probe)
+    exp = con.sql(
+        """
+        WITH cs AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(lower(text)) - 2),
+                   i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+          FROM corpus),
+        ps AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, len(lower(text)) - 2),
+                   i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+          FROM probe),
+        ce AS (SELECT doc_id, unnest(s) AS g FROM cs),
+        pe AS (SELECT doc_id, unnest(s) AS g FROM ps),
+        c AS (SELECT ce.doc_id AS corpus_id, pe.doc_id AS probe_id, count(*) AS c
+              FROM ce JOIN pe ON ce.g = pe.g GROUP BY 1, 2)
+        SELECT corpus_id, probe_id,
+               round(c * 1.0 / (len(cs.s) + len(ps.s) - c), 4) AS j
+        FROM c JOIN cs ON cs.doc_id = corpus_id JOIN ps ON ps.doc_id = probe_id
+        WHERE c * 1.0 / (len(cs.s) + len(ps.s) - c) >= 0.8
+        ORDER BY corpus_id, probe_id
+        """
+    ).df()
+    assert len(got) == len(exp) >= 8  # all 8 planted contaminations found
+    assert (got["corpus_id"].values == exp["corpus_id"].values).all()
+    assert (got["probe_id"].values == exp["probe_id"].values).all()
+    assert np.allclose(got["j"].values, exp["j"].values)
