@@ -86,6 +86,7 @@ from modlyn_spark.session import get_spark
 from modlyn_spark.plans.pipeline import image_feature_pipeline, score_features
 
 cpus = {cpus}
+steady = {steady}
 # shuffle partitioning is sized to the DATA (~64MB targets via AQE from a
 # high initial count), NOT to the core count — the two parallelism levels
 # run the identical plan with identical partitioning, like two cluster
@@ -103,6 +104,18 @@ requests = spark.read.parquet({req_path!r})
 n_state = images.count()
 n_req = requests.count()
 
+if steady:
+    # STEADY-STATE protocol: run the IDENTICAL pipeline on a ~4%
+    # hash-slice first, so every codegen stage / Arrow path / shuffle
+    # codepath is JIT-compiled before timing starts. A production
+    # cluster job runs warm; the single-shot cold protocol charges
+    # ~8-10 s of one-time JVM compilation against the run, which
+    # distorts the RATIO when the high-parallelism wall time is ~85 s
+    # (it costs the 4-core run ~10% and the 1-core run ~3%).
+    si = images.where(F.pmod(F.xxhash64("image_id"), F.lit(25)) == 0)
+    sr = requests.where(F.pmod(F.xxhash64("image_id"), F.lit(25)) == 0)
+    score_features(image_feature_pipeline(si, sr, asof_strategy="union")).collect()
+
 t0 = time.perf_counter()
 feats = image_feature_pipeline(images, requests, asof_strategy="union")
 ranked = score_features(feats)
@@ -116,10 +129,11 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_once(cpus: int, img_path: str, req_path: str) -> dict:
+def run_once(cpus: int, img_path: str, req_path: str, steady: bool = False) -> dict:
     """Measure in a fresh subprocess (own JVM)."""
     code = _MEASURE_SNIPPET.format(
-        repo=REPO, cpus=cpus, img_path=img_path, req_path=req_path
+        repo=REPO, cpus=cpus, img_path=img_path, req_path=req_path,
+        steady=steady,
     )
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")
     out = subprocess.run(
@@ -133,13 +147,15 @@ def run_once(cpus: int, img_path: str, req_path: str) -> dict:
 
 
 def main() -> None:
-    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 3_000_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    args = [a for a in sys.argv[1:] if a != "--steady-state"]
+    steady = "--steady-state" in sys.argv[1:]
+    n_entities = int(args[0]) if len(args) > 0 else 3_000_000
+    low = int(args[1]) if len(args) > 1 else 2
+    high = int(args[2]) if len(args) > 2 else 8
 
     img_path, req_path = generate_input(n_entities)
-    r_low = run_once(low, img_path, req_path)
-    r_high = run_once(high, img_path, req_path)
+    r_low = run_once(low, img_path, req_path, steady=steady)
+    r_high = run_once(high, img_path, req_path, steady=steady)
     speedup = r_low["seconds"] / r_high["seconds"]
     eff = speedup / (high / low)
     result = {
@@ -148,7 +164,10 @@ def main() -> None:
         "high": r_high,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
-        "protocol": f"same job, same input, local[{low}] vs local[{high}], fresh JVM each",
+        "protocol": (
+            f"same job, same input, local[{low}] vs local[{high}], fresh JVM "
+            f"each{', steady-state (JIT pre-warmed on a 4% slice)' if steady else ''}"
+        ),
     }
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/scaling.json", "w") as fh:
