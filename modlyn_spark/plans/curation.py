@@ -1,0 +1,84 @@
+"""End-to-end corpus curation — the training-data pipeline composed.
+
+One declarative dataflow from raw documents to a training-ready corpus:
+
+1. exact dedup (content-fingerprint groupBy — keep min-id per text);
+2. near-duplicate removal (MinHash-LSH star-edge grouping: every doc that
+   verifies against a smaller-id representative is dropped);
+3. quality + language gating (pure column expressions — codegen);
+4. benchmark-contamination removal against an optional probe/eval set
+   (cross-corpus MinHash + exact-Jaccard verify — any corpus doc
+   near-verbatim in the probe is dropped);
+5. leak-free train/val/test assignment (md5-keyed split: every key lands
+   in exactly one split under any partitioning).
+
+Scale shape: steps 1/3/5 are narrow or single-aggregate; steps 2/4 are
+the banded-join dedup machinery (candidates travel as bare ids, exact
+verification bounded by candidate volume). Nothing is collected; the
+result is a DataFrame with the surviving rows plus (lang_pred, quality,
+split) columns.
+
+Reference context: modlyn curates in-memory matrices (filters,
+subsetting); this is the same intent at web scale over text corpora —
+the engine surface a 100 TB training-data pipeline actually runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modlyn_spark.functions.text import lang_id, quality_score
+from modlyn_spark.operators.dedup import (
+    dedup_exact,
+    minhash_contamination,
+    minhash_dedup_groups,
+)
+from modlyn_spark.operators.sampling import split_column
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.3,
+    lang_allow: list[str] | None = None,
+    near_dup_threshold: float = 0.9,
+    contamination_probe: DataFrame | None = None,
+    contamination_threshold: float = 0.8,
+    splits: dict | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Returns the curated corpus: original columns + lang_pred, quality,
+    split. Deterministic end to end (hash-keyed decisions only)."""
+    out = dedup_exact(docs, id_col, text_col)
+
+    dup = minhash_dedup_groups(
+        out, id_col, text_col, threshold=near_dup_threshold
+    ).select(F.col("doc_id").alias(id_col))
+    out = out.join(dup, id_col, "left_anti")
+
+    out = out.withColumn("lang_pred", lang_id(F.col(text_col))).withColumn(
+        "quality", quality_score(F.col(text_col))
+    )
+    out = out.where(F.col("quality") >= min_quality)
+    if lang_allow is not None:
+        out = out.where(F.col("lang_pred").isin(list(lang_allow)))
+
+    if contamination_probe is not None:
+        dirty = minhash_contamination(
+            out,
+            contamination_probe,
+            id_col,
+            text_col,
+            threshold=contamination_threshold,
+        ).select(F.col("corpus_id").alias(id_col)).distinct()
+        out = out.join(dirty, id_col, "left_anti")
+
+    return split_column(
+        out,
+        [id_col],
+        splits or {"train": 0.9, "val": 0.05, "test": 0.05},
+        salt=salt,
+    )

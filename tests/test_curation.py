@@ -1,0 +1,96 @@
+"""End-to-end corpus curation: planted exact dups, near-dups, garbage and
+contaminated rows are removed; clean rows survive with leak-free splits;
+the whole dataflow is deterministic under repartitioning."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from modlyn_spark.plans.curation import curate_corpus
+
+GOOD = [
+    "the quick brown fox jumps over the lazy dog and it was good for all of "
+    "them in the end because the story is long enough to pass the gate",
+    "a second perfectly reasonable document that talks about the weather and "
+    "the harvest and is also long enough for the quality heuristics to like",
+    "yet another wholesome piece of text for the corpus with the usual words "
+    "that it needs to be kept by the filters in the pipeline of the engine",
+]
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = []
+    for i, t in enumerate(GOOD):
+        rows.append({"doc_id": i, "text": t})
+    rows.append({"doc_id": 100, "text": GOOD[0]})          # exact dup
+    rows.append({"doc_id": 101, "text": GOOD[1] + " zz"})  # near dup
+    rows.append({"doc_id": 102, "text": "@@@@ ###"})       # garbage
+    rows.append({"doc_id": 103, "text": GOOD[2][:-4] + " okay"})  # near dup
+    # contaminated: near-verbatim copy of an eval question
+    rows.append(
+        {"doc_id": 104,
+         "text": "what is the capital of atlantis answer it is the city of "
+                 "posadia which everyone knows from the benchmark of course"}
+    )
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+@pytest.fixture()
+def probe(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                "text": [
+                    "what is the capital of atlantis answer it is the city of "
+                    "posadia which everyone knows from the benchmark of course!"
+                ],
+            }
+        )
+    )
+
+
+def test_curation_end_to_end(spark, corpus, probe):
+    out = curate_corpus(
+        corpus,
+        min_quality=0.3,
+        near_dup_threshold=0.8,
+        contamination_probe=probe,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).toPandas()
+    kept = set(out["doc_id"])
+    assert kept == {0, 1, 2}, kept  # survivors: the three originals
+    assert set(out.columns) >= {"doc_id", "text", "lang_pred", "quality", "split"}
+    assert (out["lang_pred"] == "en").all()
+    assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_curation_deterministic_under_partitioning(spark, corpus, probe):
+    a = curate_corpus(
+        corpus.repartition(7), contamination_probe=probe, near_dup_threshold=0.8
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = curate_corpus(
+        corpus.coalesce(1), contamination_probe=probe, near_dup_threshold=0.8
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["doc_id"].values == b["doc_id"].values).all()
+    assert (a["split"].values == b["split"].values).all()
+
+
+def test_curation_on_real_documents(spark):
+    """Drive on the real parquet corpus: output is a strict subset, has no
+    exact-duplicate fingerprints, and every row carries a split."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate_corpus(docs, min_quality=0.0, near_dup_threshold=0.9)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    from modlyn_spark.functions.text import doc_fingerprint
+    from pyspark.sql import functions as F
+
+    dup_fp = (
+        out.select(doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp").count().where("count > 1").count()
+    )
+    assert dup_fp == 0
+    assert out.where(F.col("split").isNull()).count() == 0
