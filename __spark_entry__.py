@@ -67,6 +67,19 @@ _PROBES_SQL = """
   FROM events WHERE event_type IN ('view', 'click')
 """
 
+# whitespace-tokenized words with per-doc positions re-ranked after
+# dropping empty tokens (matches the engine's \\s+ tokenizer)
+_WORDS_SQL = """
+  SELECT doc_id, word, length(word) AS wl,
+         row_number() OVER (PARTITION BY doc_id ORDER BY o0) AS ord
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS word,
+           generate_subscripts(string_split(lower(text), ' '), 1) AS o0
+    FROM documents
+  ) WHERE word <> ''
+"""
+
 
 # ---------------------------------------------------------------------------
 # entry
@@ -384,6 +397,43 @@ def q_dedup_groups(spark, sf_dir):
     return duplicate_groups(docs, "doc_id", "text").select(
         "fp", "n_dups", "keep_id"
     )
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher Table-A1 repetition signals (functions/repetition.py) over
+    the documents table — the word-n-gram measures (the driver corpus has
+    no line structure; line/paragraph signals are pytest-gated on
+    synthetic multi-line docs). One shuffle-free Arrow-batched map.
+    Oracle: independent DuckDB window/self-join reformulation."""
+    from modlyn_spark.functions.repetition import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_signals(docs.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        F.round("top_2gram_char_frac", 4).alias("top2gram_frac"),
+        F.round("top_3gram_char_frac", 4).alias("top3gram_frac"),
+        F.round("dup_5gram_char_frac", 4).alias("dup5gram_frac"),
+    )
+
+
+def q_corpus_chunk_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level boilerplate removal
+    (operators/dedup.py corpus_line_dedup): every 3-word chunk whose exact
+    value occurs >=2 times corpus-wide is removed from every document,
+    texts reassembled in order. Explode -> map-side-combinable global
+    count -> broadcast anti-join -> one reassembly shuffle."""
+    from modlyn_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_line_dedup(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        chunk_words=3,
+        min_count=2,
+        out_col="clean_text",
+    ).select("doc_id", "clean_text", "n_units_kept", "n_units_removed")
 
 
 def q_anti_join_orphans(spark, sf_dir):
@@ -1065,6 +1115,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_shipmode": q_tpch_q12_shipmode,
         "asof_join_broadcast": q_asof_join_broadcast,
         "dedup_groups": q_dedup_groups,
+        # round-3 additions: new operators, mirror-gated from day one (the
+        # 50 driver slots are full; these carry full oracles regardless)
+        "repetition_signals": q_repetition_signals,
+        "corpus_chunk_dedup": q_corpus_chunk_dedup,
     }
 
 
@@ -1672,5 +1726,92 @@ def retired_oracle_sql() -> dict[str, str]:
                      count(*) AS n_dups, min(doc_id) AS keep_id
               FROM documents GROUP BY 1)
             WHERE n_dups > 1
+        """,
+        "repetition_signals": f"""
+            WITH w AS ({_WORDS_SQL}),
+            tot AS (
+              SELECT doc_id, CAST(sum(wl) AS DOUBLE) AS total
+              FROM w GROUP BY doc_id
+            ),
+            lw AS (
+              SELECT doc_id, ord, word, wl,
+                     lead(word, 1) OVER win AS w1, lead(wl, 1) OVER win AS l1,
+                     lead(word, 2) OVER win AS w2, lead(wl, 2) OVER win AS l2,
+                     lead(word, 3) OVER win AS w3, lead(wl, 3) OVER win AS l3,
+                     lead(word, 4) OVER win AS w4, lead(wl, 4) OVER win AS l4
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            top2 AS (
+              SELECT doc_id, cnt * glen AS mass FROM (
+                SELECT doc_id, word || ' ' || w1 AS gram, wl + l1 AS glen,
+                       count(*) AS cnt
+                FROM lw WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
+              ) QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+            ),
+            top3 AS (
+              SELECT doc_id, cnt * glen AS mass FROM (
+                SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS gram,
+                       wl + l1 + l2 AS glen, count(*) AS cnt
+                FROM lw WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+              ) QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+            ),
+            g5 AS (
+              SELECT doc_id, ord,
+                     word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+                       AS gram
+              FROM lw WHERE w4 IS NOT NULL
+            ),
+            d5 AS (
+              SELECT doc_id, gram FROM g5
+              GROUP BY doc_id, gram HAVING count(*) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g5.doc_id, g5.ord + k.k AS pos
+              FROM g5 JOIN d5 USING (doc_id, gram)
+              CROSS JOIN (SELECT unnest(range(5)) AS k) k
+            ),
+            dup5 AS (
+              SELECT w.doc_id, sum(w.wl) AS mass
+              FROM w JOIN cov ON w.doc_id = cov.doc_id AND w.ord = cov.pos
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(round(top2.mass / tot.total, 4), 0.0)
+                     AS top2gram_frac,
+                   coalesce(round(top3.mass / tot.total, 4), 0.0)
+                     AS top3gram_frac,
+                   coalesce(round(dup5.mass / tot.total, 4), 0.0)
+                     AS dup5gram_frac
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)
+        """,
+        "corpus_chunk_dedup": f"""
+            WITH w AS ({_WORDS_SQL}),
+            ch AS (
+              SELECT doc_id, (ord - 1) // 3 AS cid,
+                     string_agg(word, ' ' ORDER BY ord) AS unit
+              FROM w GROUP BY doc_id, (ord - 1) // 3
+            ),
+            hot AS (SELECT unit FROM ch GROUP BY unit HAVING count(*) >= 2),
+            kept AS (SELECT ch.* FROM ch ANTI JOIN hot USING (unit)),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY doc_id),
+            re AS (
+              SELECT doc_id, string_agg(unit, ' ' ORDER BY cid) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(re.clean_text, '') AS clean_text,
+                   CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_units_kept,
+                   CAST(coalesce(tot.n_total, 0) - coalesce(re.n_kept, 0)
+                        AS BIGINT) AS n_units_removed
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN re USING (doc_id)
         """,
     }

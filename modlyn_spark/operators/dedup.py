@@ -863,3 +863,106 @@ def embedding_dup_pairs(
         .select("id1", "id2", _cosine_udf(F.col("v1"), F.col("v2")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delim: str = "\n",
+    chunk_words: int | None = None,
+    min_count: int = 2,
+    broadcast_hot: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style corpus-level boilerplate removal.
+
+    Splits every document into units — lines on ``delim`` by default, or
+    consecutive non-overlapping ``chunk_words``-word chunks when the corpus
+    has no line structure — removes EVERY occurrence of any unit whose
+    exact value appears >= ``min_count`` times corpus-wide (nav bars,
+    cookie banners, boilerplate), and reassembles each document preserving
+    unit order. Documents reduced to nothing keep an empty string.
+
+    Returns the input columns with ``out_col`` (default: ``text_col``
+    replaced) plus ``n_units_kept`` / ``n_units_removed``.
+
+    Scale shape: posexplode -> ONE map-side-combinable groupBy on the unit
+    value for global counts (shuffle volume = distinct units, not
+    occurrences) -> anti-join against the hot set (broadcast by default:
+    at web scale the boilerplate set is tiny next to the corpus; pass
+    ``broadcast_hot=False`` to let AQE pick when it is not) -> one
+    groupBy(id) to reassemble. No cross joins, no per-row Python.
+    """
+    out_col = out_col or text_col
+    if chunk_words is not None:
+        k = int(chunk_words)
+        words = F.filter(
+            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+        )
+        n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+        # guard: F.sequence(0, -1) auto-steps DESCENDING for empty docs
+        units = F.when(
+            n_chunks > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sep = " "
+    else:
+        import re as _re
+
+        units = F.filter(
+            F.split(F.col(text_col), _re.escape(delim), -1),
+            lambda t: F.trim(t) != "",
+        )
+        sep = delim
+
+    ex = df.select(
+        F.col(id_col), F.posexplode_outer(units).alias("__pos", "__unit")
+    )
+    hot = (
+        ex.where(F.col("__unit").isNotNull())
+        .groupBy("__unit")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_count)
+        .select("__unit")
+    )
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    kept = ex.where(F.col("__unit").isNotNull()).join(
+        hot, "__unit", "left_anti"
+    )
+    totals = ex.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("__unit").isNotNull(), 1).otherwise(0)
+        ).alias("__total")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__unit"))
+                ),
+                lambda s: s["__unit"],
+            ),
+            sep,
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    return (
+        df.drop(out_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "n_units_kept", F.coalesce(F.col("__kept"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "n_units_removed",
+            (F.coalesce(F.col("__total"), F.lit(0)) - F.coalesce(F.col("__kept"), F.lit(0))).cast("long"),
+        )
+        .drop("__clean", "__kept", "__total")
+    )

@@ -392,3 +392,66 @@ def oracle_kmeans(
             break
     d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
     return C, d.argmin(axis=1), history
+
+
+def oracle_repetition(
+    texts: list,
+    line_delim: str = "\n",
+    para_delim: str = "\n\n",
+) -> pd.DataFrame:
+    """Independent plain-Python twin of functions.repetition: dict/loop
+    implementation (no numpy coding tricks) of the Gopher Table A1
+    repetition signals, one row per input text."""
+    from collections import Counter
+
+    import re
+
+    def dup_fracs(units: list[str]) -> tuple[float, float]:
+        if not units:
+            return 0.0, 0.0
+        c = Counter(units)
+        dups = [u for u in units if c[u] >= 2]
+        total = sum(len(u) for u in units)
+        return (
+            len(dups) / len(units),
+            (sum(len(u) for u in dups) / total) if total else 0.0,
+        )
+
+    rows = []
+    for t in texts:
+        t = "" if t is None or (isinstance(t, float) and pd.isna(t)) else str(t)
+        lines = [l for l in t.split(line_delim) if l.strip()]
+        paras = [p for p in t.split(para_delim) if p.strip()]
+        dlf, dlcf = dup_fracs(lines)
+        dpf, dpcf = dup_fracs(paras)
+        words = [w for w in re.split(r"\s+", t.lower()) if w]
+        total = sum(len(w) for w in words)
+        row = {
+            "dup_line_frac": dlf,
+            "dup_line_char_frac": dlcf,
+            "dup_para_frac": dpf,
+            "dup_para_char_frac": dpcf,
+        }
+        for n in (2, 3, 4):
+            key = f"top_{n}gram_char_frac"
+            if total == 0 or len(words) < n:
+                row[key] = 0.0
+                continue
+            grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+            c = Counter(grams)
+            best = min(g for g, k in c.items() if k == max(c.values()))
+            row[key] = c[best] * sum(len(w) for w in best) / total
+        for n in (5, 6, 7, 8, 9, 10):
+            key = f"dup_{n}gram_char_frac"
+            if total == 0 or len(words) < n:
+                row[key] = 0.0
+                continue
+            grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
+            c = Counter(grams)
+            covered = set()
+            for i, g in enumerate(grams):
+                if c[g] >= 2:
+                    covered.update(range(i, i + n))
+            row[key] = sum(len(words[i]) for i in covered) / total
+        rows.append(row)
+    return pd.DataFrame(rows, dtype="float64")

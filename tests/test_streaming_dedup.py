@@ -1,0 +1,79 @@
+"""Streaming exact dedup: admitted set == batch dedup on the same input,
+cross-microbatch duplicates dropped from state, batch-path dual."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modlyn_spark.operators.dedup import dedup_exact
+from modlyn_spark.streaming.dedup import streaming_exact_dedup
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_streaming_dedup_matches_batch_and_spans_microbatches(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [
+        (0, "2024-01-01 00:00:00", "alpha unique document"),
+        (1, "2024-01-01 00:01:00", "duplicate   Body text"),
+        (2, "2024-01-01 00:02:00", "duplicate body TEXT"),  # dup of 1 (canon)
+        (3, "2024-01-01 00:03:00", "gamma content"),
+    ]
+    batch2 = [
+        (4, "2024-01-01 00:10:00", "Duplicate body text"),  # dup of 1, later file
+        (5, "2024-01-01 00:11:00", "delta fresh arrival"),
+    ]
+    fmt = lambda rows: [  # noqa: E731
+        (i, __import__("datetime").datetime.fromisoformat(t), x)
+        for i, t, x in rows
+    ]
+    _rows(spark, fmt(batch1)).coalesce(1).write.parquet(f"{src}/b1")
+    _rows(spark, fmt(batch2)).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_exact_dedup(stream, "text", ts_col="ts")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).orderBy("doc_id").collect()
+    admitted = [r["doc_id"] for r in got]
+    # first arrival wins within AND across microbatches
+    assert admitted == [0, 1, 3, 5]
+
+    all_rows = _rows(spark, fmt(batch1 + batch2))
+    batch_ids = sorted(
+        r["doc_id"] for r in dedup_exact(all_rows, "doc_id", "text").collect()
+    )
+    assert admitted == batch_ids
+
+
+def test_batch_path_dual(spark):
+    df = _rows(
+        spark,
+        [
+            (0, None, "same text"),
+            (1, None, "SAME   text"),
+            (2, None, "other"),
+        ],
+    )
+    out = streaming_exact_dedup(df, "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+    assert "fp" in out.columns
