@@ -28,8 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modlyn_spark.functions.repetition import (
+    gopher_repetition_ok,
+    repetition_signals,
+)
 from modlyn_spark.functions.text import lang_id, quality_score
 from modlyn_spark.operators.dedup import (
+    corpus_line_dedup,
     dedup_exact,
     minhash_contamination,
     minhash_dedup_groups,
@@ -47,11 +52,30 @@ def curate_corpus(
     near_dup_threshold: float = 0.9,
     contamination_probe: DataFrame | None = None,
     contamination_threshold: float = 0.8,
+    repetition_gate: bool = False,
+    boilerplate_delim: str | None = None,
+    boilerplate_min_count: int = 3,
     splits: dict | None = None,
     salt: str = "",
 ) -> DataFrame:
     """Returns the curated corpus: original columns + lang_pred, quality,
-    split. Deterministic end to end (hash-keyed decisions only)."""
+    split. Deterministic end to end (hash-keyed decisions only).
+
+    Optional stages (off by default to keep the minimal pipeline cheap):
+    ``boilerplate_delim`` runs C4-style corpus-level line dedup BEFORE the
+    document-level stages (so a shared nav bar doesn't make distinct pages
+    look like near-dups); ``repetition_gate`` drops documents failing the
+    Gopher Table A1 repetition caps alongside the quality gate.
+    """
+    if boilerplate_delim is not None:
+        docs = corpus_line_dedup(
+            docs,
+            id_col,
+            text_col,
+            delim=boilerplate_delim,
+            min_count=boilerplate_min_count,
+        ).drop("n_units_kept", "n_units_removed")
+        docs = docs.where(F.length(F.col(text_col)) > 0)
     out = dedup_exact(docs, id_col, text_col)
 
     dup = minhash_dedup_groups(
@@ -65,6 +89,11 @@ def curate_corpus(
     out = out.where(F.col("quality") >= min_quality)
     if lang_allow is not None:
         out = out.where(F.col("lang_pred").isin(list(lang_allow)))
+    if repetition_gate:
+        before = set(out.columns)
+        out = repetition_signals(out, text_col, prefix="__rep_")
+        sig_cols = [c for c in out.columns if c not in before]
+        out = out.where(gopher_repetition_ok(prefix="__rep_")).drop(*sig_cols)
 
     if contamination_probe is not None:
         dirty = minhash_contamination(

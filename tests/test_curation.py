@@ -94,3 +94,44 @@ def test_curation_on_real_documents(spark):
     )
     assert dup_fp == 0
     assert out.where(F.col("split").isNull()).count() == 0
+
+
+def test_curation_optional_repetition_and_boilerplate_stages(spark):
+    import pandas as pd
+
+    banner = "subscribe to our newsletter for daily updates and offers"
+    # long clean bodies (Gopher caps target web-length docs) with DISJOINT
+    # char-3-gram vocabularies per doc (letter rotation), so the bodies are
+    # not near-dups of each other under MinHash on character shingles
+    def body(seed):
+        rot = lambda w: "".join(  # noqa: E731
+            chr((ord(c) - 97 + seed * 5) % 26 + 97) for c in w
+        )
+        # 90 DISTINCT words per body -> no repeated n-grams within a doc
+        return " ".join(
+            rot(f"wo{chr(97 + i % 26)}{chr(97 + i // 26)}dy")
+            for i in range(90)
+        )
+    rows = [
+        {"doc_id": 0, "text": f"{banner}\n{body(1)}\nthe weather is for all"},
+        {"doc_id": 1, "text": f"{banner}\n{body(2)}\nthe harvest is for all"},
+        {"doc_id": 2, "text": body(3) + " the it was is that for in of to"},
+        # repetitious spam: passes length/quality but fails the Gopher gate
+        {"doc_id": 3, "text": ("buy now best price " * 40)
+                              + "the it was is that for in of to"},
+        # boilerplate-only page: nothing left after line dedup
+        {"doc_id": 4, "text": banner},
+    ]
+    out = curate_corpus(
+        spark.createDataFrame(pd.DataFrame(rows)),
+        min_quality=0.0,
+        repetition_gate=True,
+        boilerplate_delim="\n",
+        boilerplate_min_count=2,
+    ).toPandas()
+    kept = set(out["doc_id"])
+    assert kept == {0, 1, 2}
+    # the shared banner line is gone from the surviving texts
+    assert not out["text"].str.contains("newsletter").any()
+    # no helper columns leak into the result
+    assert not [c for c in out.columns if c.startswith("__rep_")]
