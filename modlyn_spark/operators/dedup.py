@@ -59,16 +59,20 @@ def _packed_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf(DoubleType())
-def _est_jaccard_udf(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
-    """Estimated Jaccard = fraction of equal minhash lanes, vectorized per
-    Arrow batch (one (n x k) elementwise compare instead of per-pair JVM
-    higher-order lambdas)."""
-    if len(sig1) == 0:
-        return pd.Series([], dtype="float64")
-    A = np.stack(sig1.to_numpy())
-    B = np.stack(sig2.to_numpy())
-    return pd.Series((A == B).mean(axis=1))
+def _est_jaccard_col(sig1: str, sig2: str) -> Column:
+    """Estimated Jaccard = fraction of equal minhash lanes, as a pure JVM
+    column expression (whole-stage codegen).
+
+    This replaced an Arrow-batched pandas UDF: on the sf1 bench corpus the
+    candidate stage feeds ~19.6M pairs x two 96-lane arrays through this
+    filter, and shipping ~30 GB of signature longs across the Arrow
+    boundary cost 6.6x the wall time of comparing them JVM-side (86s ->
+    13s, identical surviving pair set). Fixed-width lane equality is the
+    case where the JVM higher-order form wins; per-shingle set work (see
+    _packed_jaccard_udf) remains the numpy case.
+    """
+    eq = F.zip_with(sig1, sig2, lambda x, y: x == y)
+    return F.size(F.filter(eq, lambda e: e)) / F.size(F.col(sig1))
 
 
 def _signatures(
@@ -277,7 +281,7 @@ def minhash_lsh_pairs(
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .select("id1", "id2", _est_jaccard_udf("sig1", "sig2").alias("est_jaccard"))
+        .select("id1", "id2", _est_jaccard_col("sig1", "sig2").alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 
@@ -771,7 +775,7 @@ def minhash_contamination(
         cand.join(s1, "corpus_id")
         .join(s2, "probe_id")
         .where(
-            _est_jaccard_udf("sig1", "sig2")
+            _est_jaccard_col("sig1", "sig2")
             >= max(threshold - est_margin, 0.0)
         )
         .select("corpus_id", "probe_id")
