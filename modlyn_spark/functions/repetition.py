@@ -197,7 +197,9 @@ def repetition_signals(
                 [pdf.reset_index(drop=True), sig], axis=1
             )
 
-    return df.mapInPandas(run, schema=schema)
+    from modlyn_spark.session import ensure_parallelism
+
+    return ensure_parallelism(df).mapInPandas(run, schema=schema)
 
 
 def gopher_repetition_ok(prefix: str = "") -> Column:

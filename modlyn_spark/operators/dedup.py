@@ -40,23 +40,24 @@ from modlyn_spark.functions.text import (
     minhash_signature_udf,
     simhash64_udf,
 )
+from modlyn_spark.session import ensure_parallelism
 
 
-@pandas_udf(DoubleType())
-def _packed_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact Jaccard of two SORTED-unique packed-shingle arrays —
-    np.intersect1d(assume_unique=True) per pair. Identical value to the
-    string-shingle formulation (packing is a bijection), at ~1/4 the
-    bytes per row through the verification joins."""
-    out = np.empty(len(a), dtype=np.float64)
-    for i, (x, y) in enumerate(zip(a.to_numpy(), b.to_numpy())):
-        nx, ny = len(x), len(y)
-        if nx == 0 and ny == 0:
-            out[i] = 0.0
-            continue
-        c = len(np.intersect1d(x, y, assume_unique=True))
-        out[i] = c / (nx + ny - c)
-    return pd.Series(out)
+def _packed_jaccard_col(psh1: str, psh2: str) -> Column:
+    """Exact Jaccard of two SORTED-unique packed-shingle arrays as a pure
+    JVM expression (array_intersect; identical value to the string-shingle
+    formulation — packing is a bijection, ~1/4 the bytes per row through
+    the verification joins).
+
+    This replaced a per-pair numpy intersect1d pandas UDF: measured on the
+    1.45M-candidate sf1 simhash verify, the native set-intersect expression
+    runs 4.7s vs 5.9-14s for the Arrow round-trip — single built-in array
+    expressions are NOT the allocation-bound HOF-lambda case the per-
+    shingle packing work hit. Both-empty shingle sets yield 0.0 (the
+    when-guard also keeps ANSI mode from a division by zero)."""
+    c = F.size(F.array_intersect(psh1, psh2))
+    denom = F.size(psh1) + F.size(psh2) - c
+    return F.when(denom > 0, c.cast("double") / denom).otherwise(F.lit(0.0))
 
 
 def _est_jaccard_col(sig1: str, sig2: str) -> Column:
@@ -68,8 +69,7 @@ def _est_jaccard_col(sig1: str, sig2: str) -> Column:
     filter, and shipping ~30 GB of signature longs across the Arrow
     boundary cost 6.6x the wall time of comparing them JVM-side (86s ->
     13s, identical surviving pair set). Fixed-width lane equality is the
-    case where the JVM higher-order form wins; per-shingle set work (see
-    _packed_jaccard_udf) remains the numpy case.
+    case where the JVM higher-order form wins.
     """
     eq = F.zip_with(sig1, sig2, lambda x, y: x == y)
     return F.size(F.filter(eq, lambda e: e)) / F.size(F.col(sig1))
@@ -90,13 +90,16 @@ def _signatures(
     (no shingles -> no postings -> no pairs)."""
     from modlyn_spark.functions.text import _MERSENNE31
 
+    # signature building is the CPU-bound per-byte stage: make sure an
+    # under-partitioned source (single-row-group file) doesn't serialize it
+    src = ensure_parallelism(df.select(F.col(id_col).alias("did"), text_col))
     if impl == "numpy":
-        sig = minhash_signature_udf(
-            df.select(F.col(id_col).alias("did"), text_col), text_col, "sig", k=k, n=n
-        ).select("did", "sig")
+        sig = minhash_signature_udf(src, text_col, "sig", k=k, n=n).select(
+            "did", "sig"
+        )
     else:
-        sig = df.select(
-            F.col(id_col).alias("did"),
+        sig = src.select(
+            "did",
             minhash_signature(F.col(text_col), k=k, n=n).alias("sig"),
         )
     sentinel = F.array(*[F.lit(_MERSENNE31)] * k)
@@ -166,9 +169,11 @@ def ngram_jaccard_pairs(
     stop-shingle pair volume itself (not its distribution) is the
     bottleneck; leave None for exact semantics.
     """
-    sh = df.select(
-        F.col(id_col).alias("did"),
-        char_shingles(F.col(text_col), n).alias("sh"),
+    sh = ensure_parallelism(
+        df.select(
+            F.col(id_col).alias("did"),
+            char_shingles(F.col(text_col), n).alias("sh"),
+        )
     ).withColumn("sz", F.size("sh"))
     sizes = sh.select("did", "sz")
     inv = sh.select("did", F.explode("sh").alias("s"))
@@ -518,7 +523,9 @@ def simhash_pairs(
 
     sh = (
         simhash64_udf(
-            df.select(F.col(id_col).alias("did"), text_col), text_col, "sh"
+            ensure_parallelism(df.select(F.col(id_col).alias("did"), text_col)),
+            text_col,
+            "sh",
         )
         .select("did", "sh")
         # contentless docs hash to NULL (see simhash64_udf) — never bucketed
@@ -586,7 +593,9 @@ def _packed_shingle_arrays(
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "psh": out})
 
     return (
-        df.select(id_col, F.lower(F.col(text_col)).alias("__lowered"))
+        ensure_parallelism(
+            df.select(id_col, F.lower(F.col(text_col)).alias("__lowered"))
+        )
         .mapInPandas(run, schema=schema)
         .select(F.col(id_col).alias("did"), "psh")
     )
@@ -623,7 +632,7 @@ def _verify_pairs_exact_jaccard(
             .join(p2, "id2")
             .select(
                 "id1", "id2",
-                _packed_jaccard_udf("psh1", "psh2").alias("jaccard"),
+                _packed_jaccard_col("psh1", "psh2").alias("jaccard"),
             )
             .where(F.col("jaccard") >= threshold)
         )
@@ -792,7 +801,7 @@ def minhash_contamination(
         .select(
             "corpus_id",
             "probe_id",
-            _packed_jaccard_udf("psh1", "psh2").alias("jaccard"),
+            _packed_jaccard_col("psh1", "psh2").alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -67,3 +67,24 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition UP (never down) to the session's default parallelism.
+
+    Guards the CPU-bound Arrow-UDF stages (minhash/simhash signatures,
+    shingle packing) against under-partitioned sources: a small table
+    written as one parquet file with one row group scans as ONE partition
+    — Spark cannot split inside a row group — so every downstream map
+    stage runs single-threaded no matter how many cores the session has
+    (measured: the whole sf1 dedup signature build serialized onto one
+    core). The round-robin shuffle moves each text byte once — noise next
+    to a 10-100x/byte signature UDF — and is a no-op whenever the source
+    already carries enough partitions (the 100 TB case, where inputs have
+    thousands of row groups and repartitioning DOWN would be the bug).
+    """
+    spark = df.sparkSession
+    target = int(min_partitions or spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
