@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+from modlyn_spark.session import ensure_parallelism
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -172,7 +174,11 @@ def with_lsh_signatures(
                 }
             )
 
-    sig_df = df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+    # row-wise GEMM stage: guard against single-row-group sources running
+    # it on one core (see session.ensure_parallelism; no-op at scale)
+    sig_df = ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        run, schema=out_schema
+    )
     return sig_df.select(
         id_col, out_vec, F.posexplode("__sigs").alias("tbl", "sig")
     )
@@ -273,7 +279,9 @@ def _with_cells(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    return ensure_parallelism(df.select(id_col, vec_col)).mapInPandas(
+        run, schema=schema
+    )
 
 
 def ivf_cosine_topk(
