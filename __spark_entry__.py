@@ -436,6 +436,21 @@ def q_corpus_chunk_dedup(spark, sf_dir):
     ).select("doc_id", "clean_text", "n_units_kept", "n_units_removed")
 
 
+def q_span_dup_pairs(spark, sf_dir):
+    """Verbatim-span dedup (operators/spans.py): pairs sharing an exact
+    8-word contiguous run, candidates from MOSS winnowed fingerprints
+    (content-defined, alignment-robust, guaranteed for matches >= k+w-1
+    tokens), verified by an exact K-gram string join over candidate docs
+    only. Oracle: the full K-gram inverted-index join in DuckDB — equality
+    doubles as a machine check of the winnowing recall guarantee."""
+    from modlyn_spark.operators.spans import span_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_dup_pairs(
+        docs.select("doc_id", "text"), "doc_id", "text", span_tokens=8
+    )
+
+
 def q_anti_join_orphans(spark, sf_dir):
     ev = _events(spark, sf_dir)
     viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct()
@@ -1119,6 +1134,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50 driver slots are full; these carry full oracles regardless)
         "repetition_signals": q_repetition_signals,
         "corpus_chunk_dedup": q_corpus_chunk_dedup,
+        "span_dup_pairs": q_span_dup_pairs,
     }
 
 
@@ -1813,5 +1829,17 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN re USING (doc_id)
+        """,
+        "span_dup_pairs": f"""
+            WITH w AS ({_WORDS_SQL}),
+            g AS (
+              SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win || ' ' || lead(word, 5) OVER win || ' ' || lead(word, 6) OVER win || ' ' || lead(word, 7) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
+            FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
     }

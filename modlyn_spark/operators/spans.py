@@ -1,0 +1,176 @@
+"""Exact verbatim-span dedup via winnowed fingerprints.
+
+Detects document pairs that share an exact contiguous run of
+``span_tokens`` words — the "verbatim overlap" dedup modality (Lee et
+al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+quotations, syndicated passages and licensed boilerplate that shingle-
+Jaccard misses entirely when the surrounding documents differ.
+
+Candidate generation is MOSS winnowing (Schleimer, Wilkerson & Aiken,
+SIGMOD'03): hash every k-token window, slide a w-window over the hashes
+and select the RIGHTMOST minimum of each window. Selection is content-
+defined, so two documents sharing a span select the same fingerprint at
+the same relative position regardless of alignment, and the winnowing
+theorem guarantees every match of length >= w + k - 1 tokens produces a
+shared fingerprint. With span_tokens = w + k - 1 the candidate set is a
+SUPERSET of the true pair set; an exact K-gram string join then removes
+both hash collisions and shorter-than-K coincidences, so the output
+equals the full K-gram inverted-index join's — at fingerprint-index
+cost: winnowing stores ~2/(w+1) of the K-gram index, and the exact
+verify only ever touches candidate documents.
+
+Scale shape: one Arrow-batched map emits (doc, fingerprint) rows —
+~2/(w+1) per token; the self-join moves only (id, fp); the verify
+explodes K-grams for CANDIDATE documents only (left-semi pruned). No
+cross joins, no per-token Python (token hashing is one vectorized FNV
+pass, rolling hashes one strided matmul, winnowing one strided argmin).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from modlyn_spark.functions.text import _fnv1a64_batch
+from modlyn_spark.session import ensure_parallelism
+
+_B = np.uint64(1099511628211)  # FNV prime as the rolling-hash base
+
+
+def _winnow_doc(th: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Distinct winnowed k-gram hashes of one doc's token-hash array."""
+    m = len(th)
+    if m < k:
+        return np.empty(0, dtype=np.uint64)
+    # content-only polynomial hash of each k-token window
+    weights = _B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    G = np.lib.stride_tricks.sliding_window_view(th, k)  # (m-k+1, k)
+    h = (G * weights).sum(axis=1, dtype=np.uint64)
+    n = len(h)
+    if n < w:
+        # doc shorter than span_tokens: cannot contain a K-span; still
+        # fingerprint it (min of all) so doc-vs-long-doc prefix matches of
+        # future shorter-K variants stay detectable
+        return np.unique(h[[int(np.argmin(h))]])
+    W = np.lib.stride_tricks.sliding_window_view(h, w)  # (n-w+1, w)
+    right_argmin = w - 1 - W[:, ::-1].argmin(axis=1)
+    sel = np.unique(right_argmin + np.arange(n - w + 1))
+    return np.unique(h[sel])
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, *, k: int, w: int
+) -> DataFrame:
+    """(did, fp) — distinct winnowed fingerprints per document."""
+    schema = StructType(
+        [df.schema[id_col], StructField("fps", ArrayType(LongType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fps = []
+            for t in pdf[text_col]:
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    fps.append([])
+                    continue
+                words = [x for x in ws.split(str(t).lower()) if x]
+                if not words:
+                    fps.append([])
+                    continue
+                th = _fnv1a64_batch([x.encode("utf-8") for x in words])
+                fps.append(
+                    _winnow_doc(th, k, w).astype(np.int64).tolist()
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "fps": fps}
+            )
+
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return (
+        src.mapInPandas(run, schema=schema)
+        .select(F.col(id_col).alias("did"), F.explode("fps").alias("fp"))
+    )
+
+
+def _kgram_strings(df: DataFrame, id_col: str, text_col: str, K: int):
+    """(did, gram) — distinct K-token gram strings per document (JVM)."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(words) >= K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (K - 1)),
+                lambda i: F.array_join(F.slice(words, i, K), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("did"), F.explode(grams).alias("gram")
+    )
+
+
+def span_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """Pairs of documents sharing >= 1 exact ``span_tokens``-word
+    contiguous run. Returns (id1, id2, n_shared_grams) where
+    n_shared_grams counts the DISTINCT shared K-grams (a shared run of
+    L >= K tokens contributes L - K + 1 of them) — exactly the full
+    K-gram inverted-index join's answer, at winnowed-candidate cost."""
+    K = int(span_tokens)
+    if K < 2:
+        raise ValueError("span_tokens must be >= 2")
+    k = (K + 1) // 2
+    w = K - k + 1  # w + k - 1 == K: the winnowing detection guarantee
+
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    a = fp.select(F.col("did").alias("id1"), "fp")
+    b = fp.select(F.col("did").alias("id2"), "fp")
+    cand = (
+        a.join(b, "fp")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates(["id1", "id2"])
+    )
+
+    # exact verify on K-gram STRINGS, restricted to candidate documents
+    cand_docs = (
+        cand.select(F.col("id1").alias("cid"))
+        .unionByName(cand.select(F.col("id2").alias("cid")))
+        .distinct()
+    )
+    grams = _kgram_strings(
+        df.join(
+            cand_docs, df[id_col] == F.col("cid"), "left_semi"
+        ),
+        id_col,
+        text_col,
+        K,
+    )
+    g1 = grams.select(F.col("did").alias("id1"), "gram")
+    g2 = grams.select(F.col("did").alias("id2"), "gram")
+    shared = (
+        g1.join(g2, "gram")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    return cand.join(shared, ["id1", "id2"]).select(
+        "id1", "id2", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
+    )

@@ -1,0 +1,141 @@
+"""Verbatim-span dedup: winnowing guarantee (candidates superset),
+alignment robustness, exact-verify precision, brute-force and DuckDB
+parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from modlyn_spark.operators.spans import span_dup_pairs, _winnow_doc
+
+SF = "/root/testdata/sf0.001"
+
+K = 8
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _wordsoup(seed, n):
+    rng = np.random.default_rng(seed)
+    return " ".join(f"w{rng.integers(0, 5000)}" for _ in range(n))
+
+
+def test_planted_spans_found_at_any_alignment(spark):
+    span = " ".join(f"s{i}" for i in range(K))  # exactly K tokens
+    docs = [
+        (0, f"{_wordsoup(1, 30)} {span} {_wordsoup(2, 30)}"),   # middle
+        (1, f"{span} {_wordsoup(3, 55)}"),                      # prefix
+        (2, f"{_wordsoup(4, 41)} {span}"),                      # suffix
+        (3, _wordsoup(5, 60)),                                  # unrelated
+        # shares only K-1 tokens of the span -> must NOT pair
+        (4, f"{_wordsoup(6, 30)} {' '.join(f's{i}' for i in range(K - 1))} {_wordsoup(7, 30)}"),
+    ]
+    out = span_dup_pairs(_mk(spark, docs), "doc_id", "text", span_tokens=K)
+    pairs = {(r["id1"], r["id2"]) for r in out.collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_long_shared_run_counts_all_grams(spark):
+    run = " ".join(f"r{i}" for i in range(K + 5))  # K+5 tokens -> 6 K-grams
+    docs = [
+        (0, f"{_wordsoup(8, 20)} {run}"),
+        (1, f"{run} {_wordsoup(9, 20)}"),
+    ]
+    out = span_dup_pairs(_mk(spark, docs), "doc_id", "text", span_tokens=K)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["n_shared_grams"] == 6
+
+
+def test_winnow_guarantee_brute_force():
+    """Property: every pair sharing a K-token run shares a winnowed
+    fingerprint (the SIGMOD'03 theorem, exercised on adversarial small
+    alphabets where hash ties and repeats are common)."""
+    from modlyn_spark.functions.text import _fnv1a64_batch
+
+    k = (K + 1) // 2
+    w = K - k + 1
+    rng = np.random.default_rng(0)
+    for trial in range(200):
+        vocab = [f"t{i}" for i in range(rng.integers(2, 8))]
+        a = [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(K, 40))]
+        b = [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(K, 40))]
+        fa = set(_winnow_doc(_fnv1a64_batch([x.encode() for x in a]), k, w))
+        fb = set(_winnow_doc(_fnv1a64_batch([x.encode() for x in b]), k, w))
+        shares_span = any(
+            a[i : i + K] == b[j : j + K]
+            for i in range(len(a) - K + 1)
+            for j in range(len(b) - K + 1)
+        )
+        if shares_span:
+            assert fa & fb, (a, b)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10_000))
+def test_winnow_density_and_determinism(seed):
+    from modlyn_spark.functions.text import _fnv1a64_batch
+
+    rng = np.random.default_rng(seed)
+    toks = [f"x{i}" for i in rng.integers(0, 50, 64)]
+    th = _fnv1a64_batch([t.encode() for t in toks])
+    k, w = 5, 4
+    f1 = _winnow_doc(th, k, w)
+    f2 = _winnow_doc(th.copy(), k, w)
+    assert (f1 == f2).all()
+    n_grams = len(toks) - k + 1
+    # winnowing selects at most one new fingerprint per window position
+    assert 1 <= len(f1) <= n_grams - w + 1
+
+
+def test_matches_duckdb_on_real_corpus(spark, docs):
+    got = (
+        span_dup_pairs(docs.select("doc_id", "text"), "doc_id", "text",
+                       span_tokens=K)
+        .orderBy("id1", "id2")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    leads = " || ' ' || ".join(
+        f"lead(word, {i}) OVER win" for i in range(1, K)
+    )
+    want = con.execute(
+        f"""
+        WITH w AS (
+          SELECT doc_id, word,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY o0) AS ord
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS o0
+            FROM documents
+          ) WHERE word <> ''
+        ),
+        g AS (
+          SELECT DISTINCT doc_id, word || ' ' || {leads} AS gram
+          FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+        ),
+        gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
+        FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0  # the corpus's near-dup copies share long runs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
