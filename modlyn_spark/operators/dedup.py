@@ -49,15 +49,47 @@ def _packed_jaccard_col(psh1: str, psh2: str) -> Column:
     formulation — packing is a bijection, ~1/4 the bytes per row through
     the verification joins).
 
-    This replaced a per-pair numpy intersect1d pandas UDF: measured on the
-    1.45M-candidate sf1 simhash verify, the native set-intersect expression
-    runs 4.7s vs 5.9-14s for the Arrow round-trip — single built-in array
-    expressions are NOT the allocation-bound HOF-lambda case the per-
-    shingle packing work hit. Both-empty shingle sets yield 0.0 (the
-    when-guard also keeps ANSI mode from a division by zero)."""
+    CAVEAT measured in context: Catalyst does NOT common-subexpression-
+    eliminate array expressions, and this when-guard references the
+    intersect three times — applied directly as the verify filter it
+    re-intersects every candidate pair ~3x and ran SLOWER than the pandas
+    UDF it replaced. Use it only behind ``_jaccard_verified``'s algebraic
+    pre-filter, which evaluates ONE intersect per rejected pair and leaves
+    this full form to the handful of survivors. Both-empty shingle sets
+    yield 0.0 (the when-guard also keeps ANSI mode from a division by
+    zero)."""
     c = F.size(F.array_intersect(psh1, psh2))
     denom = F.size(psh1) + F.size(psh2) - c
     return F.when(denom > 0, c.cast("double") / denom).otherwise(F.lit(0.0))
+
+
+def _jaccard_verified(
+    joined: DataFrame, threshold: float, out_cols: list[str]
+) -> DataFrame:
+    """Exact-Jaccard filter for a (.., psh1, psh2) join, >= ``threshold``.
+
+    Two stages so each REJECTED pair costs exactly one array_intersect:
+    an algebraic pre-filter on the intersection count alone —
+    j >= t  <=>  c >= t*(|A|+|B|)/(1+t), applied as
+    c*(1+t) >= t*(|A|+|B|) - 1e-9 (the epsilon absorbs float rounding so
+    the pre-filter is a strict superset; codegen short-circuits the AND,
+    so the division form below never runs for pre-rejected rows) — then
+    the exact division on survivors, bit-identical to the SQL oracle's
+    c/(|A|+|B|-c) >= t. In-context A/B at sf0.1/sf1: the naive
+    when-guard verify ran 8.5-26s, this form 6.2-13.3s (pandas-UDF
+    parity at the small tier, JVM-only stage at scale)."""
+    t = float(threshold)
+    c = F.size(F.array_intersect("psh1", "psh2"))
+    pre = c.cast("double") * (1.0 + t) >= (
+        F.size("psh1") + F.size("psh2")
+    ).cast("double") * t - 1e-9
+    return (
+        joined.where(pre)
+        .select(
+            *out_cols, _packed_jaccard_col("psh1", "psh2").alias("jaccard")
+        )
+        .where(F.col("jaccard") >= t)
+    )
 
 
 def _est_jaccard_col(sig1: str, sig2: str) -> Column:
@@ -627,14 +659,8 @@ def _verify_pairs_exact_jaccard(
         sh = _packed_shingle_arrays(df, id_col, text_col, n)
         p1 = sh.select(F.col("did").alias("id1"), F.col("psh").alias("psh1"))
         p2 = sh.select(F.col("did").alias("id2"), F.col("psh").alias("psh2"))
-        return (
-            cand.join(p1, "id1")
-            .join(p2, "id2")
-            .select(
-                "id1", "id2",
-                _packed_jaccard_col("psh1", "psh2").alias("jaccard"),
-            )
-            .where(F.col("jaccard") >= threshold)
+        return _jaccard_verified(
+            cand.join(p1, "id1").join(p2, "id2"), threshold, ["id1", "id2"]
         )
     sh = df.select(
         F.col(id_col).alias("did"),
@@ -795,15 +821,10 @@ def minhash_contamination(
     psh = _packed_shingle_arrays(probe, id_col, text_col, n).select(
         F.col("did").alias("probe_id"), F.col("psh").alias("psh2")
     )
-    return (
-        cand.join(csh, "corpus_id")
-        .join(psh, "probe_id")
-        .select(
-            "corpus_id",
-            "probe_id",
-            _packed_jaccard_col("psh1", "psh2").alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return _jaccard_verified(
+        cand.join(csh, "corpus_id").join(psh, "probe_id"),
+        threshold,
+        ["corpus_id", "probe_id"],
     )
 
 
