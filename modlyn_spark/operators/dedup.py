@@ -666,15 +666,10 @@ def _verify_pairs_exact_jaccard(
         F.col(id_col).alias("did"),
         char_shingles(F.col(text_col), n).alias("sh"),
     )
-    s1 = sh.select(F.col("did").alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"))
-    c = F.size(F.array_intersect("sh1", "sh2"))
-    jac = c / (F.size("sh1") + F.size("sh2") - c)
-    return (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    s1 = sh.select(F.col("did").alias("id1"), F.col("sh").alias("psh1"))
+    s2 = sh.select(F.col("did").alias("id2"), F.col("sh").alias("psh2"))
+    return _jaccard_verified(
+        cand.join(s1, "id1").join(s2, "id2"), threshold, ["id1", "id2"]
     )
 
 
