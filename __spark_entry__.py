@@ -1794,9 +1794,9 @@ def retired_oracle_sql() -> dict[str, str]:
               GROUP BY w.doc_id
             )
             SELECT d.doc_id,
-                   coalesce(round(top2.mass / tot.total, 4), 0.0)
+                   coalesce(round(least(top2.mass / tot.total, 1.0), 4), 0.0)
                      AS top2gram_frac,
-                   coalesce(round(top3.mass / tot.total, 4), 0.0)
+                   coalesce(round(least(top3.mass / tot.total, 1.0), 4), 0.0)
                      AS top3gram_frac,
                    coalesce(round(dup5.mass / tot.total, 4), 0.0)
                      AS dup5gram_frac

@@ -113,7 +113,10 @@ def _doc_gram_signals(codes: np.ndarray, wl: np.ndarray) -> list[float]:
         glen_u = np.zeros(len(uniq), dtype=np.int64)
         glen_u[inv] = glen
         top = int(np.argmax(cnt))  # first max = lexicographically smallest
-        out.append(float(cnt[top] * glen_u[top]) / total)
+        # count x len is the standard shortcut (DataTrove/Dolma); a
+        # self-overlapping gram ("b b b" -> 2-gram (b,b) twice over 3
+        # chars) can push it past 1, so cap to keep it a fraction
+        out.append(min(1.0, float(cnt[top] * glen_u[top]) / total))
     for n in DUP_NS:
         if m < n:
             out.append(0.0)
@@ -131,6 +134,121 @@ def _doc_gram_signals(codes: np.ndarray, wl: np.ndarray) -> list[float]:
         np.add.at(d, starts + n, -1)
         covered = np.cumsum(d[:-1]) > 0
         out.append(float(wl[covered].sum()) / total)
+    return out
+
+
+def _group_rows(rows: np.ndarray):
+    """Exact row grouping in lexicographic order — np.unique(axis=0)
+    semantics via column-wise lexsort + boundary diff (the void-view row
+    sort behind unique(axis=0) memcmp-compares packed rows and measured
+    ~8x slower on the batch gram matrices).
+
+    Returns (first_idx_sorted, inv, cnt): index of each group's first
+    occurrence with groups in lexicographic row order, group id per input
+    row, and group sizes."""
+    n = len(rows)
+    # bijectively pack triples of columns into single int64 keys when the
+    # value range allows (it always does for rank codes of a batch
+    # vocabulary) — 11-key lexsorts collapse to 4-key ones, exactly
+    V = int(rows.max()) + 1 if n else 1
+    if 0 < V and V ** 3 < 2 ** 62:
+        ncol = rows.shape[1]
+        pad = (-ncol) % 3
+        if pad:
+            rows_p = np.concatenate(
+                (rows, np.zeros((n, pad), dtype=rows.dtype)), axis=1
+            )
+        else:
+            rows_p = rows
+        V64 = np.int64(V)
+        packed = (
+            rows_p[:, 0::3] * (V64 * V64)
+            + rows_p[:, 1::3] * V64
+            + rows_p[:, 2::3]
+        )
+        keys = packed
+    else:
+        keys = rows
+    order = np.lexsort(tuple(keys[:, c] for c in range(keys.shape[1] - 1, -1, -1)))
+    sr = keys[order]
+    new = np.concatenate(([True], np.any(sr[1:] != sr[:-1], axis=1)))
+    gid_sorted = np.cumsum(new) - 1
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = gid_sorted
+    cnt = np.bincount(gid_sorted)
+    first_idx = order[new]
+    return first_idx, inv, cnt
+
+
+def _batch_gram_signals(
+    codes: np.ndarray,
+    wl: np.ndarray,
+    offs: np.ndarray,
+) -> np.ndarray:
+    """All docs' gram signals in ONE pass per n: (n_docs, 9) array.
+
+    Same values as ``_doc_gram_signals`` per doc (asserted by the test
+    suite), but the batch's grams are grouped with a single
+    ``np.unique(axis=0)`` over [doc_idx | gram codes] rows per n instead
+    of 9 numpy calls per document — the per-doc fixed overhead dominated
+    on short web documents (~1ms/doc -> ~0.1ms/doc)."""
+    n_docs = len(offs) - 1
+    out = np.zeros((n_docs, len(TOP_NS) + len(DUP_NS)), dtype=np.float64)
+    m = len(codes)
+    counts = np.diff(offs)
+    totals = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(totals, np.repeat(np.arange(n_docs), counts), wl)
+    if m == 0:
+        return out
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    cs = np.concatenate(([0], np.cumsum(wl)))
+    col = 0
+    for n in TOP_NS + DUP_NS:
+        is_top = n in TOP_NS
+        if m < n:
+            col += 1
+            continue
+        starts_all = np.arange(m - n + 1)
+        valid = doc_of[starts_all] == doc_of[starts_all + n - 1]
+        starts = starts_all[valid]
+        if len(starts) == 0:
+            col += 1
+            continue
+        G = np.lib.stride_tricks.sliding_window_view(codes, n)[valid]
+        rows = np.column_stack((doc_of[starts], G))
+        first_idx, inv, cnt = _group_rows(rows)
+        glen = cs[starts + n] - cs[starts]
+        d_tot = totals[doc_of[starts]].astype(np.float64)
+        if is_top:
+            glen_u = np.zeros(len(cnt), dtype=np.int64)
+            glen_u[inv] = glen
+            doc_u = rows[first_idx, 0]
+            # per doc: max count, lexicographically-smallest gram first —
+            # uniq rows are sorted by (doc, gram), so stable-sort by
+            # (doc, -cnt) keeps gram order within equal counts
+            order = np.lexsort((np.arange(len(cnt)), -cnt, doc_u))
+            docs_sorted = doc_u[order]
+            first = np.unique(docs_sorted, return_index=True)[1]
+            top_rows = order[first]
+            vals = cnt[top_rows] * glen_u[top_rows] / np.maximum(
+                totals[doc_u[top_rows]], 1
+            )
+            out[doc_u[top_rows], col] = np.minimum(1.0, vals)
+        else:
+            occ_dup = (cnt >= 2)[inv]
+            dup_starts = starts[occ_dup]
+            if len(dup_starts):
+                d = np.zeros(m + 1, dtype=np.int64)
+                np.add.at(d, dup_starts, 1)
+                np.add.at(d, dup_starts + n, -1)
+                covered = np.cumsum(d[:-1]) > 0
+                mass = np.zeros(n_docs, dtype=np.int64)
+                np.add.at(mass, doc_of[covered], wl[covered])
+                nz = totals > 0
+                out[nz, col] = mass[nz] / totals[nz]
+        col += 1
+    # docs with zero word mass stay all-zero
+    out[totals == 0, :] = 0.0
     return out
 
 
@@ -188,10 +306,9 @@ def repetition_signals(
                 inv = np.zeros(0, dtype=np.int64)
                 lens = np.zeros(0, dtype=np.int64)
             offs = np.concatenate(([0], np.cumsum(counts)))
+            gram_sig = _batch_gram_signals(inv, lens, offs)
             for i in range(len(rows)):
-                codes = inv[offs[i] : offs[i + 1]]
-                wl = lens[offs[i] : offs[i + 1]]
-                rows[i].extend(_doc_gram_signals(codes, wl))
+                rows[i].extend(gram_sig[i].tolist())
             sig = pd.DataFrame(rows, columns=cols, dtype="float64")
             yield pd.concat(
                 [pdf.reset_index(drop=True), sig], axis=1
@@ -199,7 +316,11 @@ def repetition_signals(
 
     from modlyn_spark.session import ensure_parallelism
 
-    return ensure_parallelism(df).mapInPandas(run, schema=schema)
+    # heavier per byte than the signature UDFs (9 gram groupings per
+    # batch): parallelize from ~64KB of source instead of the default 1MB
+    return ensure_parallelism(df, min_bytes=64 << 10).mapInPandas(
+        run, schema=schema
+    )
 
 
 def gopher_repetition_ok(prefix: str = "") -> Column:

@@ -95,7 +95,7 @@ def winnow_fingerprints(
                 {id_col: pdf[id_col].to_numpy(), "fps": fps}
             )
 
-    src = ensure_parallelism(df.select(id_col, text_col))
+    src = ensure_parallelism(df.select(id_col, text_col), min_bytes=64 << 10)
     return (
         src.mapInPandas(run, schema=schema)
         .select(F.col(id_col).alias("did"), F.explode("fps").alias("fp"))
@@ -144,7 +144,7 @@ def _kgram_strings(df: DataFrame, id_col: str, text_col: str, K: int):
             )
 
     return (
-        ensure_parallelism(df.select(id_col, text_col))
+        ensure_parallelism(df.select(id_col, text_col), min_bytes=64 << 10)
         .mapInPandas(run, schema=schema)
         .select(F.col(id_col).alias("did"), F.explode("grams").alias("gram"))
     )

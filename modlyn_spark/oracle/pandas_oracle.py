@@ -440,7 +440,7 @@ def oracle_repetition(
             grams = [tuple(words[i : i + n]) for i in range(len(words) - n + 1)]
             c = Counter(grams)
             best = min(g for g, k in c.items() if k == max(c.values()))
-            row[key] = c[best] * sum(len(w) for w in best) / total
+            row[key] = min(1.0, c[best] * sum(len(w) for w in best) / total)
         for n in (5, 6, 7, 8, 9, 10):
             key = f"dup_{n}gram_char_frac"
             if total == 0 or len(words) < n:

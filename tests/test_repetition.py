@@ -144,7 +144,7 @@ def test_ngram_signals_match_duckdb_on_real_corpus(spark, docs):
           ) = 1
         )
         SELECT t.doc_id,
-               round(coalesce(mass, 0) / CAST(total AS DOUBLE), 6) AS f
+               round(least(coalesce(mass, 0) / CAST(total AS DOUBLE), 1.0), 6) AS f
         FROM tot t LEFT JOIN top USING (doc_id)
         ORDER BY doc_id
         """
@@ -210,3 +210,31 @@ def test_gopher_gate(spark):
     assert out[0]["ok"] is True
     assert out[1]["ok"] is False
     assert set(GOPHER_THRESHOLDS) == set(SIGNAL_COLS)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 100_000))
+def test_batch_kernel_equals_per_doc_kernel(seed):
+    """_batch_gram_signals (one np.unique per n over the whole batch)
+    must reproduce _doc_gram_signals doc by doc, including ties, repeats,
+    empty docs and docs shorter than every n."""
+    from modlyn_spark.functions.repetition import (
+        _batch_gram_signals,
+        _doc_gram_signals,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(rng.integers(1, 8)):
+        m = int(rng.integers(0, 30))
+        docs.append([f"w{v}" for v in rng.integers(0, 4, m)])
+    flat = [w for d in docs for w in d]
+    uniq = sorted(set(flat))
+    code = {w: i for i, w in enumerate(uniq)}
+    codes = np.array([code[w] for w in flat], dtype=np.int64)
+    lens = np.array([len(w) for w in flat], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    got = _batch_gram_signals(codes, lens, offs)
+    for i, d in enumerate(docs):
+        want = _doc_gram_signals(codes[offs[i]:offs[i+1]], lens[offs[i]:offs[i+1]])
+        np.testing.assert_allclose(got[i], np.array(want), atol=1e-12)
