@@ -2,10 +2,14 @@
 
 One declarative dataflow from raw documents to a training-ready corpus:
 
+0. (optional) corpus-level boilerplate removal (C4-style line dedup,
+   BEFORE document-level stages so a shared nav banner cannot make
+   distinct pages look like near-duplicates);
 1. exact dedup (content-fingerprint groupBy — keep min-id per text);
 2. near-duplicate removal (MinHash-LSH star-edge grouping: every doc that
    verifies against a smaller-id representative is dropped);
-3. quality + language gating (pure column expressions — codegen);
+3. quality + language gating (pure column expressions — codegen), plus
+   the optional Gopher repetition-caps gate (one Arrow map);
 4. benchmark-contamination removal against an optional probe/eval set
    (cross-corpus MinHash + exact-Jaccard verify — any corpus doc
    near-verbatim in the probe is dropped);
