@@ -12,7 +12,10 @@ streaming state store is the right substrate:
   column + watermark the per-key state is evicted once it can no longer
   match a late arrival, bounding state size — the unbounded-key variant
   (no ts_col) keeps all fingerprints in the state store and is only for
-  bounded replays.
+  bounded replays. The contract is asymmetric: duplicates WITHIN the
+  watermark delay are guaranteed dropped; beyond it dedup is best-effort
+  (cleanup timing is internal), so any re-admitted stragglers are the
+  downstream batch dedup's to remove.
 
 State-size story at scale: the fingerprint is 32 hex chars per distinct
 document; watermarked mode holds only the fingerprints inside the

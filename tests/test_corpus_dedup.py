@@ -132,3 +132,42 @@ def test_hot_set_is_broadcast(spark):
         df, "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_random_corpora_match_python_twin_under_repartitioning(spark):
+    """Property: line-mode output equals a plain-Python twin on random
+    corpora with planted repeats, and is identical at 1 vs 13
+    partitions."""
+    import numpy as np
+    from collections import Counter
+
+    rng = np.random.default_rng(7)
+    pool = [f"line {i} {'x' * int(rng.integers(0, 5))}" for i in range(30)]
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(0, 8))
+        docs.append((d, "\n".join(pool[i] for i in rng.integers(0, 30, n))))
+
+    def twin(docs, min_count):
+        units = []
+        for _, t in docs:
+            units.extend(u for u in t.split("\n") if u.strip())
+        c = Counter(units)
+        out = {}
+        for d, t in docs:
+            us = [u for u in t.split("\n") if u.strip()]
+            kept = [u for u in us if c[u] < min_count]
+            out[d] = ("\n".join(kept), len(kept), len(us) - len(kept))
+        return out
+
+    for min_count in (2, 3):
+        want = twin(docs, min_count)
+        for parts in (1, 13):
+            df = spark.createDataFrame(docs, "doc_id int, text string").repartition(parts)
+            got = {
+                r["doc_id"]: (r["text"], r["n_units_kept"], r["n_units_removed"])
+                for r in corpus_line_dedup(
+                    df, "doc_id", "text", min_count=min_count
+                ).collect()
+            }
+            assert got == want, (min_count, parts)

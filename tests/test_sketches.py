@@ -58,3 +58,18 @@ def test_sketches_are_partial_aggregable(spark, events):
         .toString()
     )
     assert "partial" in plan.lower()
+
+
+def test_ensure_parallelism_never_repartitions_down(spark):
+    """A source already carrying >= target partitions must pass through
+    untouched (at scale, coalescing a wide scan would be the bug), and a
+    big-enough Catalyst size estimate skips the exchange entirely."""
+    from modlyn_spark.session import ensure_parallelism
+
+    wide = spark.range(0, 10_000, 1, 64)  # 64 partitions > any local target
+    out = ensure_parallelism(wide, min_partitions=8)
+    assert "RoundRobinPartitioning" not in out._jdf.queryExecution().toString()
+
+    narrow = spark.range(0, 10_000, 1, 1)
+    up = ensure_parallelism(narrow, min_partitions=8, min_bytes=0)
+    assert up.rdd.getNumPartitions() == 8

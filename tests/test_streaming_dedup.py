@@ -77,3 +77,49 @@ def test_batch_path_dual(spark):
     out = streaming_exact_dedup(df, "text")
     assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
     assert "fp" in out.columns
+
+
+def test_watermark_semantics_guaranteed_vs_best_effort(spark, tmp_path):
+    """Documents the bounded-state contract: duplicates arriving WITHIN
+    the watermark delay of the first occurrence are GUARANTEED dropped;
+    duplicates beyond the horizon are best-effort only (state cleanup
+    timing is internal — they may be dropped or re-admitted, and any
+    re-admission is the batch layer's to re-dedup). Non-duplicates are
+    never lost, whatever the state does."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import datetime as dt
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, dt.datetime.fromisoformat(t), x) for i, t, x in rows], SCHEMA
+    )
+    mk([
+        (0, "2024-01-01 00:00:00", "same doc"),
+        (1, "2024-01-01 00:30:00", "same doc"),   # inside horizon: dropped
+    ]).coalesce(1).write.parquet(f"{src}/b1")
+    mk([
+        (2, "2024-01-01 06:00:00", "same doc"),   # far beyond: best effort
+        (3, "2024-01-01 06:00:00", "fresh doc"),  # never lost
+    ]).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = streaming_exact_dedup(stream, "text", ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    )
+    assert 0 in admitted and 3 in admitted     # firsts always admitted
+    assert 1 not in admitted                   # in-horizon dup: guaranteed
+    assert set(admitted) <= {0, 2, 3}          # 2 is best-effort either way
