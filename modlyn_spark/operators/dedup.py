@@ -927,19 +927,49 @@ def corpus_line_dedup(
     out_col = out_col or text_col
     if chunk_words is not None:
         k = int(chunk_words)
-        words = F.filter(
-            F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != ""
-        )
-        n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
-        # guard: F.sequence(0, -1) auto-steps DESCENDING for empty docs
-        units = F.when(
-            n_chunks > 0,
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         sep = " "
+        # chunk assembly is per-unit string building — the allocation-bound
+        # JVM transform/slice/array_join shape (measured 13.5s of the 21s
+        # sf1 query); build it in an Arrow-batched map instead
+        from pyspark.sql.types import (
+            ArrayType as _Arr,
+            StringType as _Str,
+            StructField as _SF,
+            StructType as _ST,
+        )
+
+        schema = _ST([df.schema[id_col], _SF("__units", _Arr(_Str()))])
+
+        def _chunks(batches):
+            import re
+
+            ws = re.compile(r"\s+")
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                for t in pdf[text_col]:
+                    if t is None or (isinstance(t, float) and pd.isna(t)):
+                        out.append([])
+                        continue
+                    w = [x for x in ws.split(str(t).lower()) if x]
+                    out.append(
+                        [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+                    )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].to_numpy(), "__units": out}
+                )
+
+        unit_rows = (
+            ensure_parallelism(
+                df.select(id_col, text_col), min_bytes=64 << 10
+            )
+            .mapInPandas(_chunks, schema=schema)
+            .select(
+                F.col(id_col),
+                F.posexplode_outer("__units").alias("__pos", "__unit"),
+            )
+        )
     else:
         import re as _re
 
@@ -948,10 +978,11 @@ def corpus_line_dedup(
             lambda t: F.trim(t) != "",
         )
         sep = delim
+        unit_rows = df.select(
+            F.col(id_col), F.posexplode_outer(units).alias("__pos", "__unit")
+        )
 
-    ex = df.select(
-        F.col(id_col), F.posexplode_outer(units).alias("__pos", "__unit")
-    )
+    ex = unit_rows
     hot = (
         ex.where(F.col("__unit").isNotNull())
         .groupBy("__unit")
