@@ -210,3 +210,72 @@ def span_dup_pairs(
     return cand.join(shared, ["id1", "id2"]).select(
         "id1", "id2", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
     )
+
+
+def span_contamination(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    span_tokens: int = 8,
+) -> DataFrame:
+    """CROSS-corpus verbatim-span detection — the contamination check
+    whole-document similarity misses: an eval question quoted verbatim
+    inside a long, otherwise-unrelated training document has near-zero
+    document Jaccard but a perfect K-token span match.
+
+    Same winnow-then-exactly-verify contract as ``span_dup_pairs``, with
+    the fingerprint join BETWEEN the two tables (never within either):
+    candidates cost sum-over-buckets of |corpus_bucket| x |probe_bucket|,
+    and the exact K-gram verify touches candidate documents only.
+    Returns (corpus_id, probe_id, n_shared_grams).
+    """
+    K = int(span_tokens)
+    if K < 2:
+        raise ValueError("span_tokens must be >= 2")
+    w = 3 if K >= 4 else 2
+    k = K - w + 1
+
+    cfp = winnow_fingerprints(corpus, id_col, text_col, k=k, w=w).select(
+        F.col("did").alias("corpus_id"), "fp"
+    )
+    pfp = winnow_fingerprints(probe, id_col, text_col, k=k, w=w).select(
+        F.col("did").alias("probe_id"), "fp"
+    )
+    cand = (
+        cfp.join(pfp, "fp")
+        .select("corpus_id", "probe_id")
+        .dropDuplicates(["corpus_id", "probe_id"])
+    )
+
+    cg = _kgram_strings(
+        corpus.join(
+            cand.select(F.col("corpus_id").alias("cid")).distinct(),
+            corpus[id_col] == F.col("cid"),
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        K,
+    ).select(F.col("did").alias("corpus_id"), "gram")
+    pg = _kgram_strings(
+        probe.join(
+            cand.select(F.col("probe_id").alias("cid")).distinct(),
+            probe[id_col] == F.col("cid"),
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        K,
+    ).select(F.col("did").alias("probe_id"), "gram")
+    shared = (
+        cg.join(pg, "gram")
+        .groupBy("corpus_id", "probe_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+    return cand.join(shared, ["corpus_id", "probe_id"]).select(
+        "corpus_id",
+        "probe_id",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )

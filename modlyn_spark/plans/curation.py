@@ -56,6 +56,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.9,
     contamination_probe: DataFrame | None = None,
     contamination_threshold: float = 0.8,
+    contamination_span_tokens: int | None = None,
     repetition_gate: bool = False,
     boilerplate_delim: str | None = None,
     boilerplate_min_count: int = 3,
@@ -106,8 +107,22 @@ def curate_corpus(
             id_col,
             text_col,
             threshold=contamination_threshold,
-        ).select(F.col("corpus_id").alias(id_col)).distinct()
-        out = out.join(dirty, id_col, "left_anti")
+        ).select(F.col("corpus_id").alias(id_col))
+        if contamination_span_tokens is not None:
+            # near-whole-doc similarity misses an eval item QUOTED inside a
+            # long document; the verbatim-span check catches it
+            from modlyn_spark.operators.spans import span_contamination
+
+            dirty = dirty.unionByName(
+                span_contamination(
+                    out,
+                    contamination_probe,
+                    id_col,
+                    text_col,
+                    span_tokens=contamination_span_tokens,
+                ).select(F.col("corpus_id").alias(id_col))
+            )
+        out = out.join(dirty.distinct(), id_col, "left_anti")
 
     return split_column(
         out,

@@ -135,3 +135,35 @@ def test_curation_optional_repetition_and_boilerplate_stages(spark):
     assert not out["text"].str.contains("newsletter").any()
     # no helper columns leak into the result
     assert not [c for c in out.columns if c.startswith("__rep_")]
+
+
+def test_span_contamination_stage_catches_embedded_eval_quote(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    soup = lambda n: " ".join(  # noqa: E731
+        f"tok{rng.integers(0, 9000)}" for _ in range(n)
+    )
+    question = "what is the airspeed velocity of an unladen swallow today"
+    rows = [
+        # long doc quoting the eval question verbatim — low whole-doc
+        # similarity, must still be removed when the span stage is on
+        {"doc_id": 0, "text": f"{soup(150)} {question} {soup(150)} "
+                              "the it was is that for in of to the and"},
+        {"doc_id": 1, "text": soup(160) + " the it was is that for in of"},
+    ]
+    probe = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": 100, "text": question}]))
+    corpus = spark.createDataFrame(pd.DataFrame(rows))
+
+    kept_without = curate_corpus(
+        corpus, min_quality=0.0, contamination_probe=probe
+    ).toPandas()
+    assert set(kept_without["doc_id"]) == {0, 1}  # whole-doc check misses it
+
+    kept_with = curate_corpus(
+        corpus, min_quality=0.0, contamination_probe=probe,
+        contamination_span_tokens=8,
+    ).toPandas()
+    assert set(kept_with["doc_id"]) == {1}

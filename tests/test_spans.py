@@ -139,3 +139,45 @@ def test_matches_duckdb_on_real_corpus(spark, docs):
 @pytest.fixture(scope="module")
 def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_span_contamination_finds_embedded_quote(spark):
+    """An eval question quoted inside a LONG unrelated training doc:
+    whole-doc Jaccard is tiny, the span check still fires; cross-corpus
+    result equals the exact K-gram join."""
+    from modlyn_spark.operators.spans import span_contamination
+
+    question = " ".join(f"q{i}" for i in range(K + 2))  # K+2 tokens
+    corpus = _mk(spark, [
+        (0, f"{_wordsoup(20, 200)} {question} {_wordsoup(21, 200)}"),
+        (1, _wordsoup(22, 300)),
+    ])
+    probe = _mk(spark, [(100, question), (101, _wordsoup(23, 40))])
+    out = span_contamination(corpus, probe, "doc_id", "text", span_tokens=K)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # a K+2-token shared run contributes exactly 3 K-grams
+    assert (r["corpus_id"], r["probe_id"], r["n_shared_grams"]) == (0, 100, 3)
+
+    # whole-doc similarity would NOT have caught it
+    from modlyn_spark.operators.dedup import ngram_jaccard_pairs
+
+    both = corpus.unionByName(probe)
+    jac = ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.5)
+    assert not [
+        r for r in jac.collect() if {r["id1"], r["id2"]} == {0, 100}
+    ]
+
+
+def test_span_contamination_never_pairs_within_a_corpus(spark):
+    from modlyn_spark.operators.spans import span_contamination
+
+    shared = " ".join(f"s{i}" for i in range(K))
+    corpus = _mk(spark, [
+        (0, f"{shared} {_wordsoup(30, 30)}"),
+        (1, f"{shared} {_wordsoup(31, 30)}"),  # within-corpus dup: ignored
+    ])
+    probe = _mk(spark, [(100, _wordsoup(32, 40))])
+    assert span_contamination(corpus, probe, "doc_id", "text",
+                              span_tokens=K).count() == 0
