@@ -404,7 +404,9 @@ def q_repetition_signals(spark, sf_dir):
     the documents table — the word-n-gram measures (the driver corpus has
     no line structure; line/paragraph signals are pytest-gated on
     synthetic multi-line docs). One shuffle-free Arrow-batched map.
-    Oracle: independent DuckDB window/self-join reformulation."""
+    Oracle: independent DuckDB window/self-join reformulation.
+    Holds one of the 50 driver slots (a redundant TPC-H variant moved to
+    retired_queries() in exchange — see that docstring)."""
     from modlyn_spark.functions.repetition import repetition_signals
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1062,8 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top_orders": q_tpch_q3_top_orders,
         "tpch_q5_region_revenue": q_tpch_q5_region_revenue,
-        "tpch_q4_order_priority": q_tpch_q4_order_priority,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "repetition_signals": q_repetition_signals,
+        "span_dup_pairs": q_span_dup_pairs,
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "filter_min_class_freq": q_filter_min_class_freq,
@@ -1132,9 +1134,12 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         # round-3 additions: new operators, mirror-gated from day one (the
         # 50 driver slots are full; these carry full oracles regardless)
-        "repetition_signals": q_repetition_signals,
         "corpus_chunk_dedup": q_corpus_chunk_dedup,
-        "span_dup_pairs": q_span_dup_pairs,
+        # redundant TPC-H variants (existence semi-join is gated by
+        # filter_min_class_freq; join+agg by tpch_q3/q5) retired in favor
+        # of driver rows for the round-3 curation operators
+        "tpch_q4_order_priority": q_tpch_q4_order_priority,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
     }
 
 
@@ -1223,26 +1228,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY 1
         """,
-        "tpch_q4_order_priority": """
-            SELECT o_orderpriority, count(*) AS order_count
-            FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-              AND o_orderdate < TIMESTAMP '1996-07-01'
-              AND EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_orderkey = o_orderkey
-                            AND l_quantity > 45)
-            GROUP BY 1
+        "repetition_signals": f"""
+            WITH w AS ({_WORDS_SQL}),
+            tot AS (
+              SELECT doc_id, CAST(sum(wl) AS DOUBLE) AS total
+              FROM w GROUP BY doc_id
+            ),
+            lw AS (
+              SELECT doc_id, ord, word, wl,
+                     lead(word, 1) OVER win AS w1, lead(wl, 1) OVER win AS l1,
+                     lead(word, 2) OVER win AS w2, lead(wl, 2) OVER win AS l2,
+                     lead(word, 3) OVER win AS w3, lead(wl, 3) OVER win AS l3,
+                     lead(word, 4) OVER win AS w4, lead(wl, 4) OVER win AS l4
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            top2 AS (
+              SELECT doc_id, cnt * glen AS mass FROM (
+                SELECT doc_id, word || ' ' || w1 AS gram, wl + l1 AS glen,
+                       count(*) AS cnt
+                FROM lw WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
+              ) QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+            ),
+            top3 AS (
+              SELECT doc_id, cnt * glen AS mass FROM (
+                SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS gram,
+                       wl + l1 + l2 AS glen, count(*) AS cnt
+                FROM lw WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+              ) QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
+            ),
+            g5 AS (
+              SELECT doc_id, ord,
+                     word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+                       AS gram
+              FROM lw WHERE w4 IS NOT NULL
+            ),
+            d5 AS (
+              SELECT doc_id, gram FROM g5
+              GROUP BY doc_id, gram HAVING count(*) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT g5.doc_id, g5.ord + k.k AS pos
+              FROM g5 JOIN d5 USING (doc_id, gram)
+              CROSS JOIN (SELECT unnest(range(5)) AS k) k
+            ),
+            dup5 AS (
+              SELECT w.doc_id, sum(w.wl) AS mass
+              FROM w JOIN cov ON w.doc_id = cov.doc_id AND w.ord = cov.pos
+              GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(round(least(top2.mass / tot.total, 1.0), 4), 0.0)
+                     AS top2gram_frac,
+                   coalesce(round(least(top3.mass / tot.total, 1.0), 4), 0.0)
+                     AS top3gram_frac,
+                   coalesce(round(dup5.mass / tot.total, 4), 0.0)
+                     AS dup5gram_frac
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN top2 USING (doc_id)
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)
         """,
-        "tpch_q10_returned_items": """
-            SELECT c_custkey, c_name, c_mktsegment,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE l_returnflag = 'R'
-            GROUP BY 1, 2, 3
-            ORDER BY revenue DESC, c_custkey ASC
-            LIMIT 20
+        "span_dup_pairs": f"""
+            WITH w AS ({_WORDS_SQL}),
+            g AS (
+              SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win || ' ' || lead(word, 5) OVER win || ' ' || lead(word, 6) OVER win || ' ' || lead(word, 7) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
+            FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "value_percentiles": """
             SELECT event_type,
@@ -1743,68 +1802,26 @@ def retired_oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY 1)
             WHERE n_dups > 1
         """,
-        "repetition_signals": f"""
-            WITH w AS ({_WORDS_SQL}),
-            tot AS (
-              SELECT doc_id, CAST(sum(wl) AS DOUBLE) AS total
-              FROM w GROUP BY doc_id
-            ),
-            lw AS (
-              SELECT doc_id, ord, word, wl,
-                     lead(word, 1) OVER win AS w1, lead(wl, 1) OVER win AS l1,
-                     lead(word, 2) OVER win AS w2, lead(wl, 2) OVER win AS l2,
-                     lead(word, 3) OVER win AS w3, lead(wl, 3) OVER win AS l3,
-                     lead(word, 4) OVER win AS w4, lead(wl, 4) OVER win AS l4
-              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
-            ),
-            top2 AS (
-              SELECT doc_id, cnt * glen AS mass FROM (
-                SELECT doc_id, word || ' ' || w1 AS gram, wl + l1 AS glen,
-                       count(*) AS cnt
-                FROM lw WHERE w1 IS NOT NULL GROUP BY 1, 2, 3
-              ) QUALIFY row_number() OVER (
-                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
-            ),
-            top3 AS (
-              SELECT doc_id, cnt * glen AS mass FROM (
-                SELECT doc_id, word || ' ' || w1 || ' ' || w2 AS gram,
-                       wl + l1 + l2 AS glen, count(*) AS cnt
-                FROM lw WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
-              ) QUALIFY row_number() OVER (
-                  PARTITION BY doc_id ORDER BY cnt DESC, gram) = 1
-            ),
-            g5 AS (
-              SELECT doc_id, ord,
-                     word || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
-                       AS gram
-              FROM lw WHERE w4 IS NOT NULL
-            ),
-            d5 AS (
-              SELECT doc_id, gram FROM g5
-              GROUP BY doc_id, gram HAVING count(*) >= 2
-            ),
-            cov AS (
-              SELECT DISTINCT g5.doc_id, g5.ord + k.k AS pos
-              FROM g5 JOIN d5 USING (doc_id, gram)
-              CROSS JOIN (SELECT unnest(range(5)) AS k) k
-            ),
-            dup5 AS (
-              SELECT w.doc_id, sum(w.wl) AS mass
-              FROM w JOIN cov ON w.doc_id = cov.doc_id AND w.ord = cov.pos
-              GROUP BY w.doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(round(least(top2.mass / tot.total, 1.0), 4), 0.0)
-                     AS top2gram_frac,
-                   coalesce(round(least(top3.mass / tot.total, 1.0), 4), 0.0)
-                     AS top3gram_frac,
-                   coalesce(round(dup5.mass / tot.total, 4), 0.0)
-                     AS dup5gram_frac
-            FROM documents d
-            LEFT JOIN tot USING (doc_id)
-            LEFT JOIN top2 USING (doc_id)
-            LEFT JOIN top3 USING (doc_id)
-            LEFT JOIN dup5 USING (doc_id)
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY 1
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "corpus_chunk_dedup": f"""
             WITH w AS ({_WORDS_SQL}),
@@ -1829,17 +1846,5 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN re USING (doc_id)
-        """,
-        "span_dup_pairs": f"""
-            WITH w AS ({_WORDS_SQL}),
-            g AS (
-              SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win || ' ' || lead(word, 5) OVER win || ' ' || lead(word, 6) OVER win || ' ' || lead(word, 7) OVER win AS gram
-              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
-            ),
-            gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL)
-            SELECT a.doc_id AS id1, b.doc_id AS id2,
-                   CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
-            FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
         """,
     }
