@@ -1033,14 +1033,22 @@ def q_checkpoint_lineage(spark, sf_dir):
     the same parquet in DuckDB — an external audit of the metrics the
     north_rule requires 'persisted alongside each commit'
     (modlyn_spark/sources/checkpoint.py)."""
+    import hashlib
+    import shutil
     import tempfile
+    from pathlib import Path
 
     from modlyn_spark.sources.checkpoint import completed_buckets, write_checkpointed
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix="ckpt_lineage_") + "/out"
+    # deterministic per-sf scratch dir, wiped before each run: mkdtemp
+    # would leak one full table copy per gate evaluation
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = Path(tempfile.gettempdir()) / f"ckpt_lineage_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    path = str(base / "out")
     write_checkpointed(
         docs, path, ["doc_id"], n_buckets=8,
         lineage=f"documents@{sf_dir}", portable_hash=True,

@@ -101,16 +101,17 @@ def main() -> None:
     bench("dedup_simhash", lambda: run(qs["dedup_simhash"](spark, sf_dir)))
     bench("value_percentiles",
           lambda: run(qs["value_percentiles"](spark, sf_dir)))
-    # round-3 additions (retired contract entries, still perf-tracked):
-    # Gopher repetition signals (shuffle-free Arrow map), C4 corpus-level
-    # chunk dedup, winnowed verbatim-span dedup
-    rqs = entrymod.retired_queries()
+    # round-3 additions: Gopher repetition signals (shuffle-free Arrow
+    # map), C4 corpus-level chunk dedup, winnowed verbatim-span dedup.
+    # Resolve by name across BOTH contract dicts so slot reshuffles
+    # between queries() and retired_queries() cannot break the bench.
+    all_qs = {**entrymod.retired_queries(), **qs}
     bench("repetition_signals",
-          lambda: run(rqs["repetition_signals"](spark, sf_dir)))
+          lambda: run(all_qs["repetition_signals"](spark, sf_dir)))
     bench("corpus_chunk_dedup",
-          lambda: run(rqs["corpus_chunk_dedup"](spark, sf_dir)))
+          lambda: run(all_qs["corpus_chunk_dedup"](spark, sf_dir)))
     bench("span_dup_pairs",
-          lambda: run(rqs["span_dup_pairs"](spark, sf_dir)))
+          lambda: run(all_qs["span_dup_pairs"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(

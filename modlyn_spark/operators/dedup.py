@@ -767,8 +767,11 @@ def minhash_contamination(
 
     Returns (corpus_id, probe_id, jaccard) with jaccard >= threshold.
     """
-    csig = _signatures(corpus, id_col, text_col, k, n, impl)
-    psig = _signatures(probe, id_col, text_col, k, n, impl)
+    # cache: each signature table feeds the banded join AND the est
+    # pre-filter join — uncached, the per-byte MinHash UDF would run twice
+    # over each corpus
+    csig = _signatures(corpus, id_col, text_col, k, n, impl).cache()
+    psig = _signatures(probe, id_col, text_col, k, n, impl).cache()
     rows_per_band = k // bands
 
     def banded(sig: DataFrame, out_id: str) -> DataFrame:
@@ -810,12 +813,29 @@ def minhash_contamination(
         )
         .select("corpus_id", "probe_id")
     )
-    csh = _packed_shingle_arrays(corpus, id_col, text_col, n).select(
-        F.col("did").alias("corpus_id"), F.col("psh").alias("psh1")
-    )
-    psh = _packed_shingle_arrays(probe, id_col, text_col, n).select(
-        F.col("did").alias("probe_id"), F.col("psh").alias("psh2")
-    )
+    cand = cand.cache()
+    # shingle-pack only the documents that survived as candidates: the
+    # packing UDF cannot be pruned by Catalyst through mapInPandas, so
+    # without the left-semi the whole training corpus would be packed to
+    # verify a handful of pairs
+    c_docs = cand.select(F.col("corpus_id").alias("did")).distinct()
+    p_docs = cand.select(F.col("probe_id").alias("did")).distinct()
+    csh = _packed_shingle_arrays(
+        corpus.join(
+            c_docs, corpus[id_col] == F.col("did"), "left_semi"
+        ),
+        id_col,
+        text_col,
+        n,
+    ).select(F.col("did").alias("corpus_id"), F.col("psh").alias("psh1"))
+    psh = _packed_shingle_arrays(
+        probe.join(
+            p_docs, probe[id_col] == F.col("did"), "left_semi"
+        ),
+        id_col,
+        text_col,
+        n,
+    ).select(F.col("did").alias("probe_id"), F.col("psh").alias("psh2"))
     return _jaccard_verified(
         cand.join(csh, "corpus_id").join(psh, "probe_id"),
         threshold,
@@ -913,6 +933,13 @@ def corpus_line_dedup(
     exact value appears >= ``min_count`` times corpus-wide (nav bars,
     cookie banners, boilerplate), and reassembles each document preserving
     unit order. Documents reduced to nothing keep an empty string.
+
+    NOTE on chunk mode's text canonicalization: units are built from the
+    lowercased, whitespace-split word stream, so the REBUILT text is
+    lowercase with single spaces even when nothing was removed (that
+    canonical form is also what the global counts match on). Line mode
+    preserves the original bytes of surviving lines. Use line mode when
+    byte fidelity of the output text matters.
 
     Returns the input columns with ``out_col`` (default: ``text_col``
     replaced) plus ``n_units_kept`` / ``n_units_removed``.

@@ -65,9 +65,12 @@ class PCAModel:
 
 def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
     """Fit PCA on an ``array``-typed column. One data pass; deterministic
-    under any partitioning. Requires at least 2 rows."""
+    under any partitioning. Requires at least 2 rows. NULL vectors are
+    excluded from the fit (a None inside np.stack would otherwise die
+    deep in the executor with no row context)."""
     from modlyn_spark.operators.similarity import _vec_dim
 
+    df = df.where(F.col(vec_col).isNotNull())
     dim = _vec_dim(df, vec_col)
     if not 1 <= n_components <= dim:
         raise ValueError(f"n_components must be in [1, {dim}]")
@@ -139,10 +142,19 @@ def pca_transform(
         for pdf in batches:
             if pdf.empty:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            Z = (X - mean) @ W.T
+            vals = pdf[vec_col].to_numpy()
+            valid = np.array([v is not None for v in vals])
             out = pdf.copy()
-            out[out_col] = list(Z)
+            if valid.all():
+                X = np.stack(vals).astype(np.float64)
+                out[out_col] = list((X - mean) @ W.T)
+            else:
+                # NULL vector -> NULL projection (row preserved)
+                proj = np.empty(len(vals), dtype=object)
+                if valid.any():
+                    X = np.stack(vals[valid]).astype(np.float64)
+                    proj[valid] = list((X - mean) @ W.T)
+                out[out_col] = proj
             yield out
 
     return df.mapInPandas(run, schema=schema)

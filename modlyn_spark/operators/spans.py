@@ -175,7 +175,9 @@ def span_dup_pairs(
     w = 3 if K >= 4 else 2
     k = K - w + 1
 
-    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    # cache: fp feeds both self-join sides, cand three consumers — without
+    # it every reference re-runs the whole winnow Arrow pass over the corpus
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).cache()
     a = fp.select(F.col("did").alias("id1"), "fp")
     b = fp.select(F.col("did").alias("id2"), "fp")
     cand = (
@@ -183,6 +185,7 @@ def span_dup_pairs(
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
+        .cache()
     )
 
     # exact verify on K-gram STRINGS, restricted to candidate documents
@@ -247,6 +250,7 @@ def span_contamination(
         cfp.join(pfp, "fp")
         .select("corpus_id", "probe_id")
         .dropDuplicates(["corpus_id", "probe_id"])
+        .cache()  # three consumers below
     )
 
     cg = _kgram_strings(

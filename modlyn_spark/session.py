@@ -72,10 +72,18 @@ def get_spark(
 def ensure_parallelism(
     df, min_partitions: int | None = None, min_bytes: int = 1 << 20
 ):
-    """Repartition UP (never down) to the session's default parallelism.
+    """Repartition a SMALL source up to the session's default parallelism.
 
-    Guards the CPU-bound Arrow-UDF stages (minhash/simhash signatures,
-    shingle packing) against under-partitioned sources: a small table
+    Intended for scan-stage inputs feeding CPU-bound Arrow-UDF maps (its
+    only call sites). The guard is size-based, not partition-count-based
+    (counting partitions costs a full plan translation): a source whose
+    Catalyst size estimate is below maxPartitionBytes x target gets one
+    round-robin repartition(target). For raw scans that can only move the
+    partition count UP; an already-shuffled small input would be
+    re-shuffled to exactly ``target`` (possibly fewer partitions than its
+    shuffle produced) — don't point this at post-aggregation plans.
+
+    Why it exists: a small table
     written as one parquet file with one row group scans as ONE partition
     — Spark cannot split inside a row group — so every downstream map
     stage runs single-threaded no matter how many cores the session has

@@ -186,6 +186,18 @@ def write_checkpointed(
     spark = df.sparkSession
     hash_family = _HASH_MD5 if portable_hash else _HASH_XX
     done = completed_buckets(path, spark)
+    # resume must keep the bucket-assignment family of the original run:
+    # committed buckets partition the key space under THAT family, so
+    # assigning the remaining rows under the other one would duplicate
+    # rows into already-written buckets and orphan others entirely
+    existing_families = {rec.get("hash", _HASH_XX) for rec in done.values()}
+    if existing_families and existing_families != {hash_family}:
+        raise ValueError(
+            f"checkpoint at {path} was written with hash family "
+            f"{sorted(existing_families)}; resume requested "
+            f"{hash_family!r} — rerun with the original portable_hash "
+            "setting (or start a fresh path)"
+        )
     bucketed = df.withColumn(_BUCKET, _bucket_col(key_cols, n_buckets, hash_family))
     todo_buckets = [b for b in range(n_buckets) if b not in done]
     result = {"computed": todo_buckets, "skipped": sorted(done), "rows_written": 0}

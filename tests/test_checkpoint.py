@@ -160,3 +160,19 @@ def test_default_family_unchanged_and_resumable(spark, out_dir):
     assert verify(spark, out_dir)["ok"]
     res = write_checkpointed(ev, out_dir, ["event_id"], n_buckets=4)
     assert res["computed"] == [] and sorted(res["skipped"]) == [0, 1, 2, 3]
+
+
+def test_resume_rejects_hash_family_switch(spark, tmp_path):
+    """Committed buckets partition the key space under ONE family; a
+    resume under the other would duplicate and orphan rows — refuse."""
+    import pytest
+    from modlyn_spark.sources.checkpoint import write_checkpointed
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "ck")
+    write_checkpointed(df, out, ["id"], n_buckets=4)
+    # same family resumes as a no-op
+    r = write_checkpointed(df, out, ["id"], n_buckets=4)
+    assert r["computed"] == []
+    with pytest.raises(ValueError, match="hash family"):
+        write_checkpointed(df, out, ["id"], n_buckets=4, portable_hash=True)

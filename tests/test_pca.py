@@ -103,3 +103,22 @@ def test_pca_errors(spark):
     )
     with pytest.raises(ValueError, match="n_components"):
         pca_fit(two, "v", 3)
+
+
+def test_null_vectors_excluded_from_fit_and_null_in_transform(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 4))
+    rows = [(i, x.tolist()) for i, x in enumerate(X)]
+    clean = spark.createDataFrame(rows, "id long, v array<double>")
+    dirty = clean.unionByName(
+        spark.createDataFrame([(999, None)], "id long, v array<double>")
+    )
+    m_clean = pca_fit(clean, "v", 2)
+    m_dirty = pca_fit(dirty, "v", 2)
+    np.testing.assert_allclose(m_clean.components, m_dirty.components)
+    out = pca_transform(dirty, "v", m_dirty).orderBy("id").collect()
+    assert out[-1]["id"] == 999 and out[-1]["pca"] is None
+    assert all(r["pca"] is not None for r in out[:-1])
