@@ -123,3 +123,39 @@ def test_watermark_semantics_guaranteed_vs_best_effort(spark, tmp_path):
     assert 0 in admitted and 3 in admitted     # firsts always admitted
     assert 1 not in admitted                   # in-horizon dup: guaranteed
     assert set(admitted) <= {0, 2, 3}          # 2 is best-effort either way
+
+
+def test_repetition_gate_works_on_a_stream(spark, tmp_path):
+    """The Gopher repetition gate is a stateless Arrow map + filter, so it
+    composes with streaming ingestion as-is (no state store involved) —
+    the full on-ingest curation shape is fingerprint-dedup + quality/
+    repetition gates in one continuous query."""
+    from modlyn_spark.functions.repetition import (
+        gopher_repetition_ok,
+        repetition_signals,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    clean = " ".join(f"tok{i} word{(i * 13) % 89}" for i in range(120))
+    rows = [
+        (0, None, clean),
+        (1, None, "buy now best price " * 50),  # fails the repetition caps
+        (2, None, clean + " extra tail of words here"),
+    ]
+    _rows(spark, rows).coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    gated = repetition_signals(stream, "text").where(gopher_repetition_ok())
+    q = (
+        gated.select("doc_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [0, 2]
