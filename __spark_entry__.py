@@ -1121,6 +1121,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_source_quality_rollup(spark, sf_dir):
+    """Per-source curation decision table (plans/curation.py
+    source_quality_rollup): doc count, within-source exact-dup fraction,
+    mean quality and length — one map-side-combinable groupBy of codegen
+    column expressions. Oracle: the same aggregates in DuckDB over the
+    shared quality/fingerprint formulas."""
+    from modlyn_spark.plans.curation import source_quality_rollup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_quality_rollup(docs)
+
+
 # The external driver evaluates AT MOST 50 queries() entries in dict order:
 # round 2 registered 51 and CORRECTNESS_r02.json contains exactly the first
 # 50 — the 51st (image_pipeline, the north-star D1 query) silently got no
@@ -1148,6 +1160,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of driver rows for the round-3 curation operators
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "source_quality_rollup": q_source_quality_rollup,
     }
 
 
@@ -1854,5 +1867,29 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN tot USING (doc_id)
             LEFT JOIN re USING (doc_id)
+        """,
+        "source_quality_rollup": f"""
+            WITH q AS (
+              SELECT source, length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            r AS (SELECT source, n_chars, fp,
+                         (least(n_chars / 200.0, 1.0)
+                          + greatest(1.0 - (CASE WHEN n_chars > 0
+                                THEN n_punct * 1.0 / n_chars ELSE 0 END) * 4.0, 0.0)
+                          + least((CASE WHEN len(w) > 0 THEN
+                                len(list_filter(w, x -> list_contains({_EN}, x)))
+                                * 1.0 / len(w) ELSE 0 END) * 4.0, 1.0)) / 3.0
+                           AS quality
+                  FROM q)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4)
+                     AS dup_frac,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM r GROUP BY 1
         """,
     }

@@ -130,3 +130,44 @@ def curate_corpus(
         splits or {"train": 0.9, "val": 0.05, "test": 0.05},
         salt=salt,
     )
+
+
+def source_quality_rollup(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source curation decision table — the aggregate view pipelines
+    use to keep or drop whole domains/feeds (C4 dropped sources wholesale;
+    RefinedWeb curates per-domain): document count, within-source
+    exact-duplicate fraction (1 - distinct fingerprints / docs), mean
+    quality score and mean length.
+
+    Plan shape: ONE map-side-combinable groupBy over per-row column
+    expressions (fingerprint + quality are codegen; no UDFs, no second
+    pass) — the cheapest aggregate in the curation family.
+    """
+    from modlyn_spark.functions.text import doc_fingerprint
+
+    per_doc = docs.select(
+        F.col(source_col).alias("source"),
+        quality_score(F.col(text_col)).alias("__q"),
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        F.length(F.col(text_col)).alias("__n"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("__fp").alias("n_distinct"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+        F.round(F.avg("__n"), 4).alias("avg_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_docs"), 4
+        ).alias("dup_frac"),
+        "avg_quality",
+        "avg_chars",
+    )

@@ -167,3 +167,30 @@ def test_span_contamination_stage_catches_embedded_eval_quote(spark):
         contamination_span_tokens=8,
     ).toPandas()
     assert set(kept_with["doc_id"]) == {1}
+
+
+def test_source_quality_rollup_semantics(spark):
+    import pandas as pd
+    from modlyn_spark.plans.curation import source_quality_rollup
+
+    good = ("the quick brown fox jumps over the lazy dog and it was good "
+            "for all of them in the end because the story is long enough")
+    rows = [
+        {"doc_id": 0, "source": "blog", "text": good},
+        {"doc_id": 1, "source": "blog", "text": good + " extra words here"},
+        {"doc_id": 2, "source": "mirror", "text": good},
+        {"doc_id": 3, "source": "mirror", "text": good},      # exact dup
+        {"doc_id": 4, "source": "mirror", "text": good.upper()},  # canon dup
+        {"doc_id": 5, "source": "spam", "text": "@@@@ #### !!!! %%%%"},
+    ]
+    out = {
+        r["source"]: r
+        for r in source_quality_rollup(
+            spark.createDataFrame(pd.DataFrame(rows))
+        ).collect()
+    }
+    assert out["blog"]["n_docs"] == 2 and out["blog"]["dup_frac"] == 0.0
+    # mirror: 3 docs, 1 distinct canonical fingerprint -> 2/3 duplicated
+    assert out["mirror"]["n_docs"] == 3
+    assert out["mirror"]["dup_frac"] == pytest.approx(round(2 / 3, 4))
+    assert out["spam"]["avg_quality"] < out["blog"]["avg_quality"]
