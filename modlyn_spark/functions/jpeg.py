@@ -220,14 +220,24 @@ def _component_symbols(coeffs: np.ndarray):
 
 
 def jpeg_encode(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "420"
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    interleave: bool = True,
 ) -> bytes:
     """Encode uint8 (h, w) gray or (h, w, 3) RGB as baseline JFIF JPEG.
 
     ``subsampling``: "420" (default; 2x2 box-mean chroma — the web
     default, ~37 dB ceiling on saturated chroma gradients) or "444"
     (full-resolution chroma — use when the PSNR >= 40 dB invariant must
-    hold on chroma-heavy content)."""
+    hold on chroma-heavy content).
+
+    ``interleave``: True emits one MCU-interleaved scan (what every
+    camera/browser writes); False emits one single-component scan per
+    plane in raster data-unit order (T.81 non-interleaved layout, block
+    counts ceil(ceil(dim*h_i/hmax)/8) per A.2.2) — exists mainly to
+    exercise the decoder's multi-scan path against externally-produced
+    files."""
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
         raise ValueError(f"unsupported pixel shape {pixels.shape}")
@@ -267,28 +277,51 @@ def jpeg_encode(
         comp_coeffs.append(q.reshape(len(q), 64)[:, ZIGZAG])
         comp_bw.append((bh, bw))
 
-    # MCU-interleaved emission order (DC differentials MUST follow this
-    # order, not raster block order — the decoder's predictor runs in
-    # scan order)
-    if gray:
-        order = [(0, i) for i in range(len(comp_coeffs[0]))]
-    elif subsampling == "444":
-        order = [
-            (ci, bi)
-            for bi in range(len(comp_coeffs[0]))
-            for ci in range(3)
-        ]
+    # Emission order (DC differentials MUST follow it — the decoder's
+    # predictor runs in scan order). Interleaved: one scan of MCUs.
+    # Non-interleaved: one scan per component, raster data-unit order
+    # cropped to the T.81 A.2.2 block counts (the padded _to_blocks grid
+    # can be one block wider than the spec count when dims aren't MCU
+    # multiples — those pad blocks are simply not transmitted).
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if interleave or gray:
+        if gray:
+            order = [(0, i) for i in range(len(comp_coeffs[0]))]
+        elif subsampling == "444":
+            order = [
+                (ci, bi)
+                for bi in range(len(comp_coeffs[0]))
+                for ci in range(3)
+            ]
+        else:
+            bh_y, bw_y = comp_bw[0]
+            mcus_x, mcus_y = bw_y // 2, bh_y // 2
+            order = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for dy in range(2):
+                        for dx in range(2):
+                            order.append(
+                                (0, (my * 2 + dy) * bw_y + mx * 2 + dx)
+                            )
+                    order.append((1, my * comp_bw[1][1] + mx))
+                    order.append((2, my * comp_bw[2][1] + mx))
+        scan_orders = [order]
     else:
-        bh_y, bw_y = comp_bw[0]
-        mcus_x, mcus_y = bw_y // 2, bh_y // 2
-        order = []
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for dy in range(2):
-                    for dx in range(2):
-                        order.append((0, (my * 2 + dy) * bw_y + mx * 2 + dx))
-                order.append((1, my * comp_bw[1][1] + mx))
-                order.append((2, my * comp_bw[2][1] + mx))
+        scan_orders = []
+        for ci in range(len(planes)):
+            bh_i, bw_i = comp_bw[ci]
+            bw_spec = -(-w * samp[ci][0] // (8 * hmax))
+            bh_spec = -(-h * samp[ci][1] // (8 * vmax))
+            scan_orders.append(
+                [
+                    (ci, by * bw_i + bx)
+                    for by in range(min(bh_spec, bh_i))
+                    for bx in range(min(bw_spec, bw_i))
+                ]
+            )
+    order = [item for sc in scan_orders for item in sc]
 
     # per-component symbol streams in emission order
     comp_emit = [[bi for ci, bi in order if ci == c] for c in range(len(planes))]
@@ -315,24 +348,28 @@ def jpeg_encode(
         tables[("dc", 1)] = _canonical_table(syms(chroma_ids, "dc"))
         tables[("ac", 1)] = _canonical_table(syms(chroma_ids, "ac"))
 
-    # entropy-coded scan
-    bw_ = _BitWriter()
+    # entropy-coded scan(s) — one blob per SOS; the DC predictor resets
+    # at each scan start (fresh writer per scan keeps byte alignment too)
     comp_tbl = [0] + ([1, 1] if chroma_ids else [])
-    for ci, bi in order:
-        t = comp_tbl[ci]
-        dc_enc = tables[("dc", t)][2]
-        ac_enc = tables[("ac", t)][2]
-        (dsym, (dval, dlen)), acs = streams[ci][bi]
-        code, length = dc_enc[dsym]
-        bw_.write(code, length)
-        if dlen:
-            bw_.write(dval, dlen)
-        for asym, (aval, alen) in acs:
-            code, length = ac_enc[asym]
+    scan_blobs = []
+    for sc in scan_orders:
+        bw_ = _BitWriter()
+        for ci, bi in sc:
+            t = comp_tbl[ci]
+            dc_enc = tables[("dc", t)][2]
+            ac_enc = tables[("ac", t)][2]
+            (dsym, (dval, dlen)), acs = streams[ci][bi]
+            code, length = dc_enc[dsym]
             bw_.write(code, length)
-            if alen:
-                bw_.write(aval, alen)
-    bw_.flush()
+            if dlen:
+                bw_.write(dval, dlen)
+            for asym, (aval, alen) in acs:
+                code, length = ac_enc[asym]
+                bw_.write(code, length)
+                if alen:
+                    bw_.write(aval, alen)
+        bw_.flush()
+        scan_blobs.append(bw_.out)
 
     # --- container ---
     def seg(marker: int, payload: bytes) -> bytes:
@@ -352,13 +389,15 @@ def jpeg_encode(
     for (kind, tid), (bits, vals, _) in sorted(tables.items()):
         tc = 0 if kind == "dc" else 1
         out += seg(0xFFC4, bytes([(tc << 4) | tid] + bits + vals))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        t = comp_tbl[i]
-        sos += bytes([i + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += bw_.out
+    for sc, blob in zip(scan_orders, scan_blobs):
+        comp_ids = sorted({ci for ci, _ in sc})
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            t = comp_tbl[i]
+            sos += bytes([i + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xFFDA, sos)
+        out += blob
     out += b"\xFF\xD9"  # EOI
     return bytes(out)
 
@@ -511,8 +550,15 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs, tt = payload[1 + 2 * i : 3 + 2 * i]
                 c = next(c for c in comps if c["id"] == cs)
                 scan.append((c, tt >> 4, tt & 0xF))
+            # Hmax/Vmax are FRAME properties (T.81 A.1.1): a scan that
+            # carries a subset of components (e.g. a non-interleaved chroma
+            # scan in a subsampled frame) must still size its blocks
+            # against the frame-wide maxima, not the scan-local ones
+            fhmax = max(c["h"] for c in comps)
+            fvmax = max(c["v"] for c in comps)
             pos = _decode_scan(
-                data, pos, scan, qtabs, htabs, h, w, restart_interval
+                data, pos, scan, qtabs, htabs, h, w, restart_interval,
+                fhmax, fvmax,
             )
         # APPn / COM / others: skipped via length
 
@@ -532,9 +578,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     return ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
-def _decode_scan(data, pos, scan, qtabs, htabs, h, w, restart_interval):
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
+def _decode_scan(
+    data, pos, scan, qtabs, htabs, h, w, restart_interval, hmax, vmax
+):
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     for c, _, _ in scan:

@@ -818,11 +818,13 @@ def minhash_contamination(
     # packing UDF cannot be pruned by Catalyst through mapInPandas, so
     # without the left-semi the whole training corpus would be packed to
     # verify a handful of pairs
-    c_docs = cand.select(F.col("corpus_id").alias("did")).distinct()
-    p_docs = cand.select(F.col("probe_id").alias("did")).distinct()
+    # reserved probe-side alias: a caller whose id_col is literally named
+    # "did" would otherwise make the semi-join condition self-referential
+    c_docs = cand.select(F.col("corpus_id").alias("__cand_id")).distinct()
+    p_docs = cand.select(F.col("probe_id").alias("__cand_id")).distinct()
     csh = _packed_shingle_arrays(
         corpus.join(
-            c_docs, corpus[id_col] == F.col("did"), "left_semi"
+            c_docs, corpus[id_col] == F.col("__cand_id"), "left_semi"
         ),
         id_col,
         text_col,
@@ -830,7 +832,7 @@ def minhash_contamination(
     ).select(F.col("did").alias("corpus_id"), F.col("psh").alias("psh1"))
     psh = _packed_shingle_arrays(
         probe.join(
-            p_docs, probe[id_col] == F.col("did"), "left_semi"
+            p_docs, probe[id_col] == F.col("__cand_id"), "left_semi"
         ),
         id_col,
         text_col,
@@ -938,8 +940,11 @@ def corpus_line_dedup(
     lowercased, whitespace-split word stream, so the REBUILT text is
     lowercase with single spaces even when nothing was removed (that
     canonical form is also what the global counts match on). Line mode
-    preserves the original bytes of surviving lines. Use line mode when
-    byte fidelity of the output text matters.
+    preserves the original bytes of surviving lines — with one exception:
+    blank/whitespace-only lines are ALWAYS removed (they are filtered
+    before the explode, so they count in neither ``n_units_kept`` nor
+    ``n_units_removed``). Use line mode when byte fidelity of the
+    surviving non-blank lines matters.
 
     Returns the input columns with ``out_col`` (default: ``text_col``
     replaced) plus ``n_units_kept`` / ``n_units_removed``.

@@ -189,14 +189,16 @@ def span_dup_pairs(
     )
 
     # exact verify on K-gram STRINGS, restricted to candidate documents
+    # reserved alias: id_col literally named "cid"/"did" must not make the
+    # semi-join condition self-referential
     cand_docs = (
-        cand.select(F.col("id1").alias("cid"))
-        .unionByName(cand.select(F.col("id2").alias("cid")))
+        cand.select(F.col("id1").alias("__cand_id"))
+        .unionByName(cand.select(F.col("id2").alias("__cand_id")))
         .distinct()
     )
     grams = _kgram_strings(
         df.join(
-            cand_docs, df[id_col] == F.col("cid"), "left_semi"
+            cand_docs, df[id_col] == F.col("__cand_id"), "left_semi"
         ),
         id_col,
         text_col,
@@ -255,8 +257,8 @@ def span_contamination(
 
     cg = _kgram_strings(
         corpus.join(
-            cand.select(F.col("corpus_id").alias("cid")).distinct(),
-            corpus[id_col] == F.col("cid"),
+            cand.select(F.col("corpus_id").alias("__cand_id")).distinct(),
+            corpus[id_col] == F.col("__cand_id"),
             "left_semi",
         ),
         id_col,
@@ -265,8 +267,8 @@ def span_contamination(
     ).select(F.col("did").alias("corpus_id"), "gram")
     pg = _kgram_strings(
         probe.join(
-            cand.select(F.col("probe_id").alias("cid")).distinct(),
-            probe[id_col] == F.col("cid"),
+            cand.select(F.col("probe_id").alias("__cand_id")).distinct(),
+            probe[id_col] == F.col("__cand_id"),
             "left_semi",
         ),
         id_col,

@@ -283,8 +283,14 @@ class DistributedLogReg:
         matrix (the ``weights_long`` sink format). Bias is zero — the
         score-matrix export carries W only, like the reference's
         feature-score sink (modlyn/models/_simple_logreg_model.py:170-192).
-        Class axis = sorted labels, matching ``label_encode``."""
-        classes = sorted(weights["label"].astype(str).unique())
+        Class axis = sorted labels, matching ``label_encode``. Labels are
+        normalized to STRINGS once, before both the class list and the
+        pivot index — a numeric label column would otherwise keep its
+        dtype in the pivot index and KeyError on the str-coerced class
+        lookup; labels therefore order as strings ("10" < "2"), exactly
+        like the engine's label_encode."""
+        weights = weights.assign(label=weights["label"].astype(str))
+        classes = sorted(weights["label"].unique())
         d = int(weights["pos"].max()) + 1
         m = cls(d, classes)
         piv = weights.pivot(index="label", columns="pos", values="weight")

@@ -169,6 +169,33 @@ def test_span_contamination_stage_catches_embedded_eval_quote(spark):
     assert set(kept_with["doc_id"]) == {1}
 
 
+def test_contamination_with_reserved_id_column_names(spark):
+    """id_col literally named 'did' or 'cid' must not collide with the
+    internal aliases of the semi-join that prunes shingle/gram packing to
+    candidate documents (the joins use reserved __cand_id names)."""
+    import pandas as pd
+    from modlyn_spark.operators.dedup import minhash_contamination
+    from modlyn_spark.operators.spans import span_contamination
+
+    q = "what is the airspeed velocity of an unladen swallow today friend"
+    corpus = spark.createDataFrame(
+        pd.DataFrame([{"did": 1, "text": q + " and some trailing words"},
+                      {"did": 2, "text": "completely unrelated text body"}])
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame([{"did": 100, "text": q + " and some trailing words!"}])
+    )
+    got = minhash_contamination(
+        corpus, probe, "did", "text", threshold=0.8
+    ).toPandas()
+    assert set(got["corpus_id"]) == {1}
+
+    c2 = corpus.withColumnRenamed("did", "cid")
+    p2 = probe.withColumnRenamed("did", "cid")
+    got2 = span_contamination(c2, p2, "cid", "text", span_tokens=8).toPandas()
+    assert set(got2["corpus_id"]) == {1}
+
+
 def test_source_quality_rollup_semantics(spark):
     import pandas as pd
     from modlyn_spark.plans.curation import source_quality_rollup

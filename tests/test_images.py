@@ -131,6 +131,27 @@ def test_jpeg_roundtrip_psnr_and_dims():
                 assert psnr(px, dec) >= 25.0
 
 
+def test_jpeg_non_interleaved_scans_decode_identically():
+    """Externally-produced baseline files may carry one single-component
+    scan per plane (non-interleaved T.81 layout). The decoder must size
+    each scan's blocks against the FRAME-wide Hmax/Vmax (A.1.1): with
+    scan-local maxima a chroma h=v=1 scan of a 4:2:0 frame allocates
+    ceil(w/8) instead of ceil(w/16) blocks and garbles or EOFs."""
+    from modlyn_spark.functions.jpeg import jpeg_decode, jpeg_encode
+
+    for shape in [(24, 24), (17, 23), (32, 48)]:
+        base = np.linspace(0, 255, shape[0] * shape[1]).reshape(shape)
+        px = np.stack([base, base[::-1], 255 - base], axis=-1).astype(np.uint8)
+        for sub in ("420", "444"):
+            di = jpeg_decode(jpeg_encode(px, quality=95, subsampling=sub))
+            ds = jpeg_decode(
+                jpeg_encode(px, quality=95, subsampling=sub, interleave=False)
+            )
+            assert ds.shape == px.shape
+            # same coefficients, different container layout -> identical
+            np.testing.assert_array_equal(di, ds)
+
+
 def test_jpeg_decoder_rejects_unsupported():
     from modlyn_spark.functions.jpeg import jpeg_decode
 

@@ -357,6 +357,26 @@ def test_from_weights_long_roundtrip_predicts(spark, matrix_pdf):
     np.testing.assert_array_equal(got, np.argmax(X @ m.W.T, axis=1))
 
 
+def test_from_weights_long_numeric_labels():
+    """A numeric label column must not KeyError in the pivot lookup:
+    labels normalize to strings ONCE (before class list AND pivot), so
+    ordering is string order ("10" < "2") like label_encode's."""
+    from modlyn_spark.scoring.logreg import DistributedLogReg
+
+    rng = np.random.default_rng(7)
+    W = rng.standard_normal((3, 4))
+    long = pd.DataFrame(
+        {
+            "label": np.repeat([2, 10, 1], 4),  # ints, unsorted
+            "pos": np.tile(np.arange(4), 3),
+            "weight": W.ravel(),
+        }
+    )
+    m = DistributedLogReg.from_weights_long(long)
+    assert m.classes == ["1", "10", "2"]  # string order
+    np.testing.assert_allclose(m.W, W[[2, 1, 0]])
+
+
 def test_kmeans_init_unbiased_on_label_sorted_frame(spark):
     """A label-SORTED table with a small init sample must still seed
     centroids from multiple classes: md5(id)-ordered sampling is storage-
