@@ -10,9 +10,10 @@ physical pattern as the scoring layer (scoring/stats.py partials):
   per-cluster (count, vector sum, inertia) partials with a single
   (batch x dim) @ (dim x k) GEMM per Arrow batch — rows never shuffle,
   only k x (dim + 2) scalars per partition come back;
-- partials combine on the driver in sorted-partition order (float64),
-  so results are deterministic at ANY parallelism — the same N-vs-4N
-  invariant the logreg trainer guarantees;
+- partials tree-combine executor-side in ascending-pid order (float64;
+  operators/combine.py — the driver collects <= 64 rows per round, not
+  one per partition), so results are deterministic at ANY parallelism —
+  the same N-vs-4N invariant the logreg trainer guarantees;
 - iteration stops when assignments imply unchanged centroids (movement
   below ``tol``) or at ``max_iter``.
 
@@ -38,6 +39,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from modlyn_spark.operators.combine import collect_partials
 
 _PARTIAL_SCHEMA = StructType(
     [
@@ -141,8 +144,12 @@ def kmeans_fit(
                     }
                 )
 
-        parts = data.mapInPandas(partials, schema=_PARTIAL_SCHEMA).collect()
-        parts.sort(key=lambda r: r["pid"])  # deterministic combine order
+        # executor-side tree combine (operators/combine.py): driver gets
+        # <= 64 rows per iteration instead of one (k*d)-double partial per
+        # partition; bit-identical to a plain sorted collect when P <= 64
+        parts = collect_partials(
+            data.mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+        )
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.float64)
         inertia = 0.0

@@ -42,6 +42,12 @@ from modlyn_spark.functions.text import (
 )
 from modlyn_spark.session import ensure_parallelism
 
+# corpus_line_dedup broadcast_hot=None: force-broadcast the hot-unit set
+# only when the INPUT's compressed scan estimate is at most this (the hot
+# set is bounded by corpus text volume; above it, AQE decides from the
+# hot set's actual runtime size)
+_BROADCAST_HOT_MAX_BYTES = 64 << 20
+
 
 def _packed_jaccard_col(psh1: str, psh2: str) -> Column:
     """Exact Jaccard of two SORTED-unique packed-shingle arrays as a pure
@@ -924,7 +930,7 @@ def corpus_line_dedup(
     delim: str = "\n",
     chunk_words: int | None = None,
     min_count: int = 2,
-    broadcast_hot: bool = True,
+    broadcast_hot: bool | None = None,
     out_col: str | None = None,
 ) -> DataFrame:
     """C4/RefinedWeb-style corpus-level boilerplate removal.
@@ -951,10 +957,17 @@ def corpus_line_dedup(
 
     Scale shape: posexplode -> ONE map-side-combinable groupBy on the unit
     value for global counts (shuffle volume = distinct units, not
-    occurrences) -> anti-join against the hot set (broadcast by default:
-    at web scale the boilerplate set is tiny next to the corpus; pass
-    ``broadcast_hot=False`` to let AQE pick when it is not) -> one
-    groupBy(id) to reassemble. No cross joins, no per-row Python.
+    occurrences) -> anti-join against the hot set -> one groupBy(id) to
+    reassemble. No cross joins, no per-row Python.
+
+    ``broadcast_hot=None`` (default) decides FROM SIZE: the hot set is
+    bounded by the corpus text volume, so when the input's Catalyst scan
+    estimate is small (<= 64 MB compressed) the anti-join side is forced
+    broadcast; above that, no hint — AQE picks from the hot set's ACTUAL
+    runtime size. The duplicated-unit set of a web corpus at
+    min_count=2-3 is billions of distinct strings — an unconditional
+    broadcast would OOM every executor, which is why "relatively tiny" is
+    not a broadcast argument. True/False force the respective plan.
     """
     out_col = out_col or text_col
     if chunk_words is not None:
@@ -1022,6 +1035,16 @@ def corpus_line_dedup(
         .where(F.col("__n") >= min_count)
         .select("__unit")
     )
+    if broadcast_hot is None:
+        # same stats probe as session.ensure_parallelism: a driver-side
+        # lookup, no plan execution
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            broadcast_hot = est <= _BROADCAST_HOT_MAX_BYTES
+        except Exception:
+            broadcast_hot = False
     if broadcast_hot:
         hot = F.broadcast(hot)
     kept = ex.where(F.col("__unit").isNotNull()).join(

@@ -11,9 +11,12 @@ and clustering.py):
 - one ``mapInPandas`` pass computes per-partition (n, col-sum, X^T X)
   with a single (batch x d)^T @ (batch x d) GEMM per Arrow batch — rows
   NEVER shuffle; d*(d+1) doubles per partition come back;
-- partials combine on the driver in sorted-partition order (float64), so
-  the fitted basis is deterministic at ANY parallelism — the same
-  N-vs-4N invariant the logreg trainer and k-means keep;
+- partials tree-combine executor-side in ascending-pid order (float64;
+  operators/combine.py), so the fitted basis is deterministic at ANY
+  parallelism — the same N-vs-4N invariant the logreg trainer and
+  k-means keep — and the driver collects ~levels[-1] rows (≈ sqrt-P
+  behavior), never one partial per partition: at d=1024 a partial is
+  ~8 MB, so a raw collect from a 100 TB scan would ship terabytes;
 - eigendecomposition of the (d x d) covariance runs on the driver
   (np.linalg.eigh — symmetric, stable), eigenvectors sign-fixed so each
   component's largest-|loading| entry is positive (basis is unique, not
@@ -43,6 +46,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from modlyn_spark.operators.combine import collect_partials
 
 _PARTIAL_SCHEMA = StructType(
     [
@@ -95,8 +100,14 @@ def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
                  "xtx": [xtx.ravel().tolist()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(partials, schema=_PARTIAL_SCHEMA).collect()
-    parts.sort(key=lambda r: r["pid"])  # deterministic combine order
+    # executor-side tree combine: the driver collects at most 64 rows no
+    # matter how many partitions the scan produced (a raw collect of
+    # d=1024 partials from a 100 TB / 128 MB-split scan would be ~TBs);
+    # bit-identical to a plain sorted collect when P <= 64 — see
+    # operators/combine.py for the determinism contract
+    parts = collect_partials(
+        df.select(vec_col).mapInPandas(partials, schema=_PARTIAL_SCHEMA)
+    )
     n = 0
     s = np.zeros(dim, dtype=np.float64)
     xtx = np.zeros((dim, dim), dtype=np.float64)

@@ -81,18 +81,41 @@ def stratified_take(
 ) -> DataFrame:
     """EXACTLY ``n_per_label`` rows per stratum (or all rows of smaller
     strata), chosen by smallest hash draw — a deterministic reservoir.
-    One shuffle (the per-label top-n window); ties are impossible up to
-    md5 collisions. Equivalent SQL: row_number() over (partition by label
-    order by md5(key)) <= n."""
+    Ties are impossible up to md5 collisions. Equivalent SQL:
+    row_number() over (partition by label order by md5(key)) <= n.
+
+    Skew shape: the exact per-label window serializes each stratum
+    through ONE task, so a label holding half the corpus would funnel
+    half the rows onto one reducer. The window is therefore preceded by
+    an approximate hash-threshold PRE-FILTER: md5 draws are uniform on
+    [0, 1), so a stratum of c rows has its n-th smallest draw near n/c —
+    keeping draws under (n + 10*sqrt(n) + 50)/c passes ~n rows per label
+    into the window while bounding the miss probability (the true n-th
+    draw exceeding the cutoff) below a Chernoff tail of ~e^-25. The
+    per-label count is one map-side-combinable aggregate; the count
+    table joins back broadcast (strata counts are aggregate-sized).
+    Output is IDENTICAL to the unfiltered window whenever the pre-filter
+    keeps the n smallest draws — which it does up to that negligible
+    tail, and md5 cannot be adversarially seeded by data placement."""
     if n_per_label <= 0:
         raise ValueError("n_per_label must be positive")
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
                       F.lit(salt))
+    u = _hash_unit(key_cols, salt)
+    # null-safe string join key so a NULL-labelled stratum still counts
+    lk = F.coalesce(F.col(label_col).cast("string"), F.lit("\u0000<null>"))
+    tagged = df.withColumn("__lk", lk)
+    counts = tagged.groupBy("__lk").agg(F.count(F.lit(1)).alias("__c"))
+    n = float(n_per_label)
+    cutoff = F.least(
+        F.lit(1.0), (F.lit(n + 10.0 * n ** 0.5 + 50.0)) / F.col("__c")
+    )
+    pre = tagged.join(F.broadcast(counts), "__lk").where(u < cutoff)
     w = Window.partitionBy(label_col).orderBy(F.md5(key), *key_cols)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        pre.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_label)
-        .drop("__rn")
+        .select(*df.columns)
     )
 
 

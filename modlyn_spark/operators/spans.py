@@ -156,12 +156,21 @@ def span_dup_pairs(
     text_col: str,
     *,
     span_tokens: int = 8,
+    eager: bool = True,
 ) -> DataFrame:
     """Pairs of documents sharing >= 1 exact ``span_tokens``-word
     contiguous run. Returns (id1, id2, n_shared_grams) where
     n_shared_grams counts the DISTINCT shared K-grams (a shared run of
     L >= K tokens contributes L - K + 1 of them) — exactly the full
-    K-gram inverted-index join's answer, at winnowed-candidate cost."""
+    K-gram inverted-index join's answer, at winnowed-candidate cost.
+
+    ``eager=True`` (default) materializes the (output-sized) result via
+    localCheckpoint and UNPERSISTS the fingerprint/candidate caches
+    before returning: the winnowed index is ~2/(w+1) of all token
+    positions — held in MEMORY_AND_DISK for the caller's lifetime it
+    would crowd out executor memory at corpus scale. Pass eager=False
+    when composing into a larger lazy plan (the caches then live until
+    the session drops them)."""
     K = int(span_tokens)
     if K < 2:
         raise ValueError("span_tokens must be >= 2")
@@ -212,9 +221,14 @@ def span_dup_pairs(
         .groupBy("id1", "id2")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
-    return cand.join(shared, ["id1", "id2"]).select(
+    out = cand.join(shared, ["id1", "id2"]).select(
         "id1", "id2", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        fp.unpersist()
+        cand.unpersist()
+    return out
 
 
 def span_contamination(
@@ -224,6 +238,7 @@ def span_contamination(
     text_col: str,
     *,
     span_tokens: int = 8,
+    eager: bool = True,
 ) -> DataFrame:
     """CROSS-corpus verbatim-span detection — the contamination check
     whole-document similarity misses: an eval question quoted verbatim
@@ -235,6 +250,10 @@ def span_contamination(
     candidates cost sum-over-buckets of |corpus_bucket| x |probe_bucket|,
     and the exact K-gram verify touches candidate documents only.
     Returns (corpus_id, probe_id, n_shared_grams).
+
+    ``eager`` as in ``span_dup_pairs``: default True materializes the
+    result and unpersists the candidate cache before returning
+    (curate_corpus passes False to stay a single lazy plan).
     """
     K = int(span_tokens)
     if K < 2:
@@ -280,8 +299,12 @@ def span_contamination(
         .groupBy("corpus_id", "probe_id")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )
-    return cand.join(shared, ["corpus_id", "probe_id"]).select(
+    out = cand.join(shared, ["corpus_id", "probe_id"]).select(
         "corpus_id",
         "probe_id",
         F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        cand.unpersist()
+    return out

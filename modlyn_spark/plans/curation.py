@@ -113,6 +113,9 @@ def curate_corpus(
             # long document; the verbatim-span check catches it
             from modlyn_spark.operators.spans import span_contamination
 
+            # eager=False: the corpus side here is the whole upstream
+            # curated plan — materializing it inside construction would
+            # run the dedup stages twice
             dirty = dirty.unionByName(
                 span_contamination(
                     out,
@@ -120,6 +123,7 @@ def curate_corpus(
                     id_col,
                     text_col,
                     span_tokens=contamination_span_tokens,
+                    eager=False,
                 ).select(F.col("corpus_id").alias(id_col))
             )
         out = out.join(dirty.distinct(), id_col, "left_anti")

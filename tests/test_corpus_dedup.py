@@ -125,13 +125,47 @@ def test_chunk_mode_matches_duckdb_on_real_corpus(spark, docs):
 
 
 def test_hot_set_is_broadcast(spark):
+    """Auto mode force-broadcasts for a small PARQUET corpus (real scan
+    estimate); an in-memory relation has NO size estimate (Long.MaxValue)
+    so auto declines the hint — broadcast_hot=True still forces it."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = corpus_line_dedup(
+        docs, "doc_id", "text", chunk_words=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
     df = spark.createDataFrame(
         [(0, "a\nb"), (1, "a\nc")], "doc_id int, text string"
     )
     plan = corpus_line_dedup(
-        df, "doc_id", "text"
+        df, "doc_id", "text", broadcast_hot=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_hot_set_not_broadcast_when_input_large(spark, monkeypatch):
+    """broadcast_hot=None is SIZE-based: an input whose scan estimate
+    exceeds the threshold must NOT force-broadcast the hot-unit set (at
+    web scale the duplicated-line set is billions of strings — a forced
+    broadcast OOMs executors); AQE decides instead. Simulated by shrinking
+    the threshold under a small corpus. Output must be identical."""
+    import pandas as pd
+
+    import modlyn_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a\nc"), (2, "b\nd")], "doc_id int, text string"
+    )
+    with_bc = corpus_line_dedup(df, "doc_id", "text").toPandas()
+    monkeypatch.setattr(dd, "_BROADCAST_HOT_MAX_BYTES", 0)
+    out = corpus_line_dedup(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no ResolvedHint-forced broadcast in the initial physical plan (AQE
+    # may still pick one at runtime from actual sizes — that's the point)
+    assert "BroadcastHashJoin" not in plan
+    got = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = with_bc.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
 
 
 def test_random_corpora_match_python_twin_under_repartitioning(spark):

@@ -87,6 +87,51 @@ def test_stratified_take_exact_counts_and_determinism(spark):
     assert ids1 == ids2
 
 
+def test_stratified_take_skew_prefilter_exact_and_narrow(spark):
+    """The approximate hash-threshold pre-filter (r3 verdict item 6) must
+    (a) leave the output IDENTICAL to the plain exact window and (b) feed
+    the window only ~n + 10*sqrt(n) + 50 rows of a skewed stratum, not
+    the whole stratum."""
+    import hashlib
+
+    n = 10
+    rows = pd.DataFrame(
+        {
+            "k": range(5000),
+            # one label holds 96% of the corpus — the skew shape that
+            # would serialize the naive window on a single reducer
+            "label": ["hot"] * 4800 + ["cold"] * 200,
+        }
+    )
+    df = spark.createDataFrame(rows).repartition(16)
+    got = (
+        stratified_take(df, "label", n, ["k"])
+        .toPandas()
+        .sort_values(["label", "k"])
+        .reset_index(drop=True)
+    )
+    # independent exact twin: n smallest md5(key|salt) per label
+    rows["h"] = [
+        hashlib.md5(f"{k}|".encode()).hexdigest() for k in rows["k"]
+    ]
+    exp = (
+        rows.sort_values("h")
+        .groupby("label", sort=False)
+        .head(n)[["k", "label"]]
+        .sort_values(["label", "k"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "label"]], exp)
+
+    # the pre-filter bound: rows entering the window per label
+    cut = (n + 10.0 * n**0.5 + 50.0)
+    u = rows["h"].str[:8].apply(lambda s: int(s, 16)) / 2**32
+    survivors = (u < cut / 4800)[rows["label"] == "hot"].sum()
+    assert survivors < 200  # ~91 expected, vs 4800 unfiltered
+    # and they are sufficient (the n-th smallest is inside the cutoff)
+    assert survivors >= n
+
+
 def test_split_column_partition_function_and_no_leakage(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     out = split_column(ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -141,6 +141,40 @@ def docs(spark):
     return spark.read.parquet(f"{SF}/documents.parquet").cache()
 
 
+def test_eager_mode_unpersists_index_caches(spark):
+    """span_dup_pairs(eager=True) must not leave the winnowed fingerprint
+    or candidate caches persisted after it returns (r3 verdict item 7:
+    the index is ~2/(w+1) of all token positions — pinned in
+    MEMORY_AND_DISK it crowds executors at corpus scale). Only the
+    output-sized localCheckpoint blocks may remain, and eager/lazy
+    results must be identical."""
+    from modlyn_spark.operators.spans import span_dup_pairs
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = int(jsc.getPersistentRDDs().size())
+    corpus = _mk(spark, [
+        (0, f"{_wordsoup(30, 60)} a shared run of at least eight plus words "
+            f"here {_wordsoup(31, 60)}"),
+        (1, f"{_wordsoup(32, 70)} a shared run of at least eight plus words "
+            "here"),
+        (2, _wordsoup(33, 80)),
+    ])
+    lazy = span_dup_pairs(corpus, "doc_id", "text", span_tokens=8,
+                          eager=False).toPandas()
+    mid = int(jsc.getPersistentRDDs().size())
+    assert mid > before  # the lazy path does leave its caches behind
+    got = span_dup_pairs(corpus, "doc_id", "text", span_tokens=8)
+    after = int(jsc.getPersistentRDDs().size())
+    # eager: fp + cand caches freed; at most the result checkpoint added
+    assert after <= mid + 1
+    pd_got = got.toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
+    pd_lazy = lazy.sort_values(["id1", "id2"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_got, pd_lazy)
+    assert list(pd_got["id1"]) == [0]
+
+
 def test_span_contamination_finds_embedded_quote(spark):
     """An eval question quoted inside a LONG unrelated training doc:
     whole-doc Jaccard is tiny, the span check still fires; cross-corpus
