@@ -68,14 +68,17 @@ _PROBES_SQL = """
 """
 
 # whitespace-tokenized words with per-doc positions re-ranked after
-# dropping empty tokens (matches the engine's \\s+ tokenizer)
-_WORDS_SQL = """
+# dropping empty tokens. regexp_split_to_array on \s+ (NOT a single-space
+# string_split): the engine tokenizes on \s+ and collapses runs, so a
+# corpus with tabs/newlines/double spaces would silently diverge the
+# repetition/span/chunk-dedup oracles under the narrower split
+_WORDS_SQL = r"""
   SELECT doc_id, word, length(word) AS wl,
          row_number() OVER (PARTITION BY doc_id ORDER BY o0) AS ord
   FROM (
     SELECT doc_id,
-           unnest(string_split(lower(text), ' ')) AS word,
-           generate_subscripts(string_split(lower(text), ' '), 1) AS o0
+           unnest(regexp_split_to_array(lower(text), '\s+')) AS word,
+           generate_subscripts(regexp_split_to_array(lower(text), '\s+'), 1) AS o0
     FROM documents
   ) WHERE word <> ''
 """

@@ -39,6 +39,43 @@ def duck():
     return con
 
 
+def test_words_sql_matches_engine_tokenizer_on_any_whitespace():
+    """The shared oracle tokenizer (_WORDS_SQL) must split like the
+    engine's \\s+ re.split — including tabs, newlines and collapsed runs
+    — not just the single 0x20 separators the driver corpus happens to
+    contain (ADVICE r3). Pure DuckDB-vs-Python check."""
+    import re
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "plain single spaced words",
+                "tabs\tbetween\twords and  double  spaces",
+                "newlines\nsplit\nwords\r\nand runs \t \n mixed",
+                "  leading and trailing  ",
+            ],
+        }
+    )
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.execute(
+        f"SELECT doc_id, ord, word FROM ({entrymod._WORDS_SQL}) ORDER BY 1, 2"
+    ).df()
+    ws = re.compile(r"\s+")
+    exp = []
+    for _, r in docs.iterrows():
+        words = [w for w in ws.split(r["text"].lower()) if w]
+        exp.extend(
+            {"doc_id": r["doc_id"], "ord": i + 1, "word": w}
+            for i, w in enumerate(words)
+        )
+    exp = pd.DataFrame(exp)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     pdf = df.toPandas()
