@@ -1069,6 +1069,103 @@ def q_checkpoint_lineage(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic sampling + leak-free splits (operators/sampling.py):
+    hash_sample keeps the rows whose md5 draw < 0.6, split_column then
+    assigns each survivor to exactly one split by hash range — both pure
+    column functions of the key (no shuffle, identical row set under any
+    partitioning/engine). Oracle: the same md5 arithmetic in DuckDB
+    (portable conv-of-md5-prefix hash pair). Split fractions are exact
+    binary floats so the range edges are bit-identical across engines."""
+    from modlyn_spark.operators.sampling import hash_sample, split_column
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    kept = hash_sample(docs, ["doc_id"], 0.6, salt="s1")
+    return split_column(
+        kept, ["doc_id"], {"train": 0.5, "val": 0.25, "test": 0.25}, salt="r4"
+    )
+
+
+def q_minhash_contamination(spark, sf_dir):
+    """CROSS-corpus benchmark-contamination check (dedup.py
+    minhash_contamination): probe = every 10th document, corpus = the
+    full table; banded MinHash join BETWEEN the tables only, est-Jaccard
+    prefilter, exact packed-shingle verify. Output = the exact cross
+    3-gram-Jaccard pair set at the threshold (self-pairs included: each
+    probe doc is its own contamination at jaccard 1.0); a hash mismatch
+    means the cross-banding dropped a true pair."""
+    from modlyn_spark.operators.dedup import minhash_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.where(F.col("doc_id") % 10 == 0)
+    out = minhash_contamination(docs, probe, "doc_id", "text", threshold=0.8)
+    return out.select(
+        "corpus_id", "probe_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q_span_contamination(spark, sf_dir):
+    """CROSS-corpus verbatim-span contamination (spans.py): probe = every
+    10th document offset by 5; winnowed-fingerprint join between the
+    tables, exact 8-token-gram verify on candidates. Equality with the
+    oracle (the FULL cross K-gram inverted-index join) machine-checks the
+    winnowing recall theorem on the cross-corpus path."""
+    from modlyn_spark.operators.spans import span_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.where(F.col("doc_id") % 10 == 5)
+    return span_contamination(docs, probe, "doc_id", "text", span_tokens=8)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The composed training-data pipeline (plans/curation.py
+    curate_corpus) — the product surface a curation platform actually
+    calls: exact dedup -> near-dup removal -> quality/lang annotation +
+    quality gate -> leak-free hash split. near_dup_mode='pairs' (drop
+    every doc with a smaller-id verified near-dup neighbor) makes the
+    whole pipeline banding-independent and hence expressible as ONE
+    DuckDB SQL oracle; split fractions are exact binary floats."""
+    from modlyn_spark.plans.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curate_corpus(
+        docs,
+        min_quality=0.3,
+        near_dup_threshold=0.8,
+        near_dup_mode="pairs",
+        splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="r4",
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        F.round("quality", 4).alias("quality"),
+        "split",
+    )
+
+
+def q_early_termination(spark, sf_dir):
+    """Reference M6 (modlyn/models/_simple_logreg_model.py:120-123,
+    162-167): the max_steps bound stops training mid-epoch. Identical
+    config to q_logreg_weights except max_steps=5 (vs 8) — the fixture
+    oracle is the INDEPENDENT numpy twin truncated at step 5, and it
+    differs from the 8-step weights (asserted in the pytest contract), so
+    this row proves the bound binds and the truncated state matches."""
+    from modlyn_spark.scoring.logreg import DistributedLogReg, assign_batches
+    from modlyn_spark.scoring.stats import label_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr(
+        "vec_id", "cast(label as string) as label", "embedding as features"
+    )
+    classes, enc = label_encode(df, "label")
+    enc = assign_batches(enc, ["vec_id"], 4)
+    model = DistributedLogReg(64, classes).fit(enc, max_steps=5, n_batches=4)
+    return model.weights_long(spark).select(
+        "label", "pos", F.round("weight", 6).alias("weight")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_pipeline": q_image_pipeline,
@@ -1080,24 +1177,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "filter_min_class_freq": q_filter_min_class_freq,
-        "filter_isin": q_filter_isin,
-        "limit_slice": q_limit_slice,
         "label_encode": q_label_encode,
-        "log1p": q_log1p,
-        "asof_join": q_asof_join,
         "asof_join_merge": q_asof_join_merge,
         "asof_join_tolerance": q_asof_join_tolerance,
         "rolling_range_window": q_rolling_range_window,
         "anti_join_orphans": q_anti_join_orphans,
         "lag_lead_delta": q_lag_lead_delta,
-        "sessionize": q_sessionize,
         "session_stats": q_session_stats,
         "backfill": q_backfill,
         "rolling_stats": q_rolling_stats,
         "topk_per_group": q_topk_per_group,
         "pivot_event_counts": q_pivot_event_counts,
-        "groupby_count": q_groupby_count,
-        "global_minmax": q_global_minmax,
+        # round-4 rotation: the curation surface takes the slots of
+        # single-expression entries whose operators stay green inside
+        # bigger queries (see retired_queries())
+        "corpus_chunk_dedup": q_corpus_chunk_dedup,
+        "source_quality_rollup": q_source_quality_rollup,
+        "hash_split": q_hash_split,
+        "minhash_contamination": q_minhash_contamination,
+        "span_contamination": q_span_contamination,
+        "curation_pipeline": q_curation_pipeline,
+        "early_termination": q_early_termination,
         "class_feature_stats": q_class_feature_stats,
         "f_statistic": q_f_statistic,
         "wilcoxon_scores": q_wilcoxon_scores,
@@ -1144,26 +1244,37 @@ def q_source_quality_rollup(spark, sf_dir):
 # here: they remain fully functional and pytest-gated (the contract test
 # and scripts/driver_mirror.py --retired run both maps), they just don't
 # spend driver slots. Retired, with the entry that still covers the
-# operator: tpch_q6 (filter+agg — tpch_q1), tpch_q12 (join+conditional agg
-# — tpch_q4/q10), asof_join_broadcast (strategy variant of asof_join;
-# broadcast plan asserted in tests/test_asof.py), dedup_groups (exact-dup
-# grouping — dedup_exact gates the same fingerprint operator, and the gate
-# corpus has zero exact-dup groups so the row was a 0-row check).
+# operator: tpch_q6 (filter+agg — tpch_q1), tpch_q12 / q4 / q10
+# (join+conditional-agg shapes — tpch_q1/q3/q5 + filter_min_class_freq),
+# asof_join_broadcast AND asof_join (strategy variants of the as-of
+# operator; asof_join_merge is the north-star merge-scan recipe and
+# asof_join_tolerance the bounded-staleness semantics — broadcast/union
+# plans asserted in tests/test_asof.py), dedup_groups (exact-dup grouping
+# — dedup_exact gates the same fingerprint operator on a corpus with zero
+# dup groups), filter_isin / limit_slice / log1p / groupby_count /
+# global_minmax (single-expression operators exercised inside the green
+# tpch_q1/q3/q5, flagship and label_encode rows — rotated out in r4 for
+# the curation surface), sessionize (the identical window-sum session
+# assignment is recomputed inside the green session_stats and
+# stream_session_stats rows).
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q12_shipmode": q_tpch_q12_shipmode,
         "asof_join_broadcast": q_asof_join_broadcast,
         "dedup_groups": q_dedup_groups,
-        # round-3 additions: new operators, mirror-gated from day one (the
-        # 50 driver slots are full; these carry full oracles regardless)
-        "corpus_chunk_dedup": q_corpus_chunk_dedup,
-        # redundant TPC-H variants (existence semi-join is gated by
-        # filter_min_class_freq; join+agg by tpch_q3/q5) retired in favor
-        # of driver rows for the round-3 curation operators
         "tpch_q4_order_priority": q_tpch_q4_order_priority,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "source_quality_rollup": q_source_quality_rollup,
+        # r4 rotation: slots freed for corpus_chunk_dedup,
+        # source_quality_rollup, hash_split, minhash_contamination,
+        # span_contamination, curation_pipeline, early_termination
+        "filter_isin": q_filter_isin,
+        "limit_slice": q_limit_slice,
+        "log1p": q_log1p,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "groupby_count": q_groupby_count,
+        "global_minmax": q_global_minmax,
     }
 
 
@@ -1185,6 +1296,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 SF_BOUND_ORACLES = {
     "logreg_weights": "/root/testdata/sf0.01",
     "kmeans_clusters": "/root/testdata/sf0.01",
+    "early_termination": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1344,28 +1456,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 12)
         """,
-        "filter_isin": """
-            SELECT p_partkey, p_brand, p_size FROM part
-            WHERE p_brand IN ('Brand#1', 'Brand#3')
-        """,
-        "limit_slice": """
-            SELECT event_id, user_id, event_type FROM events
-            ORDER BY event_id LIMIT 1000
-        """,
         "label_encode": """
             SELECT c_mktsegment AS label,
                    dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
             FROM (SELECT DISTINCT c_mktsegment FROM customer)
-        """,
-        "log1p": """
-            SELECT l_orderkey, l_linenumber, round(ln(1 + l_quantity), 6) AS log1p_qty
-            FROM lineitem
-        """,
-        "asof_join": f"""
-            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
-            SELECT pr.event_id, pr.user_id, st.purchase_value, st.ts AS state_ts
-            FROM pr ASOF LEFT JOIN st
-              ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
         """,
         "asof_join_merge": f"""
             WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
@@ -1411,18 +1505,6 @@ def oracle_sql() -> dict[str, str]:
                    round(lead(purchase_value) OVER w, 4) AS pv_lead1,
                    round(purchase_value - lag(purchase_value) OVER w, 4) AS pv_delta1
             FROM st WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-        """,
-        "sessionize": """
-            -- CAST: DuckDB sum() yields HUGEINT (-> float64 in pandas);
-            -- Spark's running sum is BIGINT — align the typed hash
-            SELECT event_id, user_id,
-                   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
-            FROM (SELECT event_id, user_id, ts,
-                         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                              (PARTITION BY user_id ORDER BY ts)) <= 1800
-                              THEN 0 ELSE 1 END AS flag
-                  FROM events)
         """,
         "session_stats": """
             WITH s AS (
@@ -1476,16 +1558,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
                    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup
             FROM events GROUP BY 1
-        """,
-        "groupby_count": """
-            SELECT event_type, count(*) AS n_events,
-                   count(DISTINCT user_id) AS n_users
-            FROM events GROUP BY 1
-        """,
-        "global_minmax": """
-            SELECT round(min(l_extendedprice), 4) AS min_price,
-                   round(max(l_extendedprice), 4) AS max_price
-            FROM lineitem
         """,
         "class_feature_stats": """
             SELECT CAST(label AS VARCHAR) AS label, g - 1 AS pos,
@@ -1679,6 +1751,180 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        "corpus_chunk_dedup": f"""
+            WITH w AS ({_WORDS_SQL}),
+            ch AS (
+              SELECT doc_id, (ord - 1) // 3 AS cid,
+                     string_agg(word, ' ' ORDER BY ord) AS unit
+              FROM w GROUP BY doc_id, (ord - 1) // 3
+            ),
+            hot AS (SELECT unit FROM ch GROUP BY unit HAVING count(*) >= 2),
+            kept AS (SELECT ch.* FROM ch ANTI JOIN hot USING (unit)),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY doc_id),
+            re AS (
+              SELECT doc_id, string_agg(unit, ' ' ORDER BY cid) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(re.clean_text, '') AS clean_text,
+                   CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_units_kept,
+                   CAST(coalesce(tot.n_total, 0) - coalesce(re.n_kept, 0)
+                        AS BIGINT) AS n_units_removed
+            FROM documents d
+            LEFT JOIN tot USING (doc_id)
+            LEFT JOIN re USING (doc_id)
+        """,
+        "source_quality_rollup": f"""
+            WITH q AS (
+              SELECT source, length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            r AS (SELECT source, n_chars, fp,
+                         (least(n_chars / 200.0, 1.0)
+                          + greatest(1.0 - (CASE WHEN n_chars > 0
+                                THEN n_punct * 1.0 / n_chars ELSE 0 END) * 4.0, 0.0)
+                          + least((CASE WHEN len(w) > 0 THEN
+                                len(list_filter(w, x -> list_contains({_EN}, x)))
+                                * 1.0 / len(w) ELSE 0 END) * 4.0, 1.0)) / 3.0
+                           AS quality
+                  FROM q)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4)
+                     AS dup_frac,
+                   round(avg(quality), 4) AS avg_quality,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM r GROUP BY 1
+        """,
+        # deterministic md5-draw arithmetic, portable across engines via
+        # the conv(md5-prefix) pair; split edges are exact binary floats
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN us < 0.5 THEN 'train'
+                        WHEN us < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|s1'),
+                          1, 8)) AS BIGINT) / 4294967296.0 AS uk,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|r4'),
+                          1, 8)) AS BIGINT) / 4294967296.0 AS us
+              FROM documents)
+            WHERE uk < 0.6
+        """,
+        # cross-corpus exact 3-gram Jaccard (probe = every 10th doc);
+        # equality means the BETWEEN-tables banding dropped no true pair
+        "minhash_contamination": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(lower(text)) - 2),
+                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            px AS (SELECT doc_id, g FROM ex WHERE doc_id % 10 = 0),
+            c AS (SELECT a.doc_id AS corpus_id, b.doc_id AS probe_id,
+                         count(*) AS c
+                  FROM ex a JOIN px b ON a.g = b.g GROUP BY 1, 2)
+            SELECT corpus_id, probe_id,
+                   round(c * 1.0 / (len(s1.s) + len(s2.s) - c), 4) AS jaccard
+            FROM c JOIN sh s1 ON s1.doc_id = corpus_id
+                   JOIN sh s2 ON s2.doc_id = probe_id
+            WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.8
+        """,
+        # cross-corpus FULL 8-token-gram inverted-index join (probe =
+        # doc_id % 10 == 5); the winnowing recall theorem makes the
+        # engine's fingerprint-candidate path equal it exactly
+        "span_contamination": f"""
+            WITH w AS ({_WORDS_SQL}),
+            g AS (
+              SELECT DISTINCT doc_id, word || ' ' || lead(word, 1) OVER win || ' ' || lead(word, 2) OVER win || ' ' || lead(word, 3) OVER win || ' ' || lead(word, 4) OVER win || ' ' || lead(word, 5) OVER win || ' ' || lead(word, 6) OVER win || ' ' || lead(word, 7) OVER win AS gram
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY ord)
+            ),
+            gg AS (SELECT doc_id, gram FROM g WHERE gram IS NOT NULL)
+            SELECT a.doc_id AS corpus_id, b.doc_id AS probe_id,
+                   CAST(count(DISTINCT a.gram) AS BIGINT) AS n_shared_grams
+            FROM gg a JOIN gg b ON a.gram = b.gram AND b.doc_id % 10 = 5
+            GROUP BY 1, 2
+        """,
+        # the COMPOSED curation pipeline in one SQL statement: exact dedup
+        # (min-id per canonical fingerprint) -> near-dup drop (any
+        # smaller-id exact-3-gram-Jaccard >= 0.8 neighbor — the engine's
+        # near_dup_mode='pairs' policy, banding-independent) -> quality
+        # gate -> lang annotation -> md5 hash split
+        "curation_pipeline": f"""
+            WITH d0 AS (
+              SELECT doc_id, text,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp
+              FROM documents),
+            k1 AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY fp),
+            d1 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN k1 USING (doc_id)),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(lower(text)) - 2),
+                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+              FROM d1),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            dirty AS (
+              SELECT DISTINCT id2 AS doc_id
+              FROM c JOIN sh s1 ON s1.doc_id = id1
+                     JOIN sh s2 ON s2.doc_id = id2
+              WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.8),
+            d2 AS (SELECT * FROM d1 ANTI JOIN dirty USING (doc_id)),
+            q AS (SELECT doc_id, length(text) AS n_chars,
+                         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                           AS n_punct,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS wds
+                  FROM d2),
+            r AS (SELECT doc_id,
+                         (least(n_chars / 200.0, 1.0)
+                          + greatest(1.0 - (CASE WHEN n_chars > 0
+                                THEN n_punct * 1.0 / n_chars ELSE 0 END)
+                                * 4.0, 0.0)
+                          + least((CASE WHEN len(wds) > 0 THEN
+                                len(list_filter(wds, x -> list_contains({_EN}, x)))
+                                * 1.0 / len(wds) ELSE 0 END) * 4.0, 1.0)) / 3.0
+                           AS quality,
+                         len(list_filter(wds, x -> list_contains({_EN}, x))) AS s_en,
+                         len(list_filter(wds, x -> list_contains({_DE}, x))) AS s_de,
+                         len(list_filter(wds, x -> list_contains({_FR}, x))) AS s_fr,
+                         len(list_filter(wds, x -> list_contains({_ES}, x))) AS s_es
+                  FROM q),
+            lg AS (SELECT doc_id, quality,
+                          CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 1
+                                 THEN 'und'
+                               WHEN s_en = greatest(s_en, s_de, s_fr, s_es)
+                                 THEN 'en'
+                               WHEN s_de = greatest(s_en, s_de, s_fr, s_es)
+                                 THEN 'de'
+                               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es)
+                                 THEN 'fr'
+                               ELSE 'es' END AS lang_pred
+                   FROM r)
+            SELECT doc_id, lang_pred, round(quality, 4) AS quality,
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang_pred, quality,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                              || '|r4'), 1, 8)) AS BIGINT)
+                           / 4294967296.0 AS u
+                  FROM lg WHERE quality >= 0.3)
+        """,
+        # M6: independent numpy twin truncated at step 5 (vs the 8-step
+        # logreg_weights fixture — the bound provably binds)
+        "early_termination": f"""
+            SELECT label, pos, round(weight, 6) AS weight
+            FROM read_parquet('{_FIXTURES}/logreg_weights_steps5_sf001.parquet')
+        """,
         "kmeans_clusters": f"""
             SELECT vec_id, cluster, round(sq_dist, 4) AS sq_dist
             FROM read_parquet('{_FIXTURES}/kmeans_clusters_sf001.parquet')
@@ -1847,52 +2093,46 @@ def retired_oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, c_custkey ASC
             LIMIT 20
         """,
-        "corpus_chunk_dedup": f"""
-            WITH w AS ({_WORDS_SQL}),
-            ch AS (
-              SELECT doc_id, (ord - 1) // 3 AS cid,
-                     string_agg(word, ' ' ORDER BY ord) AS unit
-              FROM w GROUP BY doc_id, (ord - 1) // 3
-            ),
-            hot AS (SELECT unit FROM ch GROUP BY unit HAVING count(*) >= 2),
-            kept AS (SELECT ch.* FROM ch ANTI JOIN hot USING (unit)),
-            tot AS (SELECT doc_id, count(*) AS n_total FROM ch GROUP BY doc_id),
-            re AS (
-              SELECT doc_id, string_agg(unit, ' ' ORDER BY cid) AS clean_text,
-                     count(*) AS n_kept
-              FROM kept GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   coalesce(re.clean_text, '') AS clean_text,
-                   CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_units_kept,
-                   CAST(coalesce(tot.n_total, 0) - coalesce(re.n_kept, 0)
-                        AS BIGINT) AS n_units_removed
-            FROM documents d
-            LEFT JOIN tot USING (doc_id)
-            LEFT JOIN re USING (doc_id)
+        # r4 rotation: single-expression / variant oracles preserved for
+        # the mirror + pytest contract
+        "filter_isin": """
+            SELECT p_partkey, p_brand, p_size FROM part
+            WHERE p_brand IN ('Brand#1', 'Brand#3')
         """,
-        "source_quality_rollup": f"""
-            WITH q AS (
-              SELECT source, length(text) AS n_chars,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
-                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-              FROM documents),
-            r AS (SELECT source, n_chars, fp,
-                         (least(n_chars / 200.0, 1.0)
-                          + greatest(1.0 - (CASE WHEN n_chars > 0
-                                THEN n_punct * 1.0 / n_chars ELSE 0 END) * 4.0, 0.0)
-                          + least((CASE WHEN len(w) > 0 THEN
-                                len(list_filter(w, x -> list_contains({_EN}, x)))
-                                * 1.0 / len(w) ELSE 0 END) * 4.0, 1.0)) / 3.0
-                           AS quality
-                  FROM q)
-            SELECT source,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4)
-                     AS dup_frac,
-                   round(avg(quality), 4) AS avg_quality,
-                   round(avg(n_chars), 4) AS avg_chars
-            FROM r GROUP BY 1
+        "limit_slice": """
+            SELECT event_id, user_id, event_type FROM events
+            ORDER BY event_id LIMIT 1000
+        """,
+        "log1p": """
+            SELECT l_orderkey, l_linenumber, round(ln(1 + l_quantity), 6) AS log1p_qty
+            FROM lineitem
+        """,
+        "asof_join": f"""
+            WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
+            SELECT pr.event_id, pr.user_id, st.purchase_value, st.ts AS state_ts
+            FROM pr ASOF LEFT JOIN st
+              ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "sessionize": """
+            -- CAST: DuckDB sum() yields HUGEINT (-> float64 in pandas);
+            -- Spark's running sum is BIGINT — align the typed hash
+            SELECT event_id, user_id,
+                   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts)) <= 1800
+                              THEN 0 ELSE 1 END AS flag
+                  FROM events)
+        """,
+        "groupby_count": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "global_minmax": """
+            SELECT round(min(l_extendedprice), 4) AS min_price,
+                   round(max(l_extendedprice), 4) AS max_price
+            FROM lineitem
         """,
     }

@@ -73,13 +73,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         rows[name] = n
 
+    # resolve ALL query names across both contract dicts so slot
+    # reshuffles between queries() and retired_queries() cannot break the
+    # bench (asof_join/sessionize retired in r4; the r3 swap already bit
+    # once)
+    all_qs = {**entrymod.retired_queries(), **qs}
+
     # flagship: full point-in-time feature + scoring pipeline
     bench("flagship_pipeline", lambda: run(_flagship(spark, sf_dir)))
 
-    bench("asof_union", lambda: run(qs["asof_join"](spark, sf_dir)))
-    bench("asof_merge", lambda: run(qs["asof_join_merge"](spark, sf_dir)))
-    bench("window_features", lambda: run(qs["rolling_stats"](spark, sf_dir)))
-    bench("sessionize", lambda: run(qs["session_stats"](spark, sf_dir)))
+    bench("asof_union", lambda: run(all_qs["asof_join"](spark, sf_dir)))
+    bench("asof_merge", lambda: run(all_qs["asof_join_merge"](spark, sf_dir)))
+    bench("window_features", lambda: run(all_qs["rolling_stats"](spark, sf_dir)))
+    bench("sessionize", lambda: run(all_qs["session_stats"](spark, sf_dir)))
     bench("tpch_q1", lambda: run(qs["tpch_q1"](spark, sf_dir)))
     bench("class_feature_stats", lambda: run(qs["class_feature_stats"](spark, sf_dir)))
     bench("f_statistic", lambda: run(qs["f_statistic"](spark, sf_dir)))
@@ -103,15 +109,20 @@ def main() -> None:
           lambda: run(qs["value_percentiles"](spark, sf_dir)))
     # round-3 additions: Gopher repetition signals (shuffle-free Arrow
     # map), C4 corpus-level chunk dedup, winnowed verbatim-span dedup.
-    # Resolve by name across BOTH contract dicts so slot reshuffles
-    # between queries() and retired_queries() cannot break the bench.
-    all_qs = {**entrymod.retired_queries(), **qs}
     bench("repetition_signals",
           lambda: run(all_qs["repetition_signals"](spark, sf_dir)))
     bench("corpus_chunk_dedup",
           lambda: run(all_qs["corpus_chunk_dedup"](spark, sf_dir)))
     bench("span_dup_pairs",
           lambda: run(all_qs["span_dup_pairs"](spark, sf_dir)))
+    # round-4 additions: cross-corpus contamination (eval-set-sized probe
+    # — pins the near-broadcast claim) and the composed curation pipeline
+    bench("minhash_contamination",
+          lambda: run(all_qs["minhash_contamination"](spark, sf_dir)))
+    bench("span_contamination",
+          lambda: run(all_qs["span_contamination"](spark, sf_dir)))
+    bench("curation_pipeline",
+          lambda: run(all_qs["curation_pipeline"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(

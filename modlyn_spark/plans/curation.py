@@ -54,6 +54,7 @@ def curate_corpus(
     min_quality: float = 0.3,
     lang_allow: list[str] | None = None,
     near_dup_threshold: float = 0.9,
+    near_dup_mode: str = "star",
     contamination_probe: DataFrame | None = None,
     contamination_threshold: float = 0.8,
     contamination_span_tokens: int | None = None,
@@ -71,6 +72,18 @@ def curate_corpus(
     document-level stages (so a shared nav bar doesn't make distinct pages
     look like near-dups); ``repetition_gate`` drops documents failing the
     Gopher Table A1 repetition caps alongside the quality gate.
+
+    ``near_dup_mode`` picks the near-duplicate drop policy:
+
+    - ``"star"`` (default): MinHash star-edge grouping — only docs that
+      exactly-verify against their bucket's min-id representative drop.
+      Cheapest (verify volume ~ bucket edges), but WHICH docs drop
+      depends on the banding layout; use for throughput.
+    - ``"pairs"``: drop every doc having ANY smaller-id verified
+      near-dup neighbor (jaccard >= threshold). Banding-independent,
+      fully specified by the exact pair set — the policy the external
+      correctness gate checks against a pure-SQL oracle — at the cost of
+      verifying all candidate pairs instead of star edges.
     """
     if boilerplate_delim is not None:
         docs = corpus_line_dedup(
@@ -83,9 +96,22 @@ def curate_corpus(
         docs = docs.where(F.length(F.col(text_col)) > 0)
     out = dedup_exact(docs, id_col, text_col)
 
-    dup = minhash_dedup_groups(
-        out, id_col, text_col, threshold=near_dup_threshold
-    ).select(F.col("doc_id").alias(id_col))
+    if near_dup_mode == "star":
+        dup = minhash_dedup_groups(
+            out, id_col, text_col, threshold=near_dup_threshold
+        ).select(F.col("doc_id").alias(id_col))
+    elif near_dup_mode == "pairs":
+        from modlyn_spark.operators.dedup import minhash_near_dup_pairs
+
+        dup = (
+            minhash_near_dup_pairs(
+                out, id_col, text_col, threshold=near_dup_threshold
+            )
+            .select(F.col("id2").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown near_dup_mode {near_dup_mode!r}")
     out = out.join(dup, id_col, "left_anti")
 
     out = out.withColumn("lang_pred", lang_id(F.col(text_col))).withColumn(

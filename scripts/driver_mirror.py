@@ -74,6 +74,44 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     return problems
 
 
+def check_correctness_rows(entry) -> list[str]:
+    """Diff the LATEST driver CORRECTNESS_r*.json against queries():
+    a renamed/rotated entry leaves an orphan row (a name the driver
+    graded that no longer exists) and a missing row (a contract entry the
+    driver has not yet graded). Expected right after a deliberate
+    rotation; anything unexpected means a slot swap silently orphaned a
+    gate row."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    if not files:
+        return []
+    latest = max(
+        files, key=lambda p: int(re.search(r"_r(\d+)", p).group(1))
+    )
+    graded = set(json.load(open(latest)))
+    current = set(entry.queries())
+    msgs = []
+    orphans = sorted(graded - current)
+    missing = sorted(current - graded)
+    retired_names = set(entry.retired_queries())
+    if orphans:
+        unexplained = sorted(set(orphans) - retired_names)
+        msgs.append(
+            f"rows in {os.path.basename(latest)} not in queries(): "
+            f"{orphans} (not even retired: {unexplained})"
+        )
+    if missing:
+        msgs.append(
+            f"queries() entries without a row in "
+            f"{os.path.basename(latest)} (new this round?): {missing}"
+        )
+    return msgs
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--retired"]
     retired = "--retired" in sys.argv[1:]
@@ -82,6 +120,9 @@ def main() -> int:
 
     import __spark_entry__ as entry
     from modlyn_spark.session import get_spark
+
+    for msg in check_correctness_rows(entry):
+        print(f"note: {msg}")
 
     spark = get_spark(app_name="driver_mirror")
     con = duckdb.connect()

@@ -55,6 +55,28 @@ def make_logreg_fixture() -> str:
     return out
 
 
+def make_logreg_steps5_fixture() -> str:
+    """Expected weights for q_early_termination (reference M6,
+    _simple_logreg_model.py:120-123,162-167): IDENTICAL config to the
+    logreg_weights fixture except max_steps=5, so the run stops
+    mid-epoch-2 — the gate proves the step bound actually binds (weights
+    differ from the 8-step fixture) and matches the independent twin at
+    the truncated step count."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_logreg
+    from modlyn_spark.scoring.logreg import assign_batches_pandas
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].astype(str)
+    batch_ids = assign_batches_pandas(emb, ["vec_id"], 4)
+    weights, _ = oracle_logreg(
+        X, labels, batch_ids, max_steps=5, n_epochs=4
+    )
+    out = os.path.join(FIXTURE_DIR, "logreg_weights_steps5_sf001.parquet")
+    weights.astype({"pos": "int64"}).to_parquet(out, index=False)
+    return out
+
+
 def make_image_pipeline_fixture() -> str:
     """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
     for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
@@ -127,6 +149,8 @@ def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
     print(f"wrote {p1}")
+    p1b = make_logreg_steps5_fixture()
+    print(f"wrote {p1b}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()

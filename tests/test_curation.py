@@ -169,6 +169,42 @@ def test_span_contamination_stage_catches_embedded_eval_quote(spark):
     assert set(kept_with["doc_id"]) == {1}
 
 
+def test_curation_pairs_mode_matches_star_on_fixture_and_rejects_unknown(
+    spark, corpus, probe
+):
+    """near_dup_mode='pairs' (drop any doc with a smaller-id verified
+    neighbor — the banding-independent, oracle-able policy) keeps the
+    same survivors as star mode on the fixture corpus; unknown modes
+    raise."""
+    out = curate_corpus(
+        corpus,
+        min_quality=0.3,
+        near_dup_threshold=0.8,
+        near_dup_mode="pairs",
+        contamination_probe=probe,
+    ).toPandas()
+    assert set(out["doc_id"]) == {0, 1, 2}
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        curate_corpus(corpus, near_dup_mode="banana").collect()
+
+
+def test_early_termination_fixture_binds():
+    """M6 gate precondition: the 5-step fixture must DIFFER from the
+    8-step one (otherwise the early_termination row would not prove the
+    max_steps bound executes)."""
+    import numpy as np
+
+    w5 = pd.read_parquet(
+        "/root/repo/tests/fixtures/logreg_weights_steps5_sf001.parquet"
+    )
+    w8 = pd.read_parquet(
+        "/root/repo/tests/fixtures/logreg_weights_sf001.parquet"
+    )
+    m = w5.merge(w8, on=["label", "pos"], suffixes=("_5", "_8"))
+    assert len(m) == len(w5) == len(w8)
+    assert np.abs(m["weight_5"] - m["weight_8"]).max() > 1e-3
+
+
 def test_contamination_with_reserved_id_column_names(spark):
     """id_col literally named 'did' or 'cid' must not collide with the
     internal aliases of the semi-join that prunes shingle/gram packing to
