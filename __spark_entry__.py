@@ -1257,6 +1257,41 @@ def q_source_quality_rollup(spark, sf_dir):
 # the curation surface), sessionize (the identical window-sum session
 # assignment is recomputed inside the green session_stats and
 # stream_session_stats rows).
+def q_pca_projection(spark, sf_dir):
+    """Distributed PCA (operators/pca.py): covariance partials via one
+    GEMM per Arrow batch, executor-side tree combine, driver eigh,
+    sign-fixed basis; projection = one (batch x d) @ (d x k) GEMM.
+    Oracle: fixture from the single-node numpy twin of the same moment
+    path (SF-bound like kmeans). round(3) absorbs the partial-order
+    float drift while pinning the basis to ~1e-3."""
+    from modlyn_spark.operators.pca import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    model = pca_fit(df, "v", 4)
+    out = pca_transform(df, "v", model, out_col="p")
+    return out.select(
+        "vec_id", *[F.round(F.col("p")[i], 3).alias(f"p{i}") for i in range(4)]
+    )
+
+
+def q_stratified_take(spark, sf_dir):
+    """Deterministic per-stratum reservoir (operators/sampling.py
+    stratified_take): exactly n rows per label by smallest md5 draw, with
+    the skew-safe approximate hash-threshold pre-filter in front of the
+    exact window. Oracle: the same md5 row_number in DuckDB — equality
+    also machine-checks that the pre-filter never drops a selected row."""
+    from modlyn_spark.operators.sampling import stratified_take
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = stratified_take(
+        emb.select("vec_id", "label"), "label", 7, ["vec_id"]
+    )
+    return out.select("vec_id", F.col("label").cast("string").alias("label"))
+
+
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -1275,6 +1310,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "groupby_count": q_groupby_count,
         "global_minmax": q_global_minmax,
+        # r4 net-new mirror-gated operators (no free driver slot): PCA
+        # projection (fixture twin) and the skew-safe stratified reservoir
+        "pca_projection": q_pca_projection,
+        "stratified_take": q_stratified_take,
     }
 
 
@@ -1297,6 +1336,7 @@ SF_BOUND_ORACLES = {
     "logreg_weights": "/root/testdata/sf0.01",
     "kmeans_clusters": "/root/testdata/sf0.01",
     "early_termination": "/root/testdata/sf0.01",
+    "pca_projection": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -2134,5 +2174,19 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT round(min(l_extendedprice), 4) AS min_price,
                    round(max(l_extendedprice), 4) AS max_price
             FROM lineitem
+        """,
+        "pca_projection": f"""
+            SELECT vec_id, round(p0, 3) AS p0, round(p1, 3) AS p1,
+                   round(p2, 3) AS p2, round(p3, 3) AS p3
+            FROM read_parquet('{_FIXTURES}/pca_projection_sf001.parquet')
+        """,
+        "stratified_take": """
+            SELECT vec_id, CAST(label AS VARCHAR) AS label FROM (
+              SELECT vec_id, label,
+                     row_number() OVER (
+                         PARTITION BY label
+                         ORDER BY md5(CAST(vec_id AS VARCHAR) || '|')) AS rn
+              FROM embeddings)
+            WHERE rn <= 7
         """,
     }

@@ -145,6 +145,40 @@ def make_kmeans_fixture() -> str:
     return out
 
 
+def make_pca_fixture() -> str:
+    """Expected (vec_id, p0..p3) projections for the retired pca_projection
+    query at sf0.01: single-node numpy twin of operators/pca.py's moment
+    path (same accumulation formula — xtx/sum in float64, cov =
+    (xtx - n*outer(mean))/(n-1), symmetrized eigh, sign-fixed components;
+    test_pca separately proves this equals the textbook np.cov twin to
+    allclose). Engine-vs-fixture equality at round(3) is the gate."""
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n = len(X)
+    s = X.sum(axis=0)
+    xtx = X.T @ X
+    mean = s / n
+    cov = (xtx - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    comps = evecs[:, order].T
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    proj = (X - mean) @ comps.T
+    out_pdf = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy(),
+            **{f"p{i}": proj[:, i] for i in range(4)},
+        }
+    )
+    out = os.path.join(FIXTURE_DIR, "pca_projection_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
@@ -155,6 +189,8 @@ def main() -> int:
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()
     print(f"wrote {p3}")
+    p4 = make_pca_fixture()
+    print(f"wrote {p4}")
     return 0
 
 
