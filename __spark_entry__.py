@@ -1292,6 +1292,42 @@ def q_stratified_take(spark, sf_dir):
     return out.select("vec_id", F.col("label").cast("string").alias("label"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing layout (operators/packing.py): shard by
+    portable md5 hash, concatenate documents in id order, slice at
+    seq_len — computed as metadata (per-doc shard/start/seq/offset/span)
+    with one per-shard window. Oracle: the identical running-sum
+    arithmetic in DuckDB."""
+    from modlyn_spark.functions.text import token_count
+    from modlyn_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", seq_len=512, shards=8)
+
+
+def q_source_mix(spark, sf_dir):
+    """Domain mixing (operators/sampling.py source_mix_plan +
+    apply_source_mix): uniform weights over the observed sources, token
+    budget 10k — each source keeps min(1, target/available) of its rows
+    by md5 draw. Oracle recomputes the identical double arithmetic and
+    hash filter in DuckDB; row-set equality checks plan AND application."""
+    from modlyn_spark.functions.text import token_count
+    from modlyn_spark.operators.sampling import (
+        apply_source_mix,
+        source_mix_plan,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    plan = source_mix_plan(docs, "source", "n_tokens", token_budget=10_000)
+    return apply_source_mix(docs, plan, "source", ["doc_id"], salt="m1").select(
+        "doc_id", "source"
+    )
+
+
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -1314,6 +1350,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # projection (fixture twin) and the skew-safe stratified reservoir
         "pca_projection": q_pca_projection,
         "stratified_take": q_stratified_take,
+        "pack_sequences": q_pack_sequences,
+        "source_mix": q_source_mix,
     }
 
 
@@ -2188,5 +2226,48 @@ def retired_oracle_sql() -> dict[str, str]:
                          ORDER BY md5(CAST(vec_id AS VARCHAR) || '|')) AS rn
               FROM embeddings)
             WHERE rn <= 7
+        """,
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'),
+                          1, 8)) AS BIGINT) % 8 AS shard
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens, CAST(shard AS INT) AS shard,
+                     CAST(coalesce(sum(n_tokens) OVER (
+                         PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_tok
+              FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, shard,
+                   start_tok,
+                   start_tok // 512 AS seq_id,
+                   start_tok % 512 AS seq_offset,
+                   CASE WHEN n_tokens = 0 THEN 0
+                        ELSE (start_tok + n_tokens - 1) // 512
+                             - start_tok // 512 + 1 END AS n_seqs_spanned
+            FROM s
+        """,
+        # the arithmetic below replicates source_mix_plan verbatim:
+        # fraction = least(1.0, (budget * (weight/sum_w)) / available),
+        # uniform weight 1.0 => sum_w = count of observed sources
+        "source_mix": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n
+              FROM documents),
+            per AS (SELECT source, CAST(sum(n) AS BIGINT) AS avail
+                    FROM t GROUP BY source),
+            sw AS (SELECT CAST(count(*) AS DOUBLE) AS sw FROM per),
+            pl AS (SELECT source,
+                          least(1.0, (10000.0 * (1.0 / sw)) / avail)
+                            AS fraction
+                   FROM per, sw WHERE avail > 0)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN pl USING (source)
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|m1'),
+                       1, 8)) AS BIGINT) / 4294967296.0 < fraction
         """,
     }

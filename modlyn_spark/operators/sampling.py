@@ -119,6 +119,86 @@ def stratified_take(
     )
 
 
+def source_mix_plan(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    *,
+    token_budget: int,
+    weights: dict | None = None,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Per-source sampling plan for a target token MIXTURE — the domain-
+    mixing step (Pile/DoReMi style) between curation and packing: given
+    per-source mixture ``weights`` (uniform over observed sources when
+    None) and a total ``token_budget``, compute for every source its
+    available tokens, its target share, and the deterministic sampling
+    ``fraction`` = min(1, target / available) that
+    ``apply_source_mix`` feeds into the hash sampler.
+
+    Sources whose corpus cannot fill their target keep fraction 1.0 and
+    report the shortfall in ``deficit_tokens`` (single pass — callers
+    re-weight and re-plan if they want redistribution; an implicit
+    redistribution would silently change the mixture, the one thing this
+    step exists to control).
+
+    One map-side-combinable groupBy; the plan is aggregate-sized.
+    """
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    w = F.lit(float(default_weight))
+    for src, wt in (weights or {}).items():
+        w = F.when(F.col(source_col).cast("string") == str(src),
+                   F.lit(float(wt))).otherwise(w)
+    per = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("__n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__n").alias("available_tokens"))
+        .withColumn("weight", w.alias("weight"))
+    )
+    # normalize over the OBSERVED sources (sum_w is exact for integral
+    # weights; the arithmetic below is replicated verbatim by the oracle)
+    tot = per.agg(F.sum("weight").alias("__sw")).select("__sw")
+    plan = per.crossJoin(F.broadcast(tot))
+    target = F.lit(float(token_budget)) * (F.col("weight") / F.col("__sw"))
+    frac = F.least(F.lit(1.0), target / F.col("available_tokens"))
+    return plan.select(
+        "source",
+        "available_tokens",
+        "weight",
+        target.alias("target_tokens"),
+        F.when(F.col("available_tokens") > 0, frac)
+        .otherwise(F.lit(0.0))
+        .alias("fraction"),
+        F.greatest(
+            F.lit(0.0), target - F.col("available_tokens")
+        ).alias("deficit_tokens"),
+    )
+
+
+def apply_source_mix(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str,
+    key_cols: list[str],
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize a ``source_mix_plan``: keep each row iff its hash draw
+    falls under its source's fraction. The plan is aggregate-sized and
+    broadcast; the decision is a pure function of (key, salt, plan) —
+    identical row set on any cluster/partitioning/engine."""
+    u = _hash_unit(key_cols, salt)
+    p = F.broadcast(plan.select(F.col("source").alias("__src"), "fraction"))
+    out = df.join(p, df[source_col] == F.col("__src"), "left").where(
+        u < F.coalesce(F.col("fraction"), F.lit(0.0))
+    )
+    return out.select(*df.columns)
+
+
 def split_column(
     df: DataFrame,
     key_cols: list[str],

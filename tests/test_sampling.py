@@ -132,6 +132,68 @@ def test_stratified_take_skew_prefilter_exact_and_narrow(spark):
     assert survivors >= n
 
 
+def test_source_mix_plan_and_apply(spark):
+    """Domain mixing: the plan hits the requested token mixture (up to
+    Bernoulli noise), caps full sources at fraction 1 with a reported
+    deficit, and apply is deterministic under repartitioning."""
+    import numpy as np
+
+    from modlyn_spark.operators.sampling import (
+        apply_source_mix,
+        source_mix_plan,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    sizes = {"web": 4000, "books": 400, "code": 2000}
+    i = 0
+    for src, n_docs in sizes.items():
+        for _ in range(n_docs):
+            rows.append({"doc_id": i, "source": src,
+                         "n_tokens": int(rng.integers(50, 150))})
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plan = source_mix_plan(
+        df, "source", "n_tokens",
+        token_budget=120_000,
+        weights={"web": 1.0, "books": 1.0, "code": 2.0},
+    )
+    p = {r["source"]: r for r in plan.collect()}
+    # books: target 30k > available (~40k? no: 400 docs * ~100 = ~40k).
+    # compute from the plan itself: invariants, not magic numbers
+    for src, r in p.items():
+        target = 120_000 * r["weight"] / 4.0
+        assert r["target_tokens"] == pytest.approx(target)
+        if r["available_tokens"] >= target:
+            assert r["fraction"] == pytest.approx(target / r["available_tokens"])
+            assert r["deficit_tokens"] == 0.0
+        else:
+            assert r["fraction"] == 1.0
+            assert r["deficit_tokens"] == pytest.approx(
+                target - r["available_tokens"]
+            )
+    out = apply_source_mix(df, plan, "source", ["doc_id"], salt="m")
+    got = out.toPandas()
+    # sampled token mass per source ~ target (Bernoulli, ~1% tolerance at
+    # these counts) for the non-capped sources; capped sources keep all
+    mass = got.groupby("source")["n_tokens"].sum()
+    for src, r in p.items():
+        if r["fraction"] < 1.0:
+            assert abs(mass[src] / r["target_tokens"] - 1) < 0.05
+        else:
+            assert mass[src] == r["available_tokens"]
+    ids_a = sorted(got["doc_id"])
+    ids_b = sorted(
+        r["doc_id"]
+        for r in apply_source_mix(
+            df.repartition(17), plan, "source", ["doc_id"], salt="m"
+        ).select("doc_id").collect()
+    )
+    assert ids_a == ids_b
+    with pytest.raises(ValueError, match="token_budget"):
+        source_mix_plan(df, "source", "n_tokens", token_budget=0)
+
+
 def test_split_column_partition_function_and_no_leakage(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     out = split_column(ev, ["user_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
