@@ -1328,6 +1328,20 @@ def q_source_mix(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus unigram-LM quality scoring (operators/lm.py) — the
+    perplexity-style curation signal (CCNet family): per-doc average
+    token log-probability under add-1-smoothed corpus unigram counts.
+    Tokenize-explode + one count groupBy + token join + per-doc avg, all
+    codegen; oracle = the identical arithmetic in DuckDB."""
+    from modlyn_spark.operators.lm import unigram_doc_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_doc_logprob(docs, "doc_id", "text").selectExpr(
+        "doc_id", "n_tokens", "round(avg_logprob, 6) AS avg_logprob"
+    )
+
+
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -1352,6 +1366,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_take": q_stratified_take,
         "pack_sequences": q_pack_sequences,
         "source_mix": q_source_mix,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -2269,5 +2284,23 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM documents d JOIN pl USING (source)
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|m1'),
                        1, 8)) AS BIGINT) / 4294967296.0 < fraction
+        """,
+        "unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents),
+            c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                           CAST(count(*) AS DOUBLE) AS vocab FROM c),
+            p AS (SELECT doc_id, count(*) AS n_tokens,
+                         avg(ln((cnt + 1.0) / (total + 1.0 * (vocab + 1))))
+                           AS lp
+                  FROM tok JOIN c USING (token), tot GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   round(p.lp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN p USING (doc_id)
         """,
     }

@@ -59,6 +59,7 @@ def curate_corpus(
     contamination_threshold: float = 0.8,
     contamination_span_tokens: int | None = None,
     repetition_gate: bool = False,
+    min_avg_logprob: float | None = None,
     boilerplate_delim: str | None = None,
     boilerplate_min_count: int = 3,
     splits: dict | None = None,
@@ -125,6 +126,19 @@ def curate_corpus(
         out = repetition_signals(out, text_col, prefix="__rep_")
         sig_cols = [c for c in out.columns if c not in before]
         out = out.where(gopher_repetition_ok(prefix="__rep_")).drop(*sig_cols)
+    if min_avg_logprob is not None:
+        # perplexity-style gate (operators/lm.py): docs whose tokens are
+        # systematically rare under the surviving corpus's own unigram
+        # model (gibberish, encoding garbage) drop; the score stays as an
+        # annotation column like quality
+        from modlyn_spark.operators.lm import unigram_doc_logprob
+
+        lp = unigram_doc_logprob(out, id_col, text_col).select(
+            id_col, "avg_logprob"
+        )
+        out = out.join(lp, id_col, "left").where(
+            F.col("avg_logprob") >= float(min_avg_logprob)
+        )
 
     if contamination_probe is not None:
         dirty = minhash_contamination(

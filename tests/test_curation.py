@@ -188,6 +188,35 @@ def test_curation_pairs_mode_matches_star_on_fixture_and_rejects_unknown(
         curate_corpus(corpus, near_dup_mode="banana").collect()
 
 
+def test_curation_lm_gate_drops_gibberish(spark):
+    """min_avg_logprob gates on the corpus unigram-LM score: a doc of
+    corpus-rare tokens drops; normal docs keep the score annotation."""
+    import pandas as pd
+
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(GOOD)]
+    rows.append({"doc_id": 50,
+                 "text": "zxqv jkwp qqrr zzyy xkcd vvbb mmnn ppoo"})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    base = curate_corpus(df, min_quality=0.0).toPandas()
+    assert 50 in set(base["doc_id"])  # without the gate it survives
+    # threshold from the data: gibberish scores strictly below every
+    # normal doc — gate midway between the two bands
+    from modlyn_spark.operators.lm import unigram_doc_logprob
+
+    lp = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_doc_logprob(df, "doc_id", "text").collect()
+    }
+    normal_min = min(lp[i] for i in (0, 1, 2))
+    assert lp[50] < normal_min
+    thr = (lp[50] + normal_min) / 2
+    out = curate_corpus(df, min_quality=0.0, min_avg_logprob=thr).toPandas()
+    kept = set(out["doc_id"])
+    assert 50 not in kept and kept == {0, 1, 2}
+    assert "avg_logprob" in out.columns
+    assert (out["avg_logprob"] >= thr).all()
+
+
 def test_early_termination_fixture_binds():
     """M6 gate precondition: the 5-step fixture must DIFFER from the
     8-step one (otherwise the early_termination row would not prove the
