@@ -123,6 +123,10 @@ def main() -> None:
           lambda: run(all_qs["span_contamination"](spark, sf_dir)))
     bench("curation_pipeline",
           lambda: run(all_qs["curation_pipeline"](spark, sf_dir)))
+    bench("pack_sequences",
+          lambda: run(all_qs["pack_sequences"](spark, sf_dir)))
+    bench("unigram_logprob",
+          lambda: run(all_qs["unigram_logprob"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
