@@ -1342,6 +1342,39 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_hash_hamming_pairs(spark, sf_dir):
+    """Generic int64 hamming near-dup join (dedup.py hash_hamming_pairs —
+    the image-phash dedup modality, driven on a portable 60-bit
+    md5-derived hash so DuckDB can brute-force the SAME column). Each doc
+    also contributes a planted twin: even ids at hamming 1 (IN radius —
+    must all be recalled through the banding), odd ids at hamming 6 (OUT
+    of radius 4 — must all be excluded by the exact verify). Oracle = the
+    exact all-pairs hamming join, so equality machine-checks the
+    pigeonhole recall theorem AND the radius filter on every planted
+    pair, plus any random collisions."""
+    from modlyn_spark.operators.dedup import hash_hamming_pairs
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    mask = F.when(
+        F.col("doc_id") % 2 == 0,
+        # python shiftleft() wants a literal bit count; the SQL form
+        # accepts a column expression
+        F.expr("shiftleft(cast(1 as bigint), cast(doc_id % 60 as int))"),
+    ).otherwise(F.lit(0x111111).cast("long"))
+    twins = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.col("h").bitwiseXOR(mask).alias("h"),
+    )
+    return hash_hamming_pairs(
+        base.unionByName(twins), "doc_id", "h", max_hamming=4
+    )
+
+
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -1367,6 +1400,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "source_mix": q_source_mix,
         "unigram_logprob": q_unigram_logprob,
+        "hash_hamming_pairs": q_hash_hamming_pairs,
     }
 
 
@@ -2302,5 +2336,26 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
                    round(p.lp, 6) AS avg_logprob
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        # exact brute-force hamming join over the SAME portable hash +
+        # planted twins the engine builds (15 md5 hex digits -> 60-bit
+        # BIGINT; even ids twin at hamming 1, odd at hamming 6)
+        "hash_hamming_pairs": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+              FROM documents),
+            h AS (
+              SELECT doc_id, h FROM b
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     xor(h, CASE WHEN doc_id % 2 = 0
+                                 THEN (CAST(1 AS BIGINT) << (doc_id % 60))
+                                 ELSE CAST(1118481 AS BIGINT) END)
+              FROM b)
+            SELECT a.doc_id AS id1, b2.doc_id AS id2,
+                   CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
+            FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+            WHERE bit_count(xor(a.h, b2.h)) <= 4
         """,
     }

@@ -497,27 +497,30 @@ def connected_components(
     return labels.select("node", F.col("comp").alias("component"))
 
 
-def simhash_pairs(
+def hash_hamming_pairs(
     df: DataFrame,
     id_col: str,
-    text_col: str,
+    hash_col: str,
     *,
     max_hamming: int = 3,
     n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs within a hamming radius.
+    """Pairs of rows whose int64 ``hash_col`` values lie within a hamming
+    radius — the generic multi-block pigeonhole join (Manku, Jain & Das
+    Sarma, WWW'07 §3) behind ``simhash_pairs``, exposed directly for
+    PRECOMPUTED 64-bit perceptual hashes: the image table's ``phash``
+    column is exactly this shape (near-identical images at 10^12 rows,
+    deduped without ever touching ``bytes``).
 
-    Pigeonhole bucketing, generalized to MULTI-BLOCK keys (Manku, Jain &
-    Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07 §3):
-    the 64-bit hash splits into ``m = n_blocks`` blocks; two hashes within
-    hamming ``r`` can disagree on at most ``r`` blocks, so they MUST agree
-    exactly on at least ``m - r`` blocks — in particular on at least one
-    specific (m-r)-subset. Every doc is therefore keyed by each of the
-    C(m, m-r) subset-value combinations (xxhash64 of combo index + the
-    subset's block values) and candidates come from one equi-join on that
-    key. Recall within the radius stays exact for ANY m > r.
+    The hash splits into ``m = n_blocks`` blocks; two hashes within
+    hamming ``r`` can disagree on at most ``r`` blocks, so they MUST
+    agree exactly on at least one specific (m-r)-subset. Every row is
+    keyed by each of the C(m, m-r) subset-value combinations (xxhash64 of
+    combo index + the subset's block values); candidates come from one
+    equi-join on that key; exact ``bit_count(xor)`` verifies. Recall
+    within the radius is EXACT for any m > r.
 
-    m trades row replication (C(m, m-r) keys per doc) against candidate
+    m trades row replication (C(m, m-r) keys per row) against candidate
     noise (random pairs collide with prob ~ C(m, m-r) * 2^-(64*(m-r)/m)):
 
         r=8, m=9  ->   9 keys x  7.1-bit  (P_rand ~ 6.7e-2: QUADRATIC
@@ -527,10 +530,8 @@ def simhash_pairs(
         r=8, m=11 -> 165 keys x 17.5-bit  (P_rand ~ 9.2e-4)
 
     Default: m = r+1 for r <= 3 (the classic single-block key is optimal
-    there: widest blocks, fewest keys), else m = r+2 (two-block keys);
-    pass ``n_blocks`` to push further down the noise curve when the
-    corpus is large enough that candidates dominate the replicated
-    key-shuffle. Returns (id1, id2, hamming)."""
+    there: widest blocks, fewest keys), else m = r+2. NULL hashes are
+    never bucketed. Returns (id1, id2, hamming), id1 < id2."""
     from itertools import combinations
     from math import comb
 
@@ -559,16 +560,9 @@ def simhash_pairs(
             .bitwiseAND(F.lit((1 << widths[i]) - 1))
         )
 
-    sh = (
-        simhash64_udf(
-            ensure_parallelism(df.select(F.col(id_col).alias("did"), text_col)),
-            text_col,
-            "sh",
-        )
-        .select("did", "sh")
-        # contentless docs hash to NULL (see simhash64_udf) — never bucketed
-        .where(F.col("sh").isNotNull())
-    )
+    sh = df.select(
+        F.col(id_col).alias("did"), F.col(hash_col).cast("long").alias("sh")
+    ).where(F.col("sh").isNotNull())
     keys = [
         F.xxhash64(F.lit(ci), *[_block(i) for i in combo])
         for ci, combo in enumerate(combinations(range(n_blocks), subset))
@@ -590,6 +584,30 @@ def simhash_pairs(
         # shrinks the dedup exchange by ~10x
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a hamming radius: compute the
+    64-bit simhash per document (batch-vectorized FNV-1a token votes),
+    then the generic multi-block pigeonhole join — see
+    ``hash_hamming_pairs`` for the key design and its m/noise tradeoff.
+    Contentless docs hash to NULL (see simhash64_udf) and are never
+    bucketed. Returns (id1, id2, hamming)."""
+    sh = simhash64_udf(
+        ensure_parallelism(df.select(F.col(id_col).alias("did"), text_col)),
+        text_col,
+        "sh",
+    ).select("did", "sh")
+    return hash_hamming_pairs(
+        sh, "did", "sh", max_hamming=max_hamming, n_blocks=n_blocks
     )
 
 

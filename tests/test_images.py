@@ -131,6 +131,38 @@ def test_jpeg_roundtrip_psnr_and_dims():
                 assert psnr(px, dec) >= 25.0
 
 
+def test_phash_near_dup_pairs_match_brute_force(spark):
+    """Image near-dup via the PRECOMPUTED phash column (the image-payload
+    dedup modality): the generic multi-block hamming join must equal the
+    exact all-pairs bit_count(xor) <= r twin on the synthetic image
+    table — recall within the radius is a theorem, this checks it."""
+    from modlyn_spark.operators.dedup import hash_hamming_pairs
+    from modlyn_spark.sources.images import generate_images_pandas
+
+    pdf = generate_images_pandas(40, hot_every=10, hot_factor=5)
+    # one row per (image_id, version): use the latest state per image
+    st = pdf.sort_values(["image_id", "ts"]).groupby("image_id").tail(1)
+    st = st.reset_index(drop=True)[["image_id", "phash"]]
+    df = spark.createDataFrame(st)
+    for r in (0, 4, 8):
+        got = {
+            (a, b): h
+            for a, b, h in hash_hamming_pairs(
+                df, "image_id", "phash", max_hamming=r
+            ).collect()
+        }
+        ph = st.set_index("image_id")["phash"].astype("uint64")
+        exp = {}
+        ids = list(ph.index)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sorted((ids[i], ids[j]))
+                h = int(ph[a] ^ ph[b]).bit_count()
+                if h <= r:
+                    exp[(a, b)] = h
+        assert got == exp, (r, len(got), len(exp))
+
+
 def test_jpeg_non_interleaved_scans_decode_identically():
     """Externally-produced baseline files may carry one single-component
     scan per plane (non-interleaved T.81 layout). The decoder must size
