@@ -61,6 +61,15 @@ def pack_sequences(
 
     Documents with NULL token counts are treated as 0 tokens (kept, span
     0). ``seq_len`` and ``shards`` must be positive.
+
+    SIZING ``shards``: each shard's running sum is one window task, so a
+    shard should hold roughly 1-10M documents (the default 256 suits
+    corpora up to low billions of docs; a 10^12-doc corpus wants ~1e5-1e6
+    shards). The shard count is PART OF THE LAYOUT SPEC — the same corpus
+    packed with different ``shards`` is a different (equally valid)
+    layout — so pick it once per corpus rather than deriving it from
+    runtime cluster facts, which would silently change the dataset
+    between runs.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
