@@ -775,10 +775,19 @@ def minhash_contamination(
     threshold: float = 0.8,
     est_margin: float = 0.15,
     impl: str = "numpy",
+    eager: bool = True,
 ) -> DataFrame:
     """CROSS-corpus near-duplicate detection — the benchmark-contamination
     check: which ``probe`` documents (e.g. an eval set) appear
     near-verbatim in ``corpus`` (e.g. the training set)?
+
+    ``eager=True`` (default, same contract as spans.span_dup_pairs)
+    materializes the (output-sized) result via localCheckpoint and
+    UNPERSISTS the signature/candidate caches before returning — the
+    corpus-side MinHash signature table is k longs per document, held in
+    MEMORY_AND_DISK for the caller's lifetime otherwise. Pass
+    eager=False when composing into a larger lazy plan (curate_corpus
+    does).
 
     Same candidates-then-exact-verify contract as
     ``minhash_near_dup_pairs``, but the banded join is BETWEEN the two
@@ -862,11 +871,17 @@ def minhash_contamination(
         text_col,
         n,
     ).select(F.col("did").alias("probe_id"), F.col("psh").alias("psh2"))
-    return _jaccard_verified(
+    out = _jaccard_verified(
         cand.join(csh, "corpus_id").join(psh, "probe_id"),
         threshold,
         ["corpus_id", "probe_id"],
     )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        csig.unpersist()
+        psig.unpersist()
+        cand.unpersist()
+    return out
 
 
 def embedding_dup_pairs(

@@ -141,12 +141,14 @@ def curate_corpus(
         )
 
     if contamination_probe is not None:
+        # eager=False: the corpus side is the whole upstream curated plan
         dirty = minhash_contamination(
             out,
             contamination_probe,
             id_col,
             text_col,
             threshold=contamination_threshold,
+            eager=False,
         ).select(F.col("corpus_id").alias(id_col))
         if contamination_span_tokens is not None:
             # near-whole-doc similarity misses an eval item QUOTED inside a

@@ -175,6 +175,35 @@ def test_eager_mode_unpersists_index_caches(spark):
     assert list(pd_got["id1"]) == [0]
 
 
+def test_minhash_contamination_eager_unpersists_caches(spark):
+    """Same eager contract for minhash_contamination: no signature or
+    candidate caches left persisted after it returns (at most the
+    output-sized checkpoint), eager/lazy results identical."""
+    from modlyn_spark.operators.dedup import minhash_contamination
+
+    jsc = spark.sparkContext._jsc.sc()
+    q = "what is the airspeed velocity of an unladen swallow today friend"
+    corpus = _mk(spark, [(1, q + " and some trailing words"),
+                         (2, _wordsoup(40, 60))])
+    probe = _mk(spark, [(100, q + " and some trailing words!")])
+    lazy = minhash_contamination(
+        corpus, probe, "doc_id", "text", threshold=0.8, eager=False
+    ).toPandas()
+    mid = int(jsc.getPersistentRDDs().size())
+    got_df = minhash_contamination(
+        corpus, probe, "doc_id", "text", threshold=0.8
+    )
+    after = int(jsc.getPersistentRDDs().size())
+    assert after <= mid + 1
+    got = got_df.toPandas().sort_values("corpus_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got, lazy.sort_values("corpus_id").reset_index(drop=True)
+    )
+    assert set(got["corpus_id"]) == {1}
+
+
 def test_span_contamination_finds_embedded_quote(spark):
     """An eval question quoted inside a LONG unrelated training doc:
     whole-doc Jaccard is tiny, the span check still fires; cross-corpus
