@@ -1375,6 +1375,20 @@ def q_hash_hamming_pairs(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): corpus
+    collapses to the distinct-word table once, then each merge iteration
+    is one pre-aggregated pair-count pass + argmax + one vocabulary
+    rewrite. Integer counts and a deterministic tie-break make the merge
+    table bit-identical at any parallelism; the oracle fixture is the
+    single-node Sennrich twin (SF-bound like logreg/kmeans)."""
+    from modlyn_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, "text", num_merges=40)
+    return spark.createDataFrame(merges.astype({"rank": "int64"}))
+
+
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -1401,6 +1415,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "unigram_logprob": q_unigram_logprob,
         "hash_hamming_pairs": q_hash_hamming_pairs,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -1424,6 +1439,7 @@ SF_BOUND_ORACLES = {
     "kmeans_clusters": "/root/testdata/sf0.01",
     "early_termination": "/root/testdata/sf0.01",
     "pca_projection": "/root/testdata/sf0.01",
+    "bpe_merges": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -2357,5 +2373,9 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.h, b2.h)) AS INT) AS hamming
             FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
             WHERE bit_count(xor(a.h, b2.h)) <= 4
+        """,
+        "bpe_merges": f"""
+            SELECT rank, "left", "right"
+            FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')
         """,
     }

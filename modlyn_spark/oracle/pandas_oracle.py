@@ -455,3 +455,63 @@ def oracle_repetition(
             row[key] = sum(len(words[i]) for i in covered) / total
         rows.append(row)
     return pd.DataFrame(rows, dtype="float64")
+
+
+def oracle_bpe(
+    texts, num_merges: int, min_word_count: int = 1
+) -> pd.DataFrame:
+    """Single-node BPE-training twin of operators/bpe.py (reference
+    algorithm: Sennrich, Haddow & Birch, ACL'16 — learn_bpe over word
+    frequencies): plain dict/Counter implementation, same tokenizer
+    ([a-z0-9]+ on lowercased text), same end-of-word marker, same
+    deterministic tie-break (count DESC, then lexicographic pair).
+    Returns (rank, left, right)."""
+    import re
+    from collections import Counter
+
+    word_re = re.compile(r"[a-z0-9]+")
+    wc: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        wc.update(word_re.findall(str(t).lower()))
+    vocab = {
+        tuple(list(w) + ["</w>"]): c
+        for w, c in wc.items()
+        if c >= min_word_count
+    }
+    merges = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return pd.DataFrame(
+        {
+            "rank": range(len(merges)),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )

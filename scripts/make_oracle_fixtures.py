@@ -179,6 +179,21 @@ def make_pca_fixture() -> str:
     return out
 
 
+def make_bpe_fixture() -> str:
+    """Expected (rank, left, right) merge table for the retired
+    bpe_merges query at sf0.01: the single-node Sennrich twin
+    (oracle_bpe) over the documents' texts, 40 merges. Integer counts +
+    deterministic tie-break make the distributed trainer's table
+    bit-identical."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_bpe
+
+    docs = pd.read_parquet(f"{SF_GATE}/documents.parquet")
+    merges = oracle_bpe(docs["text"].tolist(), 40)
+    out = os.path.join(FIXTURE_DIR, "bpe_merges_sf001.parquet")
+    merges.astype({"rank": "int64"}).to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
@@ -191,6 +206,8 @@ def main() -> int:
     print(f"wrote {p3}")
     p4 = make_pca_fixture()
     print(f"wrote {p4}")
+    p5 = make_bpe_fixture()
+    print(f"wrote {p5}")
     return 0
 
 
