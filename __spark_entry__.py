@@ -67,6 +67,45 @@ _PROBES_SQL = """
   FROM events WHERE event_type IN ('view', 'click')
 """
 
+def _pii_scrub_sql() -> str:
+    """Oracle for q_pii_scrub — augmentation CASE mirrors the Spark concat
+    verbatim; count/scrub chains are generated from the same PII_PATTERNS
+    table so the two regex sets cannot drift."""
+    from modlyn_spark.functions.pii import (
+        PII_KINDS,
+        duckdb_count_sql,
+        duckdb_scrub_sql,
+    )
+
+    counts = ",\n               ".join(
+        f"CAST({duckdb_count_sql('t', k)} AS BIGINT) AS n_{k}" for k in PII_KINDS
+    )
+    return f"""
+        WITH a AS (
+          SELECT doc_id, text || CASE
+            WHEN doc_id % 11 = 0 THEN ' Contact user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com now.'
+            WHEN doc_id % 11 = 1 THEN ' From admin@example.org at 8.8.8.'
+                 || CAST(doc_id % 256 AS VARCHAR) || ' today.'
+            WHEN doc_id % 11 = 3 THEN ' Node 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.' || CAST(doc_id % 250 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR) || ' up.'
+            WHEN doc_id % 11 = 5 THEN ' Card 4111-1111-1111-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' on file.'
+            WHEN doc_id % 11 = 7 THEN ' SSN 078-05-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ref.'
+            WHEN doc_id % 11 = 9 THEN ' Call (415) 867-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+            ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               {counts},
+               CAST(('0x' || substr(md5({duckdb_scrub_sql('t')}), 1, 15))
+                    AS BIGINT) AS scrub_fp
+        FROM a
+    """
+
+
 # whitespace-tokenized words with per-doc positions re-ranked after
 # dropping empty tokens. regexp_split_to_array on \s+ (NOT a single-space
 # string_split): the engine tokenizes on \s+ and collapses runs, so a
@@ -877,6 +916,47 @@ def q_doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction gate (functions/pii.py): per-kind counts + a portable
+    60-bit fingerprint of the scrubbed text. The driver corpus contains no
+    real PII, so both engines plant it deterministically from doc_id with
+    the SAME concat expression (email / ipv4 / card / ssn / phone shapes,
+    one doc in 11 left clean-of-plants as the negative control); the
+    oracle's regexes are generated from the identical PII_PATTERNS table
+    (Java-regex/RE2-common subset). Zero-shuffle codegen map stage."""
+    from modlyn_spark.functions.pii import PII_KINDS, pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 11 == 0, F.concat(F.lit(" Contact user"), d.cast("string"),
+                                     F.lit("@example.com now.")))
+        .when(d % 11 == 1, F.concat(F.lit(" From admin@example.org at 8.8.8."),
+                                    (d % 256).cast("string"), F.lit(" today.")))
+        .when(d % 11 == 3, F.concat(F.lit(" Node 10."), (d % 200).cast("string"),
+                                    F.lit("."), (d % 250).cast("string"),
+                                    F.lit("."), (d % 100).cast("string"),
+                                    F.lit(" up.")))
+        .when(d % 11 == 5, F.concat(F.lit(" Card 4111-1111-1111-"), pad4,
+                                    F.lit(" on file.")))
+        .when(d % 11 == 7, F.concat(F.lit(" SSN 078-05-"), pad4, F.lit(" ref.")))
+        .when(d % 11 == 9, F.concat(F.lit(" Call (415) 867-"), pad4,
+                                    F.lit(" today.")))
+        .otherwise(F.lit("")),
+    )
+    a = docs.select("doc_id", aug.alias("t"))
+    cnts = pii_counts(F.col("t"))
+    return a.select(
+        "doc_id",
+        *[cnts[k].alias(f"n_{k}") for k in PII_KINDS],
+        F.conv(F.substring(F.md5(scrub_pii(F.col("t"))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("scrub_fp"),
+    )
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings (cluster-based
     curation primitive): centroid partials via one GEMM per Arrow batch,
@@ -1416,6 +1496,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "hash_hamming_pairs": q_hash_hamming_pairs,
         "bpe_merges": q_bpe_merges,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2378,4 +2459,5 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT rank, "left", "right"
             FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')
         """,
+        "pii_scrub": _pii_scrub_sql(),
     }
