@@ -798,6 +798,37 @@ def q_embedding_dup_pairs(spark, sf_dir):
     return out.select("id1", "id2", F.round("cosine", 4).alias("cosine"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/semdedup.py) over the planted corpus: spherical
+    assignment to the 8 smallest-vec_id base embeddings as centroids, then
+    within-cluster min_id cosine prune at 0.95. The planted half-scale
+    copies co-assign with their base bit-identically (scaling by 2^-1
+    commutes with IEEE rounding) and carry cosine exactly 1.0, so every
+    copy is dropped and every base row survives — recall is a theorem on
+    this corpus, not a tuning accident."""
+    from modlyn_spark.operators.semdedup import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = [
+        r[0]
+        for r in emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.transform("embedding", lambda x: x.cast("double")))
+        .collect()
+    ]
+    import numpy as np
+
+    out = semdedup_prune(
+        _planted_embeddings(spark, sf_dir), "v", np.asarray(C), threshold=0.95
+    )
+    return out.select(
+        "vec_id",
+        "cluster",
+        F.round("centroid_sim", 4).alias("centroid_sim"),
+        "kept",
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from modlyn_spark.operators.similarity import cosine_topk
 
@@ -1497,6 +1528,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_hamming_pairs": q_hash_hamming_pairs,
         "bpe_merges": q_bpe_merges,
         "pii_scrub": q_pii_scrub,
+        "semdedup": q_semdedup,
     }
 
 
@@ -2460,4 +2492,27 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')
         """,
         "pii_scrub": _pii_scrub_sql(),
+        "semdedup": f"""
+            WITH e AS ({_PLANTED_EMB_SQL}),
+            c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM (SELECT vec_id, embedding FROM embeddings
+                        ORDER BY vec_id LIMIT 8)),
+            asg AS (
+              SELECT vec_id, v, cid, sim FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       list_cosine_similarity(e.v, c.cv) AS sim,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cid) AS rn
+                FROM e CROSS JOIN c) WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+                   round(sim, 4) AS centroid_sim,
+                   vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+            FROM asg
+        """,
     }
