@@ -1058,6 +1058,31 @@ def q_image_pipeline(spark, sf_dir):
     )
 
 
+def q_image_curation(spark, sf_dir):
+    """Image-modality curation manifest (plans/image_curation.py): latest
+    state per entity -> format/side/aspect/caption gates -> exact-payload
+    dedup on md5(hex(bytes)) -> radius-4 phash hamming prune (min-id
+    rule) -> leak-free md5 split. Both engines read the same fixture
+    INPUT parquet (planted clones / phash twins / per-gate invalid rows),
+    so the oracle is real SQL over the identical table — valid at every
+    SF. bytes never cross a shuffle: the fingerprint is computed map-side
+    and the output is a payload-free manifest."""
+    from modlyn_spark.plans.image_curation import curate_images
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    out = curate_images(
+        images,
+        min_side=8,  # the synthetic generator's natural sides are 8/16/32
+        splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="r4",
+    )
+    return out.select(
+        "image_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "version", "w", "h", "fmt", "caption", "phash", "fp", "split",
+    )
+
+
 def _fixture_model():
     """Model rebuilt from the logreg weights fixture (bias 0) — the weight
     matrix the prediction/report gate queries score with. The fixture is a
@@ -1529,6 +1554,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
+        "image_curation": q_image_curation,
     }
 
 
@@ -2514,5 +2540,46 @@ def retired_oracle_sql() -> dict[str, str]:
                    round(sim, 4) AS centroid_sim,
                    vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
             FROM asg
+        """,
+        "image_curation": f"""
+            WITH latest AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT image_id, ts, version, w, h, fmt, caption, phash,
+                       CASE WHEN bytes IS NOT NULL
+                            THEN md5(hex(bytes)) END AS fp,
+                       row_number() OVER (PARTITION BY image_id
+                           ORDER BY ts DESC, version DESC) AS rn
+                FROM read_parquet('{_FIXTURES}/images_curation_input.parquet'))
+              WHERE rn = 1),
+            g AS (
+              SELECT * FROM latest
+              WHERE fmt IN ('png', 'qpng', 'jpeg')
+                AND w BETWEEN 8 AND 65536 AND h BETWEEN 8 AND 65536
+                AND greatest(w, h) <= 4.0 * least(w, h)
+                AND fp IS NOT NULL
+                AND caption IS NOT NULL
+                AND len(regexp_extract_all(caption,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) >= 3),
+            e AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT g.*, row_number() OVER (PARTITION BY fp
+                    ORDER BY image_id) AS rn2 FROM g)
+              WHERE rn2 = 1),
+            p AS (
+              SELECT DISTINCT b.image_id FROM e a JOIN e b
+                ON a.image_id < b.image_id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 4)
+            SELECT image_id, ts, version, w, h, fmt, caption, phash, fp,
+                   CASE WHEN us < 0.5 THEN 'train'
+                        WHEN us < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT e.*,
+                     CAST(('0x' || substr(md5(image_id || '|r4'), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS us
+              FROM e
+              WHERE image_id NOT IN (SELECT image_id FROM p))
         """,
     }

@@ -194,6 +194,85 @@ def make_bpe_fixture() -> str:
     return out
 
 
+def make_images_curation_input() -> str:
+    """Fixture INPUT table for the image-curation gate (not an expected
+    output): the deterministic synthetic image-state table plus planted
+    curation targets — exact-byte clones, phash near-twins within hamming
+    4, and invalid rows for every gate. Both engines READ this same
+    parquet (the pattern predictions/classification_report use for the
+    weights fixture), so the row is valid at every SF and the oracle is
+    real SQL, not a precomputed answer."""
+    from modlyn_spark.sources.images import generate_images_pandas
+
+    base = generate_images_pandas(60, hot_every=25, hot_factor=10)
+    # the generator's average-hash phashes over tiny synthetic checkers are
+    # heavily degenerate (130 exact-equal latest-state pairs at n=60) — a
+    # radius-4 prune would eat most of the corpus and hide the planted
+    # structure. The curation operator's contract takes phash as a
+    # PRECOMPUTED upstream column, so the fixture re-keys it with a spread
+    # 63-bit md5 hash per entity (expected pairwise distance ~31.5, no
+    # natural pair within radius); the planted twins below then control
+    # the entire near-dup structure.
+    import hashlib
+
+    def spread_phash(image_id: str) -> np.int64:
+        h = int(hashlib.md5(f"{image_id}|ph".encode()).hexdigest()[:16], 16)
+        return np.int64(h >> 1)
+
+    base["phash"] = base["image_id"].map(spread_phash)
+    latest = (
+        base.sort_values(["image_id", "ts", "version"])
+        .groupby("image_id", as_index=False)
+        .tail(1)
+        .reset_index(drop=True)
+    )
+    planted = []
+    # exact-byte clones of 10 entities' latest state; ids sort AFTER all
+    # base ids so the min-id keep rule retains the base row
+    for j in range(10):
+        r = latest.iloc[j].copy()
+        r["image_id"] = f"zdup_{j:04d}"
+        planted.append(r)
+    # phash near-twins (distinct bytes, same declared w/h): popcount of
+    # the planted flip mask cycles 1..4 — all within the radius-4 prune
+    masks = [0x1, 0x3, 0x7, 0xF]
+    for j in range(10):
+        r = latest.iloc[10 + j].copy()
+        r["image_id"] = f"zpht_{j:04d}"
+        r["phash"] = np.int64(np.uint64(np.int64(r["phash"])) ^ np.uint64(masks[j % 4]))
+        r["bytes"] = bytes(r["bytes"]) + b"\x00pad"
+        planted.append(r)
+    # invalid rows, one per gate
+    bad = latest.iloc[30].copy()
+    for j, (field, value) in enumerate(
+        [
+            ("w", 4),                      # side too small
+            ("h", 100000),                 # side too large
+            ("fmt", "bmp"),                # unsupported format
+            ("caption", "x"),              # caption under 3 tokens
+            ("caption", None),             # null caption
+            ("bytes", None),               # null payload
+        ]
+    ):
+        r = bad.copy()
+        r["image_id"] = f"zbad_{j:04d}"
+        r[field] = value
+        if field != "bytes":
+            # distinct payload so the exact-dedup stage doesn't eat it
+            # before the gate under test gets to reject it
+            r["bytes"] = bytes(r["bytes"]) + b"\x00bad" + bytes([j])
+        planted.append(r)
+    out_df = pd.concat([base, pd.DataFrame(planted)], ignore_index=True)
+    out_df["w"] = out_df["w"].astype("int32")
+    out_df["h"] = out_df["h"].astype("int32")
+    out_df["version"] = out_df["version"].astype("int64")
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds
+    out_df["ts"] = out_df["ts"].astype("datetime64[us]")
+    out = os.path.join(FIXTURE_DIR, "images_curation_input.parquet")
+    out_df.to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
@@ -208,6 +287,8 @@ def main() -> int:
     print(f"wrote {p4}")
     p5 = make_bpe_fixture()
     print(f"wrote {p5}")
+    p6 = make_images_curation_input()
+    print(f"wrote {p6} ({len(pd.read_parquet(p6))} rows)")
     return 0
 
 

@@ -1,0 +1,94 @@
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from modlyn_spark.plans.image_curation import curate_images
+
+FIXTURE = "/root/repo/tests/fixtures/images_curation_input.parquet"
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return spark.read.parquet(FIXTURE)
+
+
+def test_planted_structure_fully_resolved(images):
+    out = curate_images(images, min_side=8).toPandas()
+    ids = set(out["image_id"])
+    # every planted row dropped, every base entity kept exactly once
+    assert not any(i.startswith("z") for i in ids)
+    assert len(out) == 60 and out["image_id"].is_unique
+    assert set(out.columns) == {
+        "image_id", "ts", "version", "w", "h", "fmt", "caption", "phash", "fp",
+    }
+
+
+def test_exact_vs_phash_stage_separation(images):
+    # with the phash prune off, the exact-byte clones still drop (same
+    # payload) but the phash twins survive (distinct bytes)
+    out = curate_images(images, min_side=8, phash_radius=None).toPandas()
+    ids = set(out["image_id"])
+    assert not any(i.startswith("zdup_") for i in ids)
+    assert sum(i.startswith("zpht_") for i in ids) == 10
+    assert not any(i.startswith("zbad_") for i in ids)
+
+
+def test_each_invalid_row_fails_its_own_gate(images):
+    # relax one gate at a time; exactly that zbad row comes back
+    relaxed = curate_images(
+        images, min_side=4, phash_radius=None
+    ).toPandas()["image_id"]
+    assert "zbad_0000" in set(relaxed)  # w=4 passes once min_side drops
+    fmts = curate_images(
+        images, min_side=8, allowed_fmts=("png", "qpng", "jpeg", "bmp"),
+        phash_radius=None,
+    ).toPandas()["image_id"]
+    assert "zbad_0002" in set(fmts)
+    caps = curate_images(
+        images, min_side=8, min_caption_tokens=1, phash_radius=None
+    ).toPandas()["image_id"]
+    assert "zbad_0003" in set(caps)
+
+
+def test_decode_check_keeps_base_corpus(images):
+    out = curate_images(images, min_side=8, decode_check=True).toPandas()
+    ids = set(out["image_id"])
+    assert {i for i in ids if not i.startswith("z")} == ids and len(ids) == 60
+
+
+def test_split_assignment_total_and_deterministic(images, spark):
+    out = curate_images(
+        images, min_side=8, splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="t",
+    )
+    a = out.toPandas().sort_values("image_id").reset_index(drop=True)
+    b = (
+        curate_images(
+            spark.read.parquet(FIXTURE).repartition(7),
+            min_side=8,
+            splits={"train": 0.5, "val": 0.25, "test": 0.25},
+            salt="t",
+        )
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["split"]) <= {"train", "val", "test"}
+    assert a["split"].value_counts()["train"] >= 20  # ~0.5 of 60
+
+
+def test_manifest_carries_no_payload(images):
+    plan = (
+        curate_images(images, min_side=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the bytes column must not appear in any Exchange input — it is
+    # fingerprinted map-side and dropped before the first shuffle
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line
