@@ -1058,6 +1058,35 @@ def q_image_pipeline(spark, sf_dir):
     )
 
 
+def q_hashed_features(spark, sf_dir):
+    """fastText-style hashed (1,2)-gram featurizer
+    (operators/quality_classifier.py), long form: one row per non-zero
+    slot. The portable md5 slot hash makes the exact tf vector
+    SQL-checkable; the dense array used by training is this pivoted."""
+    from modlyn_spark.operators.quality_classifier import hashed_ngram_slots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hashed_ngram_slots(docs, "text", "doc_id", dim=64)
+    return out.select("doc_id", "slot", F.round("tf", 6).alias("tf"))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality/language gate: hashed n-gram features (dim
+    256) through the gated treeAggregate Adam trainer, predicting the
+    documents table's ``lang``. Oracle: the INDEPENDENT numpy twin
+    (oracle_hashed_features + oracle_logreg) — SF-bound fixture like
+    logreg_weights."""
+    from modlyn_spark.operators.quality_classifier import train_text_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_text_classifier(
+        docs, "text", "lang", "doc_id", dim=256, max_steps=8, n_batches=4
+    )
+    return model.weights_long(spark).select(
+        "label", "pos", F.round("weight", 6).alias("weight")
+    )
+
+
 def q_image_curation(spark, sf_dir):
     """Image-modality curation manifest (plans/image_curation.py): latest
     state per entity -> format/side/aspect/caption gates -> exact-payload
@@ -1555,6 +1584,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
         "image_curation": q_image_curation,
+        "hashed_features": q_hashed_features,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -1579,6 +1610,7 @@ SF_BOUND_ORACLES = {
     "early_termination": "/root/testdata/sf0.01",
     "pca_projection": "/root/testdata/sf0.01",
     "bpe_merges": "/root/testdata/sf0.01",
+    "quality_classifier": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -2581,5 +2613,29 @@ def retired_oracle_sql() -> dict[str, str]:
                           AS BIGINT) / 4294967296.0 AS us
               FROM e
               WHERE image_id NOT IN (SELECT image_id FROM p))
+        """,
+        "hashed_features": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS g FROM w),
+            b AS (SELECT doc_id, p[1] || ' ' || p[2] AS g
+                  FROM (SELECT doc_id,
+                               unnest(list_zip(toks[1:len(toks) - 1],
+                                               toks[2:len(toks)])) AS p
+                        FROM w WHERE len(toks) >= 2)),
+            g AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+            tot AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            cnt AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 64
+                               AS slot,
+                           count(*) AS c
+                    FROM g GROUP BY 1, 2)
+            SELECT cnt.doc_id, slot, round(c * 1.0 / n, 6) AS tf
+            FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        """,
+        "quality_classifier": f"""
+            SELECT label, pos, round(weight, 6) AS weight
+            FROM read_parquet('{_FIXTURES}/quality_classifier_sf001.parquet')
         """,
     }

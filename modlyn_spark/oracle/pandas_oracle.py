@@ -515,3 +515,30 @@ def oracle_bpe(
             "right": [m[1] for m in merges],
         }
     )
+
+
+def oracle_hashed_features(
+    texts: "pd.Series", dim: int, ngrams: tuple[int, ...] = (1, 2)
+) -> np.ndarray:
+    """Single-node twin of operators/quality_classifier.hashed_ngram_features:
+    lowercase [a-z0-9]+ word tokens, space-joined n-grams, portable md5
+    slot hash (first 15 hex digits % dim), tf = count / total grams."""
+    import hashlib
+    import re
+
+    tok = re.compile(r"[a-z0-9]+")
+    X = np.zeros((len(texts), dim), dtype=np.float64)
+    for r, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        toks = tok.findall(t.lower())
+        total = 0
+        for n in ngrams:
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                slot = int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % dim
+                X[r, slot] += 1.0
+                total += 1
+        if total:
+            X[r] /= total
+    return X

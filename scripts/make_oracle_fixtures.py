@@ -194,6 +194,26 @@ def make_bpe_fixture() -> str:
     return out
 
 
+def make_quality_classifier_fixture() -> str:
+    """Expected (label, pos, weight) for q_quality_classifier at sf0.01:
+    hashed (1,2)-gram features (dim 256, portable md5 slots) -> the same
+    independent numpy Adam twin as logreg_weights, predicting ``lang``."""
+    from modlyn_spark.oracle.pandas_oracle import (
+        oracle_hashed_features,
+        oracle_logreg,
+    )
+    from modlyn_spark.scoring.logreg import assign_batches_pandas
+
+    docs = pd.read_parquet(f"{SF_GATE}/documents.parquet")
+    X = oracle_hashed_features(docs["text"], 256)
+    labels = docs["lang"].astype(str)
+    batch_ids = assign_batches_pandas(docs, ["doc_id"], 4)
+    weights, _ = oracle_logreg(X, labels, batch_ids, max_steps=8, n_epochs=4)
+    out = os.path.join(FIXTURE_DIR, "quality_classifier_sf001.parquet")
+    weights.astype({"pos": "int64"}).to_parquet(out, index=False)
+    return out
+
+
 def make_images_curation_input() -> str:
     """Fixture INPUT table for the image-curation gate (not an expected
     output): the deterministic synthetic image-state table plus planted
@@ -289,6 +309,8 @@ def main() -> int:
     print(f"wrote {p5}")
     p6 = make_images_curation_input()
     print(f"wrote {p6} ({len(pd.read_parquet(p6))} rows)")
+    p7 = make_quality_classifier_fixture()
+    print(f"wrote {p7}")
     return 0
 
 
