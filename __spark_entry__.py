@@ -1058,6 +1058,30 @@ def q_image_pipeline(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Bloom-pruned incremental dedup (operators/bloom.py): history =
+    docs with doc_id % 3 != 0; the incoming batch = the remaining docs
+    plus planted copies of history texts under new ids. The bucketed
+    Bloom sketch prunes the exact anti-join; the RESULT is exactly the
+    anti-join (no false negatives + exact re-check of maybe-seen), which
+    is what the SQL oracle states."""
+    from modlyn_spark.operators.bloom import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 3 != 0)
+    planted = (
+        docs.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 1))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    new = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionByName(
+        planted
+    )
+    out = incremental_dedup(
+        new, hist, "text", n_buckets=16, bits_per_bucket=1 << 14
+    )
+    return out.select("doc_id")
+
+
 def q_hashed_features(spark, sf_dir):
     """fastText-style hashed (1,2)-gram featurizer
     (operators/quality_classifier.py), long form: one row per non-zero
@@ -1586,6 +1610,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_curation": q_image_curation,
         "hashed_features": q_hashed_features,
         "quality_classifier": q_quality_classifier,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2637,5 +2662,15 @@ def retired_oracle_sql() -> dict[str, str]:
         "quality_classifier": f"""
             SELECT label, pos, round(weight, 6) AS weight
             FROM read_parquet('{_FIXTURES}/quality_classifier_sf001.parquet')
+        """,
+        "incremental_dedup": """
+            WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 != 0),
+            new AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 3 = 1 AND doc_id % 5 = 1)
+            SELECT doc_id FROM new
+            WHERE text NOT IN (SELECT text FROM hist)
         """,
     }
