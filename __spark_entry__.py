@@ -1370,12 +1370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_merge": q_asof_join_merge,
         "asof_join_tolerance": q_asof_join_tolerance,
         "rolling_range_window": q_rolling_range_window,
-        "anti_join_orphans": q_anti_join_orphans,
         "lag_lead_delta": q_lag_lead_delta,
         "session_stats": q_session_stats,
         "backfill": q_backfill,
-        "rolling_stats": q_rolling_stats,
-        "topk_per_group": q_topk_per_group,
         "pivot_event_counts": q_pivot_event_counts,
         # round-4 rotation: the curation surface takes the slots of
         # single-expression entries whose operators stay green inside
@@ -1401,10 +1398,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
-        "token_count": q_token_count,
         "quality_score": q_quality_score,
-        "doc_fingerprint": q_doc_fingerprint,
         "kmeans_clusters": q_kmeans_clusters,
+        # round-4 late rotation: five more thin slots (anti_join_orphans,
+        # topk_per_group, rolling_stats, token_count, doc_fingerprint —
+        # each subsumed by bigger green queries) go to this session's new
+        # first-class curation operators
+        "image_curation": q_image_curation,
+        "semdedup": q_semdedup,
+        "quality_classifier": q_quality_classifier,
+        "pii_scrub": q_pii_scrub,
+        "incremental_dedup": q_incremental_dedup,
         "logreg_weights": q_logreg_weights,
         "predictions": q_predictions,
         "classification_report": q_classification_report,
@@ -1605,12 +1609,16 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "hash_hamming_pairs": q_hash_hamming_pairs,
         "bpe_merges": q_bpe_merges,
-        "pii_scrub": q_pii_scrub,
-        "semdedup": q_semdedup,
-        "image_curation": q_image_curation,
+        # late-r4 rotation: these five retire so image_curation / semdedup
+        # / quality_classifier / pii_scrub / incremental_dedup get driver
+        # slots; hashed_features stays mirror-gated (its dense twin is
+        # inside the gated quality_classifier row)
+        "anti_join_orphans": q_anti_join_orphans,
+        "topk_per_group": q_topk_per_group,
+        "rolling_stats": q_rolling_stats,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
         "hashed_features": q_hashed_features,
-        "quality_classifier": q_quality_classifier,
-        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1832,11 +1840,6 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
-        "anti_join_orphans": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
-            AND user_id NOT IN (
-                SELECT user_id FROM events WHERE event_type = 'purchase')
-        """,
         "lag_lead_delta": f"""
             WITH st AS ({_PURCHASE_STATE_SQL})
             SELECT user_id, ts,
@@ -1868,25 +1871,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts,
                          CASE WHEN event_type != 'error' THEN value END AS v_sparse
                   FROM events)
-        """,
-        "rolling_stats": """
-            SELECT event_id, user_id,
-                   count(value) OVER w AS roll_count,
-                   round(avg(value) OVER w, 4) AS roll_mean,
-                   round(coalesce(
-                       avg(value * value) OVER w - avg(value) OVER w * avg(value) OVER w,
-                       0), 4) AS roll_var
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-        """,
-        "topk_per_group": """
-            SELECT user_id, event_id, value, rk FROM (
-              SELECT user_id, event_id, value,
-                     row_number() OVER (PARTITION BY user_id
-                         ORDER BY value DESC, event_id) AS rk
-              FROM events WHERE event_type = 'purchase')
-            WHERE rk <= 3
         """,
         "pivot_event_counts": """
             -- CAST: DuckDB sum() yields HUGEINT; Spark sum(int) is BIGINT
@@ -2056,11 +2040,6 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM s
         """,
-        "token_count": f"""
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens
-            FROM documents
-        """,
         "quality_score": f"""
             WITH q AS (
               SELECT doc_id, length(text) AS n_chars,
@@ -2084,11 +2063,6 @@ def oracle_sql() -> dict[str, str]:
                           + greatest(1.0 - punct_ratio * 4.0, 0.0)
                           + least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
             FROM r
-        """,
-        "doc_fingerprint": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
         """,
         "corpus_chunk_dedup": f"""
             WITH w AS ({_WORDS_SQL}),
@@ -2370,6 +2344,86 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start
             FROM s GROUP BY user_id, session_id
         """,
+        # late-r4 rotation: the promoted curation-surface operators
+        "pii_scrub": _pii_scrub_sql(),
+        "semdedup": f"""
+            WITH e AS ({_PLANTED_EMB_SQL}),
+            c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM (SELECT vec_id, embedding FROM embeddings
+                        ORDER BY vec_id LIMIT 8)),
+            asg AS (
+              SELECT vec_id, v, cid, sim FROM (
+                SELECT e.vec_id, e.v, c.cid,
+                       list_cosine_similarity(e.v, c.cv) AS sim,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.cid) AS rn
+                FROM e CROSS JOIN c) WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+            SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+                   round(sim, 4) AS centroid_sim,
+                   vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+            FROM asg
+        """,
+        "image_curation": f"""
+            WITH latest AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT image_id, ts, version, w, h, fmt, caption, phash,
+                       CASE WHEN bytes IS NOT NULL
+                            THEN md5(hex(bytes)) END AS fp,
+                       row_number() OVER (PARTITION BY image_id
+                           ORDER BY ts DESC, version DESC) AS rn
+                FROM read_parquet('{_FIXTURES}/images_curation_input.parquet'))
+              WHERE rn = 1),
+            g AS (
+              SELECT * FROM latest
+              WHERE fmt IN ('png', 'qpng', 'jpeg')
+                AND w BETWEEN 8 AND 65536 AND h BETWEEN 8 AND 65536
+                AND greatest(w, h) <= 4.0 * least(w, h)
+                AND fp IS NOT NULL
+                AND caption IS NOT NULL
+                AND len(regexp_extract_all(caption,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) >= 3),
+            e AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT g.*, row_number() OVER (PARTITION BY fp
+                    ORDER BY image_id) AS rn2 FROM g)
+              WHERE rn2 = 1),
+            p AS (
+              SELECT DISTINCT b.image_id FROM e a JOIN e b
+                ON a.image_id < b.image_id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 4)
+            SELECT image_id, ts, version, w, h, fmt, caption, phash, fp,
+                   CASE WHEN us < 0.5 THEN 'train'
+                        WHEN us < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT e.*,
+                     CAST(('0x' || substr(md5(image_id || '|r4'), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS us
+              FROM e
+              WHERE image_id NOT IN (SELECT image_id FROM p))
+        """,
+        "quality_classifier": f"""
+            SELECT label, pos, round(weight, 6) AS weight
+            FROM read_parquet('{_FIXTURES}/quality_classifier_sf001.parquet')
+        """,
+        "incremental_dedup": """
+            WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 != 0),
+            new AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 3 = 1 AND doc_id % 5 = 1)
+            SELECT doc_id FROM new
+            WHERE text NOT IN (SELECT text FROM hist)
+        """,
     }
 
 
@@ -2574,70 +2628,40 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT rank, "left", "right"
             FROM read_parquet('{_FIXTURES}/bpe_merges_sf001.parquet')
         """,
-        "pii_scrub": _pii_scrub_sql(),
-        "semdedup": f"""
-            WITH e AS ({_PLANTED_EMB_SQL}),
-            c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                         CAST(embedding AS DOUBLE[]) AS cv
-                  FROM (SELECT vec_id, embedding FROM embeddings
-                        ORDER BY vec_id LIMIT 8)),
-            asg AS (
-              SELECT vec_id, v, cid, sim FROM (
-                SELECT e.vec_id, e.v, c.cid,
-                       list_cosine_similarity(e.v, c.cv) AS sim,
-                       row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                                    c.cid) AS rn
-                FROM e CROSS JOIN c) WHERE rn = 1),
-            dropped AS (
-              SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-                ON a.cid = b.cid AND a.vec_id < b.vec_id
-               WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
-            SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
-                   round(sim, 4) AS centroid_sim,
-                   vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
-            FROM asg
+        # late-r4 rotation: the five retirees' oracles (still mirror-run)
+        "anti_join_orphans": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            AND user_id NOT IN (
+                SELECT user_id FROM events WHERE event_type = 'purchase')
         """,
-        "image_curation": f"""
-            WITH latest AS (
-              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
-              FROM (
-                SELECT image_id, ts, version, w, h, fmt, caption, phash,
-                       CASE WHEN bytes IS NOT NULL
-                            THEN md5(hex(bytes)) END AS fp,
-                       row_number() OVER (PARTITION BY image_id
-                           ORDER BY ts DESC, version DESC) AS rn
-                FROM read_parquet('{_FIXTURES}/images_curation_input.parquet'))
-              WHERE rn = 1),
-            g AS (
-              SELECT * FROM latest
-              WHERE fmt IN ('png', 'qpng', 'jpeg')
-                AND w BETWEEN 8 AND 65536 AND h BETWEEN 8 AND 65536
-                AND greatest(w, h) <= 4.0 * least(w, h)
-                AND fp IS NOT NULL
-                AND caption IS NOT NULL
-                AND len(regexp_extract_all(caption,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) >= 3),
-            e AS (
-              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
-              FROM (
-                SELECT g.*, row_number() OVER (PARTITION BY fp
-                    ORDER BY image_id) AS rn2 FROM g)
-              WHERE rn2 = 1),
-            p AS (
-              SELECT DISTINCT b.image_id FROM e a JOIN e b
-                ON a.image_id < b.image_id
-               WHERE bit_count(xor(a.phash, b.phash)) <= 4)
-            SELECT image_id, ts, version, w, h, fmt, caption, phash, fp,
-                   CASE WHEN us < 0.5 THEN 'train'
-                        WHEN us < 0.75 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM (
-              SELECT e.*,
-                     CAST(('0x' || substr(md5(image_id || '|r4'), 1, 8))
-                          AS BIGINT) / 4294967296.0 AS us
-              FROM e
-              WHERE image_id NOT IN (SELECT image_id FROM p))
+        "rolling_stats": """
+            SELECT event_id, user_id,
+                   count(value) OVER w AS roll_count,
+                   round(avg(value) OVER w, 4) AS roll_mean,
+                   round(coalesce(
+                       avg(value * value) OVER w - avg(value) OVER w * avg(value) OVER w,
+                       0), 4) AS roll_var
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_per_group": """
+            SELECT user_id, event_id, value, rk FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id) AS rk
+              FROM events WHERE event_type = 'purchase')
+            WHERE rk <= 3
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
         """,
         "hashed_features": """
             WITH w AS (SELECT doc_id,
@@ -2658,19 +2682,5 @@ def retired_oracle_sql() -> dict[str, str]:
                     FROM g GROUP BY 1, 2)
             SELECT cnt.doc_id, slot, round(c * 1.0 / n, 6) AS tf
             FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
-        """,
-        "quality_classifier": f"""
-            SELECT label, pos, round(weight, 6) AS weight
-            FROM read_parquet('{_FIXTURES}/quality_classifier_sf001.parquet')
-        """,
-        "incremental_dedup": """
-            WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 != 0),
-            new AS (
-              SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-              UNION ALL
-              SELECT doc_id + 100000, text FROM documents
-              WHERE doc_id % 3 = 1 AND doc_id % 5 = 1)
-            SELECT doc_id FROM new
-            WHERE text NOT IN (SELECT text FROM hist)
         """,
     }

@@ -127,6 +127,15 @@ def main() -> None:
           lambda: run(all_qs["pack_sequences"](spark, sf_dir)))
     bench("unigram_logprob",
           lambda: run(all_qs["unigram_logprob"](spark, sf_dir)))
+    # late-r4 additions: privacy scrub (pure codegen regex map), SemDeDup
+    # cluster-then-prune, Bloom-pruned incremental dedup, and the hashed
+    # n-gram classifier (featurize + 8 treeAggregate Adam steps)
+    bench("pii_scrub", lambda: run(all_qs["pii_scrub"](spark, sf_dir)))
+    bench("semdedup", lambda: run(all_qs["semdedup"](spark, sf_dir)))
+    bench("incremental_dedup",
+          lambda: run(all_qs["incremental_dedup"](spark, sf_dir)))
+    bench("quality_classifier",
+          lambda: run(all_qs["quality_classifier"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
