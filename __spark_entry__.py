@@ -957,7 +957,13 @@ def q_pii_scrub(spark, sf_dir):
     (Java-regex/RE2-common subset). Zero-shuffle codegen map stage."""
     from modlyn_spark.functions.pii import PII_KINDS, pii_counts, scrub_pii
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from modlyn_spark.session import ensure_parallelism
+
+    # the scrub itself is one zero-shuffle codegen map; the fan-out here
+    # only un-serializes the single-row-group bench scan (no-op at scale)
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     d = F.col("doc_id")
     pad4 = F.lpad((d % 10000).cast("string"), 4, "0")
     aug = F.concat(

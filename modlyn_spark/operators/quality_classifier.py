@@ -11,10 +11,13 @@ Two pieces, both built on machinery the engine already owns:
   n-grams are space-joined consecutive token windows; each gram hashes to
   a slot with the engine's PORTABLE hash (first 15 hex digits of md5 ->
   int -> % dim — the same md5-conv family as operators/sampling), so any
-  SQL engine reproduces the exact vector. Arrow-batched ``mapInPandas``:
-  rows never shuffle, one batch-local python pass per Arrow batch (md5 is
-  not numpy-vectorizable; the per-gram work is bounded and documented —
-  swap ``hash_fn`` for a faster non-portable hash in throughput runs).
+  SQL engine reproduces the exact vector. Arrow-batched ``mapInPandas``
+  behind ``ensure_parallelism`` (the featurizer is the CPU-bound stage:
+  ~1-2 us per gram of md5 + python overhead; measured 28.5s -> ~3s at
+  sf1/local[32] once the single-row-group scan fans out). md5 is the
+  portability price — it is what lets DuckDB replay the exact vector; a
+  deployment that does not need cross-engine replay can swap
+  ``_portable_slot`` for xxhash and keep every other line.
 - training/scoring: ``scoring/logreg.DistributedLogReg`` unchanged — the
   treeAggregate Adam trainer the north-star pipeline already gates; the
   classifier is just that trainer pointed at hashed text features.
@@ -74,6 +77,8 @@ def hashed_ngram_features(
         ]
     )
 
+    from modlyn_spark.session import ensure_parallelism
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
@@ -96,7 +101,11 @@ def hashed_ngram_features(
                 {id_col: pdf[id_col].to_numpy(), out_col: feats}
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+    # single-row-group sources scan as ONE partition and would serialize
+    # the md5 loop onto one core (the recorded sf1 trap) — fan the scan
+    # out before the CPU-bound map; no-op on well-partitioned inputs
+    src = ensure_parallelism(df.select(id_col, text_col))
+    return src.mapInPandas(run, schema=schema)
 
 
 def hashed_ngram_slots(

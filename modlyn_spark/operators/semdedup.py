@@ -106,7 +106,12 @@ def spherical_assign(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+    from modlyn_spark.session import ensure_parallelism
+
+    # the assignment GEMM is the CPU-bound stage; single-row-group
+    # sources would serialize it onto one core (recorded sf1 trap)
+    src = ensure_parallelism(df.select(id_col, vec_col))
+    return src.mapInPandas(run, schema=schema)
 
 
 def semdedup_prune(
