@@ -150,11 +150,21 @@ def incremental_dedup(
     bits_per_bucket: int = 1 << 20,
     n_hashes: int = 7,
     bloom_df: DataFrame | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Rows of ``new_df`` whose key does not occur in ``history`` — exactly
     the anti-join result, with the Bloom sketch pruning the join input.
     Pass a prebuilt ``bloom_df`` (the persisted artifact) to skip the
-    build pass."""
+    build pass.
+
+    ``eager=True`` (default): the prefilter flags feed BOTH the
+    definitely-new and the verify branches — without a cache the whole
+    sketch-build + cogroup subtree executes twice. The flags are cached,
+    the (batch-key-sized) surviving key set materialized via
+    localCheckpoint, and the cache unpersisted before returning. At
+    corpus scale pass a FINGERPRINT column as ``key_col`` (not raw
+    text) so the materialized key set stays small; eager=False composes
+    lazily."""
     if bloom_df is None:
         bloom_df = build_bucketed_bloom(
             history, key_col, n_buckets=n_buckets,
@@ -164,6 +174,8 @@ def incremental_dedup(
         new_df, bloom_df, key_col, n_buckets=n_buckets,
         bits_per_bucket=bits_per_bucket, n_hashes=n_hashes,
     )
+    if eager:
+        flags = flags.cache()
     fresh = flags.where(~F.col("maybe_seen")).select(key_col)
     verified = (
         flags.where(F.col("maybe_seen"))
@@ -171,4 +183,7 @@ def incremental_dedup(
         .join(history.select(key_col).distinct(), key_col, "left_anti")
     )
     new_keys = fresh.unionByName(verified)
+    if eager:
+        new_keys = new_keys.localCheckpoint(eager=True)
+        flags.unpersist()
     return new_df.join(new_keys, key_col, "left_semi")

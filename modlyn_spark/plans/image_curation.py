@@ -91,9 +91,18 @@ def curate_images(
     decode_check: bool = False,
     splits: dict | None = None,
     salt: str = "",
+    eager: bool = True,
 ) -> DataFrame:
     """Returns the curated manifest: (image_id, ts, version, w, h, fmt,
-    caption, phash, fp[, split]) — one surviving row per entity."""
+    caption, phash, fp[, split]) — one surviving row per entity.
+
+    ``eager=True`` (default, same lifecycle as operators/spans): the
+    gated+exact-deduped frame feeds THREE consumers (both sides of the
+    hamming self-join and the anti-join left side) — without a cache the
+    scan + latest-window + fp-window subtree executes three times. The
+    frame is cached, the (manifest-sized) result materialized via
+    localCheckpoint, and the cache unpersisted before returning. Pass
+    eager=False when composing into a larger lazy plan."""
     iid = F.col(id_col)
 
     # payload fingerprint map-side, BEFORE any shuffle; bytes then dropped
@@ -146,7 +155,11 @@ def curate_images(
 
     # 5. perceptual near-dup prune (min-id rule over the exact pair set)
     out = exact
+    cached = None
     if phash_radius is not None:
+        if eager:
+            exact = exact.cache()
+            cached = exact
         pairs = hash_hamming_pairs(
             exact, id_col, "phash", max_hamming=phash_radius
         )
@@ -156,4 +169,7 @@ def curate_images(
     # 7. split assignment
     if splits is not None:
         out = split_column(out, [id_col], splits, salt=salt)
+    if cached is not None:
+        out = out.localCheckpoint(eager=True)
+        cached.unpersist()
     return out
