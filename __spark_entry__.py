@@ -1117,6 +1117,27 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_text_predictions(spark, sf_dir):
+    """Classifier INFERENCE over documents with the quality_classifier
+    weights fixture as a FIXED input (the predictions-query pattern —
+    both engines read the same parquet weights, so the row is valid at
+    every SF): hashed (1,2)-gram features -> batch GEMM -> softmax argmax
+    with alphabetical tie-break. Oracle: the full pipeline in SQL (slot
+    join + group-sum logits + max-subtracted softmax)."""
+    import pandas as pd
+
+    from modlyn_spark.operators.quality_classifier import score_documents
+    from modlyn_spark.scoring.logreg import DistributedLogReg
+
+    w = pd.read_parquet(f"{_FIXTURES}/quality_classifier_sf001.parquet")
+    model = DistributedLogReg.from_weights_long(w)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = score_documents(docs, "text", "doc_id", model)
+    return out.select(
+        "doc_id", "pred", F.round("confidence", 4).alias("confidence")
+    )
+
+
 def q_image_curation(spark, sf_dir):
     """Image-modality curation manifest (plans/image_curation.py): latest
     state per entity -> format/side/aspect/caption gates -> exact-payload
@@ -1625,6 +1646,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "hashed_features": q_hashed_features,
+        "text_predictions": q_text_predictions,
     }
 
 
@@ -2688,5 +2710,41 @@ def retired_oracle_sql() -> dict[str, str]:
                     FROM g GROUP BY 1, 2)
             SELECT cnt.doc_id, slot, round(c * 1.0 / n, 6) AS tf
             FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        """,
+        "text_predictions": f"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS g FROM w),
+            b AS (SELECT doc_id, p[1] || ' ' || p[2] AS g
+                  FROM (SELECT doc_id,
+                               unnest(list_zip(toks[1:len(toks) - 1],
+                                               toks[2:len(toks)])) AS p
+                        FROM w WHERE len(toks) >= 2)),
+            g AS (SELECT * FROM u UNION ALL SELECT * FROM b),
+            tot AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+            f AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 256
+                             AS slot,
+                         count(*) AS c
+                  FROM g GROUP BY 1, 2),
+            z AS (SELECT f.doc_id, wt.label,
+                         sum((f.c * 1.0 / tot.n) * wt.weight) AS z
+                  FROM f
+                  JOIN tot ON f.doc_id = tot.doc_id
+                  JOIN read_parquet(
+                      '{_FIXTURES}/quality_classifier_sf001.parquet') wt
+                    ON f.slot = wt.pos
+                  GROUP BY 1, 2),
+            m AS (SELECT doc_id, max(z) AS zmax FROM z GROUP BY 1),
+            e AS (SELECT z.doc_id, z.label, exp(z.z - m.zmax) AS ez
+                  FROM z JOIN m ON z.doc_id = m.doc_id),
+            s AS (SELECT doc_id, sum(ez) AS se FROM e GROUP BY 1),
+            p AS (SELECT e.doc_id, e.label, e.ez / s.se AS prob
+                  FROM e JOIN s ON e.doc_id = s.doc_id)
+            SELECT doc_id, label AS pred, round(prob, 4) AS confidence
+            FROM (SELECT p.*, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY prob DESC, label) AS rn FROM p)
+            WHERE rn = 1
         """,
     }
