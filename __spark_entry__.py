@@ -1117,6 +1117,21 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM scoring (operators/lm.py) — the order-2
+    step from unigram_logprob toward CCNet's KenLM gate:
+    p = 0.75 * MLE-bigram + 0.25 * smoothed-unigram (exact binary
+    interpolation weights so both engines share the arithmetic
+    bit-for-bit). Word order now matters: scrambled text scores below
+    its in-order twin."""
+    from modlyn_spark.operators.lm import bigram_doc_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_doc_logprob(docs, "doc_id", "text").selectExpr(
+        "doc_id", "n_bigrams", "round(avg_logprob, 6) AS avg_logprob"
+    )
+
+
 def q_text_predictions(spark, sf_dir):
     """Classifier INFERENCE over documents with the quality_classifier
     weights fixture as a FIXED input (the predictions-query pattern —
@@ -1647,6 +1662,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "hashed_features": q_hashed_features,
         "text_predictions": q_text_predictions,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2746,5 +2762,34 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM (SELECT p.*, row_number() OVER (PARTITION BY doc_id
                       ORDER BY prob DESC, label) AS rn FROM p)
             WHERE rn = 1
+        """,
+        "bigram_logprob": """
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM w),
+            uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                           CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+            bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+                   FROM (SELECT doc_id,
+                                unnest(list_zip(toks[1:len(toks) - 1],
+                                                toks[2:len(toks)])) AS p
+                         FROM w WHERE len(toks) >= 2)),
+            bc AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY 1, 2),
+            sc AS (SELECT bg.doc_id,
+                          ln(0.75 * (bc.bcnt * 1.0 / u1.cnt)
+                             + 0.25 * ((u2.cnt + 1.0)
+                                       / (total + 1.0 * (vocab + 1)))) AS lp
+                   FROM bg
+                   JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+                   JOIN uni u1 ON bg.w1 = u1.token
+                   JOIN uni u2 ON bg.w2 = u2.token, tot),
+            p AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS lp
+                  FROM sc GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(p.lp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN p USING (doc_id)
         """,
     }

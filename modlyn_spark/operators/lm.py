@@ -100,3 +100,120 @@ def unigram_doc_logprob(
             "avg_logprob",
         )
     )
+
+
+def bigram_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, count) over the corpus — the fitted bigram table. One
+    tokenize map + one map-side-combinable groupBy; at corpus scale this
+    table is the model artifact you persist (KenLM's role), bucketed by
+    (w1, w2) for the scoring join."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    pairs = F.zip_with(
+        F.expr(f"slice({'__t'}, 1, size(__t) - 1)"),
+        F.expr(f"slice({'__t'}, 2, size(__t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bigram_doc_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    unigram: DataFrame | None = None,
+    bigram: DataFrame | None = None,
+    lam: float = 0.75,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document average INTERPOLATED bigram log-probability — the
+    order-2 step from ``unigram_doc_logprob`` toward CCNet's KenLM gate:
+
+        p(w2 | w1) = lam * c(w1,w2)/c(w1)  +  (1-lam) * p_uni(w2)
+
+    with ``p_uni`` the add-alpha-smoothed unigram (so unseen bigrams and
+    unseen words both score the reserved mass instead of -inf; lam < 1
+    keeps the log finite). Returns (id, n_bigrams, avg_logprob); docs
+    with < 2 tokens keep a row with n_bigrams 0 and NULL score.
+
+    ``unigram``/``bigram`` default to self-fitting; pass pre-fitted
+    tables to score under a reference model. Plan shape: tokenize map ->
+    bigram explode -> two count joins (AQE broadcasts small vocabularies;
+    plain shuffle joins at corpus scale, co-bucketable with the fitted
+    tables) -> one per-doc aggregate. All codegen after the explode.
+    The default lam is an exact binary float (0.75) so SQL oracles
+    reproduce the arithmetic bit-for-bit.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    if unigram is None:
+        unigram = unigram_counts(df, text_col)
+    if bigram is None:
+        bigram = bigram_counts(df, text_col)
+    totals = unigram.agg(
+        F.sum("count").alias("__total"),
+        F.count(F.lit(1)).alias("__vocab"),
+    )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    pairs = F.zip_with(
+        F.expr("slice(__t, 1, size(__t) - 1)"),
+        F.expr("slice(__t, 2, size(__t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .where(F.size("__t") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(F.col(id_col), "p.w1", "p.w2")
+    )
+    u1 = unigram.select(F.col("token").alias("w1"), F.col("count").alias("__c1"))
+    u2 = unigram.select(F.col("token").alias("w2"), F.col("count").alias("__c2"))
+    bc = bigram.select("w1", "w2", F.col("count").alias("__cb"))
+    lam = float(lam)
+    a = float(alpha)
+    scored = (
+        bg.join(bc, ["w1", "w2"], "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                F.lit(lam)
+                * F.when(
+                    F.coalesce(F.col("__c1"), F.lit(0)) > 0,
+                    F.coalesce(F.col("__cb"), F.lit(0)).cast("double")
+                    / F.col("__c1"),
+                ).otherwise(F.lit(0.0))
+                + F.lit(1.0 - lam)
+                * (
+                    (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(a))
+                    / (F.col("__total") + F.lit(a) * (F.col("__vocab") + 1))
+                )
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("__lp").alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            "avg_logprob",
+        )
+    )

@@ -120,3 +120,147 @@ def test_alpha_validation(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a"]}))
     with pytest.raises(ValueError, match="alpha"):
         unigram_doc_logprob(df, "doc_id", "text", alpha=0.0)
+
+
+# --- interpolated bigram scorer -------------------------------------------
+
+
+def _bigram_twin(texts, lam=0.75, alpha=1.0, model_texts=None):
+    tok = lambda t: re.findall(r"[a-z0-9]+", t.lower())  # noqa: E731
+    src = model_texts if model_texts is not None else texts
+    uni, bi = Counter(), Counter()
+    for t in src:
+        ws = tok(t)
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    total, vocab = sum(uni.values()), len(uni)
+    out = []
+    for t in texts:
+        ws = tok(t)
+        if len(ws) < 2:
+            out.append((0, None))
+            continue
+        lps = []
+        for w1, w2 in zip(ws, ws[1:]):
+            pb = bi.get((w1, w2), 0) / uni[w1] if uni.get(w1, 0) > 0 else 0.0
+            pu = (uni.get(w2, 0) + alpha) / (total + alpha * (vocab + 1))
+            lps.append(math.log(lam * pb + (1 - lam) * pu))
+        out.append((len(lps), sum(lps) / len(lps)))
+    return out
+
+
+def test_bigram_matches_python_twin(spark):
+    from modlyn_spark.operators.lm import bigram_doc_logprob
+
+    texts = [
+        "the cat sat on the mat and the cat sat again",
+        "the cat sat on the mat",
+        "mat the on sat cat the",  # same unigrams, scrambled bigrams
+        "zxqv jkwp qqrr zzyy",
+        "single",
+        "",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_doc_logprob(df, "doc_id", "text").collect()
+    }
+    exp = _bigram_twin(texts)
+    for i, (n, lp) in enumerate(exp):
+        assert got[i][0] == n
+        if lp is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(lp, rel=1e-12)
+    # word order matters at order 2: the scrambled doc scores BELOW its
+    # in-order twin even though a unigram model cannot tell them apart
+    assert got[2][1] < got[1][1]
+
+
+def test_bigram_reference_model_handles_unseen(spark):
+    from modlyn_spark.operators.lm import (
+        bigram_counts,
+        bigram_doc_logprob,
+        unigram_counts,
+    )
+
+    model = ["the cat sat on the mat"] * 3
+    probe = ["the cat sat", "purple elephants fly quickly"]
+    mdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(model)), "text": model})
+    )
+    pdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(probe)), "text": probe})
+    )
+    uni = unigram_counts(mdf, "text")
+    bi = bigram_counts(mdf, "text")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_doc_logprob(
+            pdf, "doc_id", "text", unigram=uni, bigram=bi
+        ).collect()
+    }
+    exp = _bigram_twin(probe, model_texts=model)
+    for i, (n, lp) in enumerate(exp):
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(lp, rel=1e-12)
+    assert got[1][1] < got[0][1]  # fully unseen text scores lower
+
+
+def test_bigram_matches_duckdb_on_real_corpus(spark):
+    from modlyn_spark.operators.lm import bigram_doc_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = (
+        bigram_doc_logprob(docs, "doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH w AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                   FROM '{SF}/documents.parquet'),
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM w),
+        uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                       CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+        bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2
+               FROM (SELECT doc_id,
+                            unnest(list_zip(toks[1:len(toks) - 1],
+                                            toks[2:len(toks)])) AS p
+                     FROM w WHERE len(toks) >= 2)),
+        bc AS (SELECT w1, w2, count(*) AS bcnt FROM bg GROUP BY 1, 2),
+        sc AS (SELECT bg.doc_id,
+                      ln(0.75 * (bc.bcnt * 1.0 / u1.cnt)
+                         + 0.25 * ((u2.cnt + 1.0)
+                                   / (total + 1.0 * (vocab + 1)))) AS lp
+               FROM bg
+               JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+               JOIN uni u1 ON bg.w1 = u1.token
+               JOIN uni u2 ON bg.w2 = u2.token, tot),
+        p AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS lp
+              FROM sc GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               p.lp AS avg_logprob
+        FROM '{SF}/documents.parquet' d LEFT JOIN p USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert got["n_bigrams"].tolist() == exp["n_bigrams"].tolist()
+    import numpy as np
+
+    assert np.allclose(got["avg_logprob"], exp["avg_logprob"], rtol=1e-9)
+
+
+def test_bigram_param_validation(spark):
+    from modlyn_spark.operators.lm import bigram_doc_logprob
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["a b"]}))
+    with pytest.raises(ValueError):
+        bigram_doc_logprob(df, "doc_id", "text", lam=1.0)
+    with pytest.raises(ValueError):
+        bigram_doc_logprob(df, "doc_id", "text", alpha=0.0)
