@@ -1117,6 +1117,63 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """Web-provenance curation (functions/web.py): URL extraction,
+    registered-domain normalization, and a domain-blocklist gate over
+    deterministically planted URLs (the driver corpus has none — same
+    planting pattern as pii_scrub, identical concat in both engines).
+    Every site<k>.com with k % 10 == 0 is blocked."""
+    from modlyn_spark.functions.web import (
+        doc_domains,
+        extract_hosts,
+        extract_urls,
+        registered_domain,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 4 == 1, F.concat(F.lit(" see https://www.site"),
+                                    (d % 50).cast("string"), F.lit(".com/p/"),
+                                    d.cast("string")))
+        .when(d % 4 == 3, F.concat(F.lit(" ref http://cdn.site"),
+                                   (d % 50).cast("string"), F.lit(".com/x and "
+                                   "https://www.site"),
+                                   ((d + 1) % 50).cast("string"),
+                                   F.lit(".com/y")))
+        .otherwise(F.lit("")),
+    )
+    a = docs.select("doc_id", aug.alias("t"))
+    bl = spark.createDataFrame(
+        [(f"site{k}.com",) for k in range(0, 50, 10)], ["domain"]
+    )
+    hit = (
+        doc_domains(a, "doc_id", "t")
+        .join(bl, "domain", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    doms = F.sort_array(
+        F.array_distinct(
+            F.transform(extract_hosts(F.col("t")), registered_domain)
+        )
+    )
+    return (
+        a.select(
+            "doc_id",
+            F.size(extract_urls(F.col("t"))).cast("long").alias("n_urls"),
+            F.concat_ws(",", doms).alias("domains"),
+        )
+        .join(hit, "doc_id", "left")
+        .select(
+            "doc_id", "n_urls", "domains",
+            F.coalesce(~F.col("__hit"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Interpolated bigram-LM scoring (operators/lm.py) — the order-2
     step from unigram_logprob toward CCNet's KenLM gate:
@@ -1663,6 +1720,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "text_predictions": q_text_predictions,
         "bigram_logprob": q_bigram_logprob,
+        "url_filter": q_url_filter,
     }
 
 
@@ -2791,5 +2849,39 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    round(p.lp, 6) AS avg_logprob
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        "url_filter": r"""
+            WITH a AS (
+              SELECT doc_id, text || CASE
+                WHEN doc_id % 4 = 1 THEN ' see https://www.site'
+                     || CAST(doc_id % 50 AS VARCHAR) || '.com/p/'
+                     || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 4 = 3 THEN ' ref http://cdn.site'
+                     || CAST(doc_id % 50 AS VARCHAR) || '.com/x and '
+                     || 'https://www.site' || CAST((doc_id + 1) % 50 AS VARCHAR)
+                     || '.com/y'
+                ELSE '' END AS t
+              FROM documents),
+            u AS (SELECT doc_id,
+                         regexp_extract_all(t,
+                             'https?://[A-Za-z0-9.-]+(?::[0-9]+)?(?:/[^\s]*)?')
+                             AS urls,
+                         regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)
+                             AS hosts
+                  FROM a),
+            d AS (SELECT doc_id, CAST(len(urls) AS BIGINT) AS n_urls,
+                         list_sort(list_distinct(list_transform(hosts,
+                             h -> regexp_extract(lower(h),
+                                 '([a-z0-9-]+\.[a-z0-9-]+)$', 1)))) AS doms
+                  FROM u),
+            blocked AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, unnest(doms) AS dm FROM d)
+              WHERE dm IN ('site0.com', 'site10.com', 'site20.com',
+                           'site30.com', 'site40.com'))
+            SELECT doc_id, n_urls,
+                   coalesce(array_to_string(doms, ','), '') AS domains,
+                   doc_id NOT IN (SELECT doc_id FROM blocked) AS kept
+            FROM d
         """,
     }
