@@ -151,7 +151,19 @@ def test_eager_mode_unpersists_index_caches(spark):
     from modlyn_spark.operators.spans import span_dup_pairs
 
     jsc = spark.sparkContext._jsc.sc()
-    before = int(jsc.getPersistentRDDs().size())
+
+    def rdd_ids() -> set:
+        # set-of-ids, not a count: the async ContextCleaner may reclaim
+        # OTHER tests' dropped cache blocks between two samples, which
+        # makes absolute counts flake in a full-suite run (observed once
+        # the suite grew more eager-checkpoint operators). Removals never
+        # ADD ids, so set differences stay exact.
+        ids, it = set(), jsc.getPersistentRDDs().keysIterator()
+        while it.hasNext():
+            ids.add(int(it.next()))
+        return ids
+
+    before = rdd_ids()
     corpus = _mk(spark, [
         (0, f"{_wordsoup(30, 60)} a shared run of at least eight plus words "
             f"here {_wordsoup(31, 60)}"),
@@ -159,14 +171,16 @@ def test_eager_mode_unpersists_index_caches(spark):
             "here"),
         (2, _wordsoup(33, 80)),
     ])
-    lazy = span_dup_pairs(corpus, "doc_id", "text", span_tokens=8,
-                          eager=False).toPandas()
-    mid = int(jsc.getPersistentRDDs().size())
-    assert mid > before  # the lazy path does leave its caches behind
+    # hold the DataFrame so its caches cannot be GC-reclaimed mid-test
+    lazy_df = span_dup_pairs(corpus, "doc_id", "text", span_tokens=8,
+                             eager=False)
+    lazy = lazy_df.toPandas()
+    mid = rdd_ids()
+    assert len(mid - before) >= 1  # the lazy path does leave caches behind
     got = span_dup_pairs(corpus, "doc_id", "text", span_tokens=8)
-    after = int(jsc.getPersistentRDDs().size())
+    after = rdd_ids()
     # eager: fp + cand caches freed; at most the result checkpoint added
-    assert after <= mid + 1
+    assert len(after - mid) <= 1
     pd_got = got.toPandas().sort_values(["id1", "id2"]).reset_index(drop=True)
     pd_lazy = lazy.sort_values(["id1", "id2"]).reset_index(drop=True)
     import pandas as pd
@@ -182,19 +196,29 @@ def test_minhash_contamination_eager_unpersists_caches(spark):
     from modlyn_spark.operators.dedup import minhash_contamination
 
     jsc = spark.sparkContext._jsc.sc()
+
+    def rdd_ids() -> set:
+        # set differences, not counts — see the note in
+        # test_eager_mode_unpersists_index_caches
+        ids, it = set(), jsc.getPersistentRDDs().keysIterator()
+        while it.hasNext():
+            ids.add(int(it.next()))
+        return ids
+
     q = "what is the airspeed velocity of an unladen swallow today friend"
     corpus = _mk(spark, [(1, q + " and some trailing words"),
                          (2, _wordsoup(40, 60))])
     probe = _mk(spark, [(100, q + " and some trailing words!")])
-    lazy = minhash_contamination(
+    lazy_df = minhash_contamination(
         corpus, probe, "doc_id", "text", threshold=0.8, eager=False
-    ).toPandas()
-    mid = int(jsc.getPersistentRDDs().size())
+    )
+    lazy = lazy_df.toPandas()
+    mid = rdd_ids()
     got_df = minhash_contamination(
         corpus, probe, "doc_id", "text", threshold=0.8
     )
-    after = int(jsc.getPersistentRDDs().size())
-    assert after <= mid + 1
+    after = rdd_ids()
+    assert len(after - mid) <= 1
     got = got_df.toPandas().sort_values("corpus_id").reset_index(drop=True)
     import pandas as pd
 
