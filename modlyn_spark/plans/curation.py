@@ -62,6 +62,8 @@ def curate_corpus(
     min_avg_logprob: float | None = None,
     boilerplate_delim: str | None = None,
     boilerplate_min_count: int = 3,
+    pii_scrub: bool = False,
+    domain_blocklist: DataFrame | None = None,
     splits: dict | None = None,
     salt: str = "",
 ) -> DataFrame:
@@ -69,6 +71,9 @@ def curate_corpus(
     split. Deterministic end to end (hash-keyed decisions only).
 
     Optional stages (off by default to keep the minimal pipeline cheap):
+    ``pii_scrub`` redacts PII FIRST (so docs differing only in redacted
+    PII fingerprint as the duplicates they are); ``domain_blocklist``
+    drops documents citing a blocked registered domain (functions/web);
     ``boilerplate_delim`` runs C4-style corpus-level line dedup BEFORE the
     document-level stages (so a shared nav bar doesn't make distinct pages
     look like near-dups); ``repetition_gate`` drops documents failing the
@@ -86,6 +91,21 @@ def curate_corpus(
       correctness gate checks against a pure-SQL oracle — at the cost of
       verifying all candidate pairs instead of star edges.
     """
+    if pii_scrub:
+        # scrub BEFORE any fingerprint/dedup stage (C4 order): two docs
+        # differing only in redacted PII ARE duplicates and must
+        # fingerprint identically; the scrub is one codegen map
+        from modlyn_spark.functions.pii import scrub_pii as _scrub
+
+        docs = docs.withColumn(text_col, _scrub(F.col(text_col)))
+    if domain_blocklist is not None:
+        # provenance gate on the ORIGINAL (pre-dedup) corpus: only
+        # (id, domain) pairs shuffle, the text never moves
+        from modlyn_spark.functions.web import domain_blocklist_filter
+
+        docs = domain_blocklist_filter(
+            docs, id_col, text_col, domain_blocklist
+        )
     if boilerplate_delim is not None:
         docs = corpus_line_dedup(
             docs,

@@ -286,3 +286,38 @@ def test_source_quality_rollup_semantics(spark):
     assert out["mirror"]["n_docs"] == 3
     assert out["mirror"]["dup_frac"] == pytest.approx(round(2 / 3, 4))
     assert out["spam"]["avg_quality"] < out["blog"]["avg_quality"]
+
+
+def test_curation_pii_scrub_collapses_pii_only_dups(spark):
+    base = ("a perfectly reasonable training document with enough words "
+            "to pass the quality gate and some more text for padding here")
+    rows = [
+        {"doc_id": 0, "text": base + " contact alice@example.com now"},
+        {"doc_id": 1, "text": base + " contact bob@example.org now"},
+        {"doc_id": 2, "text": "another quite distinct document about other "
+                              "topics entirely with plenty of words to keep "
+                              "the quality gate satisfied for this test"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    plain = curate_corpus(df, min_quality=0.0).toPandas()
+    assert sorted(plain["doc_id"]) == [0, 1, 2]  # distinct emails: no dups
+    scrubbed = curate_corpus(df, min_quality=0.0, pii_scrub=True).toPandas()
+    # after redaction docs 0 and 1 are byte-identical -> exact dedup keeps 0
+    assert sorted(scrubbed["doc_id"]) == [0, 2]
+    assert "<EMAIL>" in scrubbed.set_index("doc_id").loc[0, "text"]
+
+
+def test_curation_domain_blocklist_stage(spark):
+    filler = ("plenty of ordinary filler words so the quality gate keeps "
+              "this document around without any complaint at all today")
+    rows = [
+        {"doc_id": 0, "text": f"{filler} see https://ok.example.com/x"},
+        {"doc_id": 1, "text": f"{filler} via https://www.bad-place.net/y"},
+        {"doc_id": 2, "text": f"{filler} no links at all"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    bl = spark.createDataFrame(pd.DataFrame({"domain": ["bad-place.net"]}))
+    out = curate_corpus(
+        df, min_quality=0.0, domain_blocklist=bl
+    ).toPandas()
+    assert sorted(out["doc_id"]) == [0, 2]
