@@ -136,6 +136,11 @@ def main() -> None:
           lambda: run(all_qs["incremental_dedup"](spark, sf_dir)))
     bench("quality_classifier",
           lambda: run(all_qs["quality_classifier"](spark, sf_dir)))
+    bench("text_predictions",
+          lambda: run(all_qs["text_predictions"](spark, sf_dir)))
+    bench("bigram_logprob",
+          lambda: run(all_qs["bigram_logprob"](spark, sf_dir)))
+    bench("url_filter", lambda: run(all_qs["url_filter"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
