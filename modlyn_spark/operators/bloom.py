@@ -143,19 +143,29 @@ def bloom_prefilter(
 
 def incremental_dedup(
     new_df: DataFrame,
-    history: DataFrame,
+    history: DataFrame | None,
     key_col: str,
     *,
     n_buckets: int = 256,
     bits_per_bucket: int = 1 << 20,
     n_hashes: int = 7,
     bloom_df: DataFrame | None = None,
+    exact: bool = True,
     eager: bool = True,
 ) -> DataFrame:
     """Rows of ``new_df`` whose key does not occur in ``history`` — exactly
     the anti-join result, with the Bloom sketch pruning the join input.
     Pass a prebuilt ``bloom_df`` (the persisted artifact) to skip the
     build pass.
+
+    ``exact=True`` re-checks every maybe-seen key with an anti-join, which
+    still reads the history key column once (exactness has no free
+    lunch) — the saving over a plain anti-join is that ~99% of the
+    incoming batch never enters the join. ``exact=False`` is the
+    sketch-only mode (Dolma-style rolling ingestion): maybe-seen rows
+    are DROPPED unverified — with a prebuilt ``bloom_df`` the history is
+    not touched at all, at the price of losing ~fp-rate (<1% at default
+    sizing) genuinely-new rows. ``history`` may be None in that mode.
 
     ``eager=True`` (default): the prefilter flags feed BOTH the
     definitely-new and the verify branches — without a cache the whole
@@ -174,6 +184,11 @@ def incremental_dedup(
         new_df, bloom_df, key_col, n_buckets=n_buckets,
         bits_per_bucket=bits_per_bucket, n_hashes=n_hashes,
     )
+    if not exact:
+        fresh = flags.where(~F.col("maybe_seen")).select(key_col)
+        return new_df.join(fresh, key_col, "left_semi")
+    if history is None:
+        raise ValueError("exact=True needs the history frame for the re-check")
     if eager:
         flags = flags.cache()
     fresh = flags.where(~F.col("maybe_seen")).select(key_col)

@@ -84,3 +84,19 @@ def test_empty_history_bucket_means_definitely_new(spark, corpora):
     probe = hist.select("k").subtract(small.select("k"))
     flags = bloom_prefilter(probe, bloom, "k", **BLOOM_KW).toPandas()
     assert (~flags["maybe_seen"]).sum() >= len(flags) - 50
+
+
+def test_sketch_only_mode_drops_all_dups_without_history(spark, corpora):
+    hist, new = corpora
+    bloom = build_bucketed_bloom(hist, "k", **BLOOM_KW)
+    got = incremental_dedup(
+        new, None, "k", bloom_df=bloom, exact=False, **BLOOM_KW
+    ).toPandas()
+    # no false negatives: every true duplicate is gone
+    assert not got["k"].str.startswith("hist_").any()
+    # fp-rate loss only: nearly all genuinely-new rows survive
+    assert got["k"].str.startswith("new_").sum() >= 500 * 0.95
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        incremental_dedup(new, None, "k", bloom_df=bloom, **BLOOM_KW)
