@@ -92,3 +92,26 @@ def test_manifest_carries_no_payload(images):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line
+
+
+def test_incremental_image_ingestion_by_payload_fp(spark, images):
+    """Cross-modality composition: the Bloom incremental dedup keyed on
+    the image pipeline's payload fingerprint md5(hex(bytes)) — a new
+    ingest batch drops exactly the images whose payload already exists
+    in the curated history, without joining the full history."""
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.bloom import incremental_dedup
+
+    fp = F.md5(F.hex(F.col("bytes")))
+    hist = images.where(~F.col("image_id").startswith("z")).select(
+        "image_id", fp.alias("fp")
+    )
+    new = images.where(
+        F.col("image_id").startswith("zdup_")  # exact payload clones
+        | F.col("image_id").startswith("zpht_")  # distinct payloads
+    ).select("image_id", fp.alias("fp"))
+    got = incremental_dedup(
+        new, hist, "fp", n_buckets=8, bits_per_bucket=1 << 13
+    ).toPandas()
+    assert sorted(got["image_id"]) == [f"zpht_{j:04d}" for j in range(10)]

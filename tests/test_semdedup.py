@@ -155,3 +155,22 @@ def test_matches_duckdb_oracle(spark, emb_pdf, centroids):
         """
     ).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_composes_with_trained_kmeans_centroids(spark, emb_pdf):
+    """Production path: centroids from the distributed Lloyd trainer
+    (clustering.kmeans_fit), not a fixed seed set — planted exact-
+    direction copies still co-assign and drop."""
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.clustering import kmeans_fit
+
+    df = spark.createDataFrame(emb_pdf).select(
+        "vec_id", F.transform("v", lambda x: x.cast("double")).alias("v")
+    )
+    C, _ = kmeans_fit(df, "v", k=5, max_iter=5, id_col="vec_id")
+    out = semdedup_prune(df, "v", C, threshold=0.999).toPandas()
+    by_id = out.set_index("vec_id")
+    for j in range(15):
+        assert by_id.loc[1000 + j, "cluster"] == by_id.loc[j, "cluster"]
+        assert not by_id.loc[1000 + j, "kept"] and by_id.loc[j, "kept"]
