@@ -361,3 +361,44 @@ def verify_images(
     return df.select("image_id", "version", "bytes", "fmt", "w", "h", "caption").mapInPandas(
         run, schema=_VERIFY_SCHEMA
     )
+
+
+def compute_phash(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "image_id",
+    version_col: str | None = "version",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Decode every payload and emit its 64-bit perceptual average hash
+    (functions/phash.average_hash) — the PRODUCER side of the phash
+    column the dedup tier consumes (operators/dedup.hash_hamming_pairs,
+    plans/image_curation). Arrow-batched mapInPandas; only (id, hash)
+    scalars leave Python, the payload never crosses a shuffle. Rows that
+    fail to decode emit a NULL hash (never bucketed by the hamming
+    join — the decode-validity gate owns rejection)."""
+    from modlyn_spark.functions.phash import average_hash
+
+    keys = [id_col] + ([version_col] if version_col else [])
+    fields = [
+        next(f for f in df.schema.fields if f.name == k) for k in keys
+    ]
+    schema = StructType(fields + [StructField(out_col, LongType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hashes = []
+            for _, r in pdf.iterrows():
+                try:
+                    px = decode_bytes(bytes(r[bytes_col]), r[fmt_col])
+                    hashes.append(average_hash(px))
+                except Exception:
+                    hashes.append(None)
+            out = pdf[keys].copy()
+            out[out_col] = pd.array(hashes, dtype="Int64")
+            yield out
+
+    return df.select(*keys, bytes_col, fmt_col).mapInPandas(run, schema=schema)

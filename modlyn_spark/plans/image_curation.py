@@ -46,8 +46,13 @@ from modlyn_spark.operators.sampling import split_column
 SUPPORTED_FMTS = ("png", "qpng", "jpeg")
 
 
-def _decode_valid(df: DataFrame, id_col: str) -> DataFrame:
-    """Keep rows whose payload decodes and matches the declared (w, h).
+def _decode_valid(
+    df: DataFrame, id_col: str, px_var_min: float | None = None
+) -> DataFrame:
+    """Keep rows whose payload decodes and matches the declared (w, h) —
+    and, with ``px_var_min``, whose decoded pixels are not (near-)constant
+    (the classic blank/solid-color junk filter: a placeholder image has
+    pixel variance ~0, a real photo hundreds).
 
     Generic validity twin of functions/image.verify_images (which checks
     against a known reference generator): Arrow-batched, runs BEFORE any
@@ -59,6 +64,7 @@ def _decode_valid(df: DataFrame, id_col: str) -> DataFrame:
     from modlyn_spark.functions.image import decode_bytes
 
     cols = df.columns
+    vmin = px_var_min
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,9 +74,10 @@ def _decode_valid(df: DataFrame, id_col: str) -> DataFrame:
             for _, r in pdf.iterrows():
                 try:
                     px = decode_bytes(bytes(r["bytes"]), r["fmt"])
-                    keep.append(
-                        px.shape[1] == int(r["w"]) and px.shape[0] == int(r["h"])
-                    )
+                    ok = px.shape[1] == int(r["w"]) and px.shape[0] == int(r["h"])
+                    if ok and vmin is not None:
+                        ok = float(px.var()) >= vmin
+                    keep.append(ok)
                 except Exception:
                     keep.append(False)
             yield pdf[keep]
@@ -89,6 +96,7 @@ def curate_images(
     min_caption_tokens: int = 3,
     phash_radius: int | None = 4,
     decode_check: bool = False,
+    px_var_min: float | None = None,
     splits: dict | None = None,
     salt: str = "",
     eager: bool = True,
@@ -110,7 +118,7 @@ def curate_images(
         id_col, "ts", "version", "w", "h", "fmt", "caption", "phash",
         F.when(F.col("bytes").isNotNull(), F.md5(F.hex(F.col("bytes"))))
         .alias("fp"),
-        *(["bytes"] if decode_check else []),
+        *(["bytes"] if decode_check or px_var_min is not None else []),
     )
 
     # 1. latest state per entity
@@ -142,8 +150,8 @@ def curate_images(
         & caption_ok
     )
 
-    if decode_check:
-        gated = _decode_valid(gated, id_col).drop("bytes")
+    if decode_check or px_var_min is not None:
+        gated = _decode_valid(gated, id_col, px_var_min).drop("bytes")
 
     # 4. exact-payload dedup: keep min id per fingerprint
     wfp = Window.partitionBy("fp").orderBy(iid.asc())

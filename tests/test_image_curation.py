@@ -115,3 +115,33 @@ def test_incremental_image_ingestion_by_payload_fp(spark, images):
         new, hist, "fp", n_buckets=8, bits_per_bucket=1 << 13
     ).toPandas()
     assert sorted(got["image_id"]) == [f"zpht_{j:04d}" for j in range(10)]
+
+
+def test_px_var_gate_drops_constant_images(spark, images):
+    """The blank-image junk filter: a planted solid-color payload decodes
+    fine and passes every metadata gate, but its pixel variance is 0."""
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.functions.image import png_encode
+
+    blank = np.full((16, 16, 3), 128, dtype=np.uint8)
+    extra = pd.DataFrame(
+        [
+            {
+                "image_id": "zblank_0000",
+                "bytes": png_encode(blank),
+                "w": 16, "h": 16, "fmt": "png",
+                "caption": "a perfectly blank placeholder image",
+                "phash": 4242424242,
+                "ts": pd.Timestamp("2024-06-01"),
+                "version": 0,
+            }
+        ]
+    )
+    df = images.unionByName(spark.createDataFrame(extra))
+    no_gate = curate_images(df, min_side=8).toPandas()
+    assert "zblank_0000" in set(no_gate["image_id"])
+    gated = curate_images(df, min_side=8, px_var_min=1.0).toPandas()
+    ids = set(gated["image_id"])
+    assert "zblank_0000" not in ids and len(ids) == 60

@@ -265,3 +265,46 @@ def test_hot_entity_skew_fixture(spark):
     cold = counts.drop(["img_00000000", "img_00000003"])
     assert hot.min() >= 10 * 1  # hot entities have >= 10x base versions
     assert hot.min() > cold.max()
+
+
+def test_compute_phash_matches_reference_generator(spark):
+    """compute_phash (the producer side) reproduces the generator's
+    reference_phash exactly for every lossless row; lossy rows stay
+    within a small hamming distance of the reference hash."""
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.functions.image import compute_phash
+    from modlyn_spark.functions.phash import hamming64
+    from modlyn_spark.sources.images import generate_images_df
+
+    images = generate_images_df(spark, 20, hot_every=0)
+    got = compute_phash(images).join(
+        images.select("image_id", "version", "fmt",
+                      F.col("phash").alias("ref_phash")),
+        ["image_id", "version"],
+    )
+    checked = got.select(
+        "fmt", hamming64(F.col("phash"), F.col("ref_phash")).alias("d")
+    ).toPandas()
+    lossless = checked[checked.fmt == "png"]
+    assert (lossless["d"] == 0).all() and len(lossless) > 0
+    assert (checked["d"] <= 6).all()  # lossy codecs may flip a few cells
+
+
+def test_compute_phash_null_on_undecodable(spark):
+    import pandas as pd
+
+    from modlyn_spark.functions.image import compute_phash
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a"],
+                "version": [0],
+                "bytes": [b"not an image"],
+                "fmt": ["png"],
+            }
+        )
+    )
+    out = compute_phash(df).toPandas()
+    assert len(out) == 1 and pd.isna(out.loc[0, "phash"])
