@@ -1117,6 +1117,26 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (operators/retrieval.py): inverted index
+    over documents, probe queries = every 100th doc's first 6 words,
+    top-5 per query with deterministic (score DESC, doc_id) ranking.
+    Oracle: the full Okapi formula in SQL over the same index tables."""
+    from modlyn_spark.operators.retrieval import bm25_topk, build_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.where("doc_id % 100 = 7").selectExpr(
+        "doc_id AS query_id",
+        "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+', 0),"
+        " 1, 6), ' ') AS qtext",
+    )
+    p, d, s = build_index(docs)
+    return bm25_topk(queries, p, d, s, k=5).selectExpr(
+        "query_id", "doc_id", "round(score, 6) AS score",
+        "cast(rank AS BIGINT) AS rank",
+    )
+
+
 def q_url_filter(spark, sf_dir):
     """Web-provenance curation (functions/web.py): URL extraction,
     registered-domain normalization, and a domain-blocklist gate over
@@ -1721,6 +1741,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_predictions": q_text_predictions,
         "bigram_logprob": q_bigram_logprob,
         "url_filter": q_url_filter,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2883,5 +2904,43 @@ def retired_oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(doms, ','), '') AS domains,
                    doc_id NOT IN (SELECT doc_id FROM blocked) AS kept
             FROM d
+        """,
+        "bm25_topk": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+              FROM documents),
+            post AS (SELECT doc_id, token, count(*) AS tf
+                     FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+            dfr AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            q AS (SELECT doc_id AS query_id,
+                         array_to_string(
+                             (regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+'))[1:6],
+                             ' ') AS qtext
+                  FROM documents WHERE doc_id % 100 = 7),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(regexp_extract_all(qtext, '[a-z0-9]+'))
+                              AS token
+                   FROM q),
+            sc AS (SELECT qt.query_id, post.doc_id,
+                          sum(ln(1 + (n_docs - dfr.df + 0.5)
+                                 / (dfr.df + 0.5))
+                              * post.tf * 2.2
+                              / (post.tf
+                                 + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
+                              AS score
+                   FROM qt JOIN post USING (token)
+                           JOIN dfr USING (token)
+                           JOIN dl ON post.doc_id = dl.doc_id, st
+                   GROUP BY 1, 2)
+            SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+            WHERE rank <= 5
         """,
     }

@@ -1,0 +1,147 @@
+"""BM25 lexical retrieval — the inverted-index complement to the vector
+ANN tier (operators/similarity.py). Training-data pipelines use it for
+eval-set decontamination probes, nearest-neighbor quality auditing, and
+retrieval-augmented filtering; the engine otherwise had only embedding
+search.
+
+Model: Robertson/Spärck Jones BM25 (the Okapi formulation):
+
+    score(q, d) = sum_{t in q} idf(t) * tf(t,d) * (k1 + 1)
+                  / (tf(t,d) + k1 * (1 - b + b * len(d) / avgdl))
+    idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+Tokens are the engine's standard lowercased ``[a-z0-9]+`` words (same
+tokenizer as lm.py / lang_id / the hashed featurizer), so every layer of
+the text tier shares one vocabulary.
+
+Plan shape — classic distributed inverted index, everything codegen
+after the tokenize explode:
+
+- ``build_index``: ONE tokenize explode + groupBy(doc, token) for the
+  postings (token, doc_id, tf, dl), a second groupBy(token) for the
+  document frequencies, and a 2-scalar aggregate (N, avgdl). At corpus
+  scale the postings table is the persisted artifact, bucketed by token
+  so the query join is exchange-free on the index side.
+- ``bm25_topk``: query terms (deduplicated per query — standard BM25
+  treats the query as a set) join postings on token, one
+  groupBy(query, doc) partial-aggregated sum, one per-query top-k
+  window. Queries are usually a tiny probe set, so AQE broadcasts the
+  term side into the postings scan; candidates travel as
+  (query_id, doc_id, partial score) only.
+
+Skew note: stop-words produce the hottest postings lists. BM25's own
+idf already collapses their SCORE contribution to ~0, but not the join
+volume; production indexes cap df (``max_df_frac``) exactly the way
+Lucene drops nothing but search engines skip stop-postings — dropped
+tokens are recorded in the index manifest, never silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def build_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_df_frac: float | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (postings, dfreq, stats):
+
+    - postings: (token, doc_id, tf, dl) — dl is the document length in
+      tokens, carried on the posting so scoring needs no extra join;
+    - dfreq: (token, df) document frequencies;
+    - stats: one row (n_docs, avgdl).
+
+    ``max_df_frac`` drops tokens occurring in more than that fraction of
+    documents from the POSTINGS (the stop-postings cap); their rows in
+    ``dfreq`` remain, flagged ``dropped = true``, so the cap is auditable.
+    """
+    tok = _doc_tokens(docs, id_col, text_col)
+    postings = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = postings.join(dl, id_col)
+    dfreq = postings.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    if max_df_frac is not None:
+        n_docs = stats.collect()[0]["n_docs"]  # one scalar, bounded
+        cap = float(max_df_frac) * n_docs
+        dfreq = dfreq.withColumn("dropped", F.col("df") > cap)
+        keep = dfreq.where(~F.col("dropped")).select("token")
+        postings = postings.join(keep, "token", "left_semi")
+    else:
+        dfreq = dfreq.withColumn("dropped", F.lit(False))
+    return postings, dfreq, stats
+
+
+def bm25_topk(
+    queries: DataFrame,
+    postings: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    doc_id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — BM25 top-k per query, ranked by
+    descending score with ascending doc_id tie-break (the deterministic
+    rank every oracle can replay)."""
+    terms = _doc_tokens(queries, query_id_col, query_text_col).distinct()
+    scored = (
+        terms.join(postings, "token")
+        .join(dfreq.where(~F.col("dropped")).select("token", "df"), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(query_id_col),
+            F.col(doc_id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    agg = scored.groupBy(query_id_col, doc_id_col).agg(
+        F.sum("__s").alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(query_id_col, doc_id_col, "score", "rank")
+    )
