@@ -1117,6 +1117,16 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (operators/chunking.py), overlap variant
+    (max 32 / stride 24): pure codegen — tokenize, per-row index
+    sequence, slice+join, posexplode; zero Exchange, zero Python."""
+    from modlyn_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, max_tokens=32, stride=24)
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 lexical retrieval (operators/retrieval.py): inverted index
     over documents, probe queries = every 100th doc's first 6 words,
@@ -1742,6 +1752,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "url_filter": q_url_filter,
         "bm25_topk": q_bm25_topk,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -2942,5 +2953,26 @@ def retired_oracle_sql() -> dict[str, str]:
                             ORDER BY score DESC, doc_id) AS rank
               FROM sc)
             WHERE rank <= 5
+        """,
+        "chunk_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x != '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, i AS chunk_id,
+                     toks[CAST(i * 24 + 1 AS BIGINT)
+                          : CAST(i * 24 + 32 AS BIGINT)] AS sl
+              FROM (SELECT doc_id, toks,
+                           unnest(range(0,
+                               CASE WHEN len(toks) = 0 THEN 0
+                                    WHEN len(toks) <= 32 THEN 1
+                                    ELSE CAST(ceil((len(toks) - 32) / 24.0)
+                                              AS BIGINT) + 1 END)) AS i
+                    FROM w))
+            SELECT doc_id, chunk_id, CAST(len(sl) AS BIGINT) AS n_tokens,
+                   array_to_string(sl, ' ') AS chunk
+            FROM c
         """,
     }
