@@ -1122,8 +1122,14 @@ def q_chunk_documents(spark, sf_dir):
     (max 32 / stride 24): pure codegen — tokenize, per-row index
     sequence, slice+join, posexplode; zero Exchange, zero Python."""
     from modlyn_spark.operators.chunking import chunk_documents
+    from modlyn_spark.session import ensure_parallelism
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the operator itself is a zero-Exchange map (plan-asserted in
+    # test_chunking); the fan-out here only un-serializes the
+    # single-row-group bench scan
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return chunk_documents(docs, max_tokens=32, stride=24)
 
 

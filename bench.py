@@ -141,6 +141,9 @@ def main() -> None:
     bench("bigram_logprob",
           lambda: run(all_qs["bigram_logprob"](spark, sf_dir)))
     bench("url_filter", lambda: run(all_qs["url_filter"](spark, sf_dir)))
+    bench("bm25_topk", lambda: run(all_qs["bm25_topk"](spark, sf_dir)))
+    bench("chunk_documents",
+          lambda: run(all_qs["chunk_documents"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
