@@ -1117,6 +1117,25 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_phash_topk(spark, sf_dir):
+    """Perceptual-hash retrieval (operators/similarity.hamming_topk):
+    per-probe exact top-3 nearest 64-bit hashes by hamming distance,
+    broadcast probe side, deterministic (distance, id) ranking. Corpus =
+    the portable 60-bit md5 hash of every document; probes = every 50th
+    doc's hash with two low bits flipped (so rank 1 is its source at
+    hamming 2). Oracle: the brute-force join in SQL."""
+    from modlyn_spark.operators.similarity import hamming_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    corpus = docs.select(F.col("doc_id").alias("corpus_id"), h.alias("chash"))
+    probes = docs.where(F.col("doc_id") % 50 == 3).select(
+        F.col("doc_id").alias("probe_id"),
+        h.bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    return hamming_topk(probes, corpus, k=3)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking (operators/chunking.py), overlap variant
     (max 32 / stride 24): pure codegen — tokenize, per-row index
@@ -1759,6 +1778,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
+        "phash_topk": q_phash_topk,
     }
 
 
@@ -2980,5 +3000,22 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_id, CAST(len(sl) AS BIGINT) AS n_tokens,
                    array_to_string(sl, ' ') AS chunk
             FROM c
+        """,
+        "phash_topk": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS ch
+              FROM documents),
+            p AS (SELECT doc_id AS probe_id, xor(ch, 3) AS ph
+                  FROM h WHERE doc_id % 50 = 3),
+            sc AS (SELECT p.probe_id, h.doc_id AS corpus_id,
+                          CAST(bit_count(xor(p.ph, h.ch)) AS BIGINT)
+                              AS hamming
+                   FROM p CROSS JOIN h)
+            SELECT probe_id, corpus_id, hamming, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                            ORDER BY hamming, corpus_id) AS BIGINT) AS rank
+              FROM sc)
+            WHERE rank <= 3
         """,
     }

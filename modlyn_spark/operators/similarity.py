@@ -344,3 +344,47 @@ def ivf_cosine_topk(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hamming_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    *,
+    probe_id: str = "probe_id",
+    corpus_id: str = "corpus_id",
+    probe_hash: str = "phash",
+    corpus_hash: str = "chash",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k nearest 64-bit hashes by hamming distance per probe —
+    the image-retrieval analogue of bm25_topk/cosine_topk: given probe
+    images' perceptual hashes (functions/image.compute_phash), find each
+    one's visually-closest corpus images.
+
+    Plan: the probe side is query-sized, so it BROADCASTS into the corpus
+    scan; distance is one codegen ``bit_count(xor)`` per (probe, corpus)
+    pair and the per-probe top-k window runs over probe-partitioned
+    candidates. Linear in the corpus, never quadratic — the corpus scans
+    once regardless of probe count. For radius-bounded DEDUP (all pairs
+    within r) use operators/dedup.hash_hamming_pairs instead: banding
+    beats a full scan when both sides are corpus-sized.
+
+    Ranking is deterministic: (distance ASC, corpus_id ASC)."""
+    p = probes.select(probe_id, probe_hash)
+    c = corpus.select(corpus_id, corpus_hash)
+    scored = c.join(F.broadcast(p)).select(
+        probe_id,
+        corpus_id,
+        F.bit_count(
+            F.col(probe_hash).bitwiseXOR(F.col(corpus_hash))
+        ).cast("long").alias("hamming"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("hamming").asc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(probe_id, corpus_id, "hamming",
+                F.col("rank").cast("long").alias("rank"))
+    )

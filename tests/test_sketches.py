@@ -73,3 +73,37 @@ def test_ensure_parallelism_never_repartitions_down(spark):
     narrow = spark.range(0, 10_000, 1, 1)
     up = ensure_parallelism(narrow, min_partitions=8, min_bytes=0)
     assert up.rdd.getNumPartitions() == 8
+
+
+def test_hamming_topk_matches_bruteforce_and_broadcasts(spark):
+    """Image phash retrieval: exact per-probe top-k, broadcast probe side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.similarity import hamming_topk
+
+    rng = np.random.default_rng(11)
+    chash = rng.integers(-(2**62), 2**62, size=200)
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"corpus_id": range(200), "chash": chash})
+    )
+    # probes: three corpus hashes with a few bits flipped + one random
+    ph = [int(chash[5]) ^ 0b11, int(chash[50]) ^ 0b10101,
+          int(chash[150]), int(rng.integers(-(2**62), 2**62))]
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": range(4), "phash": ph})
+    )
+    out = hamming_topk(probes, corpus, k=3)
+    got = out.orderBy("probe_id", "rank").toPandas()
+    for pi in range(4):
+        d = np.array([bin((int(ph[pi]) ^ int(c)) & (2**64 - 1)).count("1")
+                      for c in chash])
+        order = np.lexsort((np.arange(200), d))[:3]
+        sub = got[got.probe_id == pi]
+        assert sub["corpus_id"].tolist() == order.tolist()
+        assert sub["hamming"].tolist() == d[order].tolist()
+    # nearest self-matches rank first
+    assert got[(got.probe_id == 2) & (got["rank"] == 1)]["hamming"].iloc[0] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
