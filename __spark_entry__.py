@@ -405,6 +405,53 @@ def q_asof_join_tolerance(spark, sf_dir):
     ).select("event_id", "user_id", "purchase_value", "state_ts")
 
 
+def _typed_state(spark, sf_dir, event_type: str, out_col: str):
+    """One state row per (user, ts) for a single event type — the
+    deduplication mirrors the SQL oracle exactly."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == event_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias(out_col))
+    )
+
+
+def q_training_set(spark, sf_dir):
+    """Feature-store point-in-time assembly: THREE state tables attached to
+    every probe in one fused shuffle (operators/training_set.py), the error
+    state age-bounded to one day. Oracle: three chained DuckDB ASOF joins."""
+    from modlyn_spark.operators.training_set import FeatureSpec, build_training_set
+
+    out = build_training_set(
+        _probes(spark, sf_dir),
+        [
+            FeatureSpec(
+                df=_purchase_state(spark, sf_dir), ts="ts",
+                cols=["purchase_value"],
+            ),
+            FeatureSpec(
+                df=_typed_state(spark, sf_dir, "signup", "signup_value"),
+                ts="ts", cols=["signup_value"],
+            ),
+            FeatureSpec(
+                df=_typed_state(spark, sf_dir, "error", "err_value"),
+                ts="ts", cols=["err_value"],
+                tolerance=F.expr("INTERVAL 1 DAY"),
+            ),
+        ],
+        on="user_id",
+        spine_ts="feature_ts",
+        strategy="fused",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.round("signup_value", 4).alias("signup_value"),
+        F.round("err_value", 4).alias("err_value"),
+    )
+
+
 def q_asof_join_broadcast(spark, sf_dir):
     from modlyn_spark.operators.asof import asof_join
 
@@ -1520,8 +1567,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "json_props": q_json_props,
         "filter_min_class_freq": q_filter_min_class_freq,
-        "label_encode": q_label_encode,
         "asof_join_merge": q_asof_join_merge,
+        # r4 third-session rotation: label_encode (E1, green inside the
+        # stats/logreg rows) retires for the feature-store assembly op
+        "training_set": q_training_set,
         "asof_join_tolerance": q_asof_join_tolerance,
         "rolling_range_window": q_rolling_range_window,
         "lag_lead_delta": q_lag_lead_delta,
@@ -1779,6 +1828,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "chunk_documents": q_chunk_documents,
         "phash_topk": q_phash_topk,
+        # r4 third-session rotation: slot freed for training_set
+        "label_encode": q_label_encode,
     }
 
 
@@ -1963,16 +2014,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (
                 SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) > 12)
         """,
-        "label_encode": """
-            SELECT c_mktsegment AS label,
-                   dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
-            FROM (SELECT DISTINCT c_mktsegment FROM customer)
-        """,
         "asof_join_merge": f"""
             WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL})
             SELECT pr.event_id, pr.user_id, st.purchase_value
             FROM pr ASOF LEFT JOIN st
               ON pr.user_id = st.user_id AND st.ts <= pr.feature_ts
+        """,
+        "training_set": f"""
+            WITH pu AS ({_PURCHASE_STATE_SQL}),
+            sg AS (SELECT user_id, ts, max(value) AS signup_value
+                   FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+            er AS (SELECT user_id, ts, max(value) AS err_value
+                   FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+            pr AS ({_PROBES_SQL}),
+            j1 AS (SELECT pr.event_id, pr.user_id, pr.feature_ts,
+                          pu.purchase_value
+                   FROM pr ASOF LEFT JOIN pu
+                     ON pr.user_id = pu.user_id AND pu.ts <= pr.feature_ts),
+            j2 AS (SELECT j1.*, sg.signup_value
+                   FROM j1 ASOF LEFT JOIN sg
+                     ON j1.user_id = sg.user_id AND sg.ts <= j1.feature_ts),
+            j3 AS (SELECT j2.*, er.err_value, er.ts AS err_ts
+                   FROM j2 ASOF LEFT JOIN er
+                     ON j2.user_id = er.user_id AND er.ts <= j2.feature_ts)
+            SELECT event_id, user_id,
+                   round(purchase_value, 4) AS purchase_value,
+                   round(signup_value, 4) AS signup_value,
+                   round(CASE WHEN err_ts >= feature_ts - INTERVAL 1 DAY
+                              THEN err_value END, 4) AS err_value
+            FROM j3
         """,
         "asof_join_tolerance": f"""
             WITH st AS ({_PURCHASE_STATE_SQL}), pr AS ({_PROBES_SQL}),
@@ -2592,6 +2662,11 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "label_encode": """
+            SELECT c_mktsegment AS label,
+                   dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
+            FROM (SELECT DISTINCT c_mktsegment FROM customer)
+        """,
         "tpch_q6_forecast_revenue": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
                    count(*) AS n_rows
