@@ -1135,6 +1135,29 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_target_encode(spark, sf_dir):
+    """Out-of-fold smoothed target encoding (operators/encoding.py): md5
+    fold assignment, one (cat, fold) partial aggregate, DIRECT out-of-fold
+    accumulation (exact leakage-freedom). Oracle: the same fold arithmetic
+    and fan-out joins in DuckDB."""
+    from modlyn_spark.operators.encoding import target_encode
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = target_encode(
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        ["o_orderkey"],
+        n_folds=5,
+        smoothing=20.0,
+        salt="te",
+    )
+    return out.select(
+        "o_orderkey", "fold",
+        F.round("o_orderpriority_te", 4).alias("prio_te"),
+    )
+
+
 def q_hashed_features(spark, sf_dir):
     """fastText-style hashed (1,2)-gram featurizer
     (operators/quality_classifier.py), long form: one row per non-zero
@@ -1830,6 +1853,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_topk": q_phash_topk,
         # r4 third-session rotation: slot freed for training_set
         "label_encode": q_label_encode,
+        "target_encode": q_target_encode,
     }
 
 
@@ -2662,6 +2686,31 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "target_encode": """
+            WITH b AS (
+              SELECT o_orderpriority AS cat, o_totalprice AS y, o_orderkey,
+                     CAST(floor(CAST(('0x' || substr(md5(
+                          CAST(o_orderkey AS VARCHAR) || '|te'), 1, 8))
+                          AS BIGINT) / 4294967296.0 * 5.0) AS BIGINT) AS fold
+              FROM orders),
+            a AS (SELECT cat, fold, sum(y) AS s, count(y) AS c
+                  FROM b GROUP BY 1, 2),
+            fl AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4)) t(f2)),
+            oof AS (SELECT a.cat, fl.f2, sum(a.s) AS os, sum(a.c) AS oc
+                    FROM a JOIN fl ON a.fold != fl.f2 GROUP BY 1, 2),
+            ft AS (SELECT fold, sum(s) AS s, sum(c) AS c FROM a GROUP BY 1),
+            pf AS (SELECT fl.f2, sum(ft.s) AS ps, sum(ft.c) AS pc
+                   FROM ft JOIN fl ON ft.fold != fl.f2 GROUP BY 1),
+            enc AS (SELECT a.cat, a.fold,
+                           (coalesce(oof.os, 0) + 20.0 *
+                            (CASE WHEN pf.pc > 0 THEN pf.ps / pf.pc END))
+                           / (coalesce(oof.oc, 0) + 20.0) AS e
+                    FROM a
+                    LEFT JOIN oof ON a.cat = oof.cat AND a.fold = oof.f2
+                    LEFT JOIN pf ON a.fold = pf.f2)
+            SELECT b.o_orderkey, b.fold, round(enc.e, 4) AS prio_te
+            FROM b JOIN enc ON b.cat = enc.cat AND b.fold = enc.fold
+        """,
         "label_encode": """
             SELECT c_mktsegment AS label,
                    dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS label_idx
