@@ -1135,6 +1135,17 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_feature_corr(spark, sf_dir):
+    """Distributed Pearson correlation matrix (scoring/selection.py): one
+    GEMM-partials pass (shared with PCA), tree-combined, long-form f1<f2.
+    Oracle: DuckDB corr() over the exploded embedding pairs."""
+    from modlyn_spark.scoring.selection import correlation_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = correlation_matrix(emb, "embedding")
+    return out.select("f1", "f2", F.round("corr", 4).alias("corr"))
+
+
 def q_target_encode(spark, sf_dir):
     """Out-of-fold smoothed target encoding (operators/encoding.py): md5
     fold assignment, one (cat, fold) partial aggregate, DIRECT out-of-fold
@@ -1854,6 +1865,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 third-session rotation: slot freed for training_set
         "label_encode": q_label_encode,
         "target_encode": q_target_encode,
+        "feature_corr": q_feature_corr,
     }
 
 
@@ -2686,6 +2698,15 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "feature_corr": """
+            WITH l AS (
+              SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+              FROM embeddings, (SELECT unnest(range(0, 64)) AS i) g
+              WHERE embedding IS NOT NULL)
+            SELECT a.pos AS f1, b.pos AS f2, round(corr(a.x, b.x), 4) AS corr
+            FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.pos < b.pos
+            GROUP BY 1, 2
+        """,
         "target_encode": """
             WITH b AS (
               SELECT o_orderpriority AS cat, o_totalprice AS y, o_orderkey,

@@ -68,17 +68,17 @@ class PCAModel:
     n_rows: int
 
 
-def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
-    """Fit PCA on an ``array``-typed column. One data pass; deterministic
-    under any partitioning. Requires at least 2 rows. NULL vectors are
-    excluded from the fit (a None inside np.stack would otherwise die
-    deep in the executor with no row context)."""
+def feature_moments(df: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """One distributed pass over an ``array`` column: returns
+    ``(n, column_sums (d,), X^T X (d, d))`` — the sufficient statistics for
+    PCA, covariance, correlation, and z-scoring. NULL vectors are excluded
+    (a None inside np.stack would otherwise die deep in the executor with
+    no row context). Partials are tree-combined executor-side
+    (operators/combine.py); deterministic under any partitioning."""
     from modlyn_spark.operators.similarity import _vec_dim
 
     df = df.where(F.col(vec_col).isNotNull())
     dim = _vec_dim(df, vec_col)
-    if not 1 <= n_components <= dim:
-        raise ValueError(f"n_components must be in [1, {dim}]")
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -115,6 +115,19 @@ def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
         n += int(r["n"])
         s += np.asarray(r["s"], dtype=np.float64)
         xtx += np.asarray(r["xtx"], dtype=np.float64).reshape(dim, dim)
+    return n, s, xtx
+
+
+def pca_fit(df: DataFrame, vec_col: str, n_components: int) -> PCAModel:
+    """Fit PCA on an ``array``-typed column via :func:`feature_moments`.
+    One data pass; deterministic under any partitioning. Requires at
+    least 2 rows."""
+    from modlyn_spark.operators.similarity import _vec_dim
+
+    dim = _vec_dim(df.where(F.col(vec_col).isNotNull()), vec_col)
+    if not 1 <= n_components <= dim:
+        raise ValueError(f"n_components must be in [1, {dim}]")
+    n, s, xtx = feature_moments(df, vec_col)
     if n < 2:
         raise ValueError(f"PCA needs at least 2 rows (got {n})")
     mean = s / n

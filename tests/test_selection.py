@@ -1,0 +1,86 @@
+"""Correlation-matrix feature selection: numpy.corrcoef parity, constant
+features -> NULL, partition invariance, greedy pruning semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from modlyn_spark.scoring.selection import (
+    correlation_matrix,
+    feature_variances,
+    redundancy_prune,
+)
+
+
+@pytest.fixture(scope="module")
+def mat():
+    rng = np.random.default_rng(5)
+    n, d = 400, 12
+    X = rng.normal(0, 1, (n, d))
+    X[:, 3] = X[:, 1] * 2.0 + rng.normal(0, 0.01, n)   # near-dup of col 1
+    X[:, 7] = -X[:, 2]                                 # exact negative dup
+    X[:, 9] = 4.25                                     # constant
+    return X
+
+
+def _df(spark, X):
+    pdf = pd.DataFrame({"vid": range(len(X)), "vec": [r.tolist() for r in X]})
+    return spark.createDataFrame(pdf)
+
+
+def test_corr_matches_numpy(spark, mat):
+    got = correlation_matrix(_df(spark, mat), "vec").toPandas()
+    exp = np.corrcoef(mat, rowvar=False)
+    assert len(got) == 12 * 11 // 2
+    for f1, f2, c in got.itertuples(index=False):
+        e = exp[f1, f2]
+        if f1 == 9 or f2 == 9:
+            assert pd.isna(c)
+        else:
+            np.testing.assert_allclose(c, e, rtol=1e-9)
+
+
+def test_variances(spark, mat):
+    got = feature_variances(_df(spark, mat), "vec").toPandas().sort_values("pos")
+    np.testing.assert_allclose(got["mean"], mat.mean(axis=0), rtol=1e-10)
+    np.testing.assert_allclose(got["var_pop"], mat.var(axis=0), rtol=1e-9, atol=1e-12)
+    assert got["var_pop"].iloc[9] == 0.0
+
+
+def test_partition_invariance(spark, mat):
+    a = correlation_matrix(_df(spark, mat).coalesce(1), "vec").toPandas()
+    b = correlation_matrix(_df(spark, mat).repartition(7), "vec").toPandas()
+    m = a.merge(b, on=["f1", "f2"])
+    ok = m["corr_x"].notna()
+    np.testing.assert_allclose(
+        m.loc[ok, "corr_x"].astype(float), m.loc[ok, "corr_y"].astype(float),
+        rtol=1e-12,
+    )
+
+
+def test_redundancy_prune(spark, mat):
+    corr = correlation_matrix(_df(spark, mat), "vec")
+    scores = spark.createDataFrame(
+        pd.DataFrame({"pos": range(12),
+                      "score": [10 - i * 0.5 for i in range(12)]})
+    )
+    kept = redundancy_prune(corr, scores, threshold=0.95)
+    # col 1 outranks its near-copy col 3; col 2 outranks its negative dup 7
+    assert 1 in kept and 3 not in kept
+    assert 2 in kept and 7 not in kept
+    # |corr| uses absolute value: the anti-correlated pair still collapses
+    assert kept == sorted(kept)  # equal-spaced scores keep position order
+    # constant feature is not blocked by NULL corrs
+    assert 9 in kept
+    with pytest.raises(ValueError, match="threshold"):
+        redundancy_prune(corr, scores, threshold=0.0)
+
+
+def test_prune_prefers_higher_score(spark, mat):
+    corr = correlation_matrix(_df(spark, mat), "vec")
+    scores = pd.DataFrame({"pos": range(12), "score": [0.0] * 12})
+    scores.loc[3, "score"] = 5.0  # now the near-dup outranks col 1
+    kept = redundancy_prune(corr, spark.createDataFrame(scores), threshold=0.95)
+    assert 3 in kept and 1 not in kept
