@@ -1146,6 +1146,17 @@ def q_feature_corr(spark, sf_dir):
     return out.select("f1", "f2", F.round("corr", 4).alias("corr"))
 
 
+def q_mi_scores(spark, sf_dir):
+    """Binned mutual information I(feature; label) (scoring/selection.py):
+    JVM min/max pass + one Arrow joint-histogram tensor pass,
+    tree-combined. Oracle: identical bin arithmetic + plogp sum in DuckDB."""
+    from modlyn_spark.scoring.selection import mutual_information
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mutual_information(emb, "embedding", "label", bins=10)
+    return out.select("pos", F.round("mi", 4).alias("mi"))
+
+
 def q_target_encode(spark, sf_dir):
     """Out-of-fold smoothed target encoding (operators/encoding.py): md5
     fold assignment, one (cat, fold) partial aggregate, DIRECT out-of-fold
@@ -1866,6 +1877,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_encode": q_label_encode,
         "target_encode": q_target_encode,
         "feature_corr": q_feature_corr,
+        "mi_scores": q_mi_scores,
     }
 
 
@@ -2706,6 +2718,33 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT a.pos AS f1, b.pos AS f2, round(corr(a.x, b.x), 4) AS corr
             FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.pos < b.pos
             GROUP BY 1, 2
+        """,
+        "mi_scores": """
+            WITH l AS (
+              SELECT vec_id, label, g.i AS pos,
+                     CAST(embedding[g.i + 1] AS DOUBLE) AS x
+              FROM embeddings, (SELECT unnest(range(0, 64)) AS i) g
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            e AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM l GROUP BY 1),
+            b AS (SELECT l.vec_id, l.label, l.pos,
+                         CASE WHEN e.mx > e.mn
+                              THEN LEAST(CAST(floor((l.x - e.mn) /
+                                   ((e.mx - e.mn) / 10.0)) AS BIGINT), 9)
+                              ELSE 0 END AS bin
+                  FROM l JOIN e USING (pos)),
+            j AS (SELECT pos, bin, label, count(*) AS c FROM b GROUP BY 1, 2, 3),
+            mb AS (SELECT pos, bin, sum(c) AS cb FROM j GROUP BY 1, 2),
+            ml AS (SELECT pos, label, sum(c) AS cl FROM j GROUP BY 1, 2),
+            nt AS (SELECT pos, sum(c) AS n FROM j GROUP BY 1)
+            SELECT j.pos,
+                   round(GREATEST(sum(CAST(j.c AS DOUBLE) / nt.n *
+                         ln(CAST(j.c AS DOUBLE) * nt.n / (mb.cb * ml.cl))),
+                         0.0), 4) AS mi
+            FROM j
+            JOIN mb USING (pos, bin)
+            JOIN ml ON j.pos = ml.pos AND j.label = ml.label
+            JOIN nt USING (pos)
+            GROUP BY 1
         """,
         "target_encode": """
             WITH b AS (

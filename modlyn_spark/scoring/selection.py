@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modlyn_spark.operators.pca import feature_moments
 
@@ -82,6 +83,118 @@ def correlation_matrix(df: DataFrame, vec_col: str) -> DataFrame:
             # would survive as NaN and sort above every double)
             "corr": pd.array(c, dtype="Float64"),
         }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def mutual_information(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Mutual information I(feature; label) per feature position, with
+    equal-width binning — the sklearn ``mutual_info_*``-family ranking
+    reduced to two map-side-combinable passes:
+
+    1. per-position min/max as 2d JVM aggregate expressions (pure codegen,
+       no explode shuffle — positions stay inside the array);
+    2. one Arrow pass accumulating the (d × bins × labels) joint-count
+       tensor per partition, tree-combined executor-side; the driver gets
+       ≤64 tensors and closes the plogp sum in numpy.
+
+    Constant features (or single-label inputs) score 0. Rows with NULL
+    vector or label are excluded. Bin edges are plain double arithmetic
+    ``floor((x - min) / width)`` clamped to [0, bins-1], reproducible
+    verbatim in SQL for the oracle. Natural log.
+
+    At 100 TB: pass 1 ships 2d doubles per mapper, pass 2 ships one
+    d·bins·L long tensor per partition — nothing row-shaped ever moves.
+    """
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from modlyn_spark.operators.combine import collect_partials
+    from modlyn_spark.operators.similarity import _vec_dim
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    spark = SparkSession.getActiveSession()
+    base = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(vec_col).alias("__v"), F.col(label_col).alias("__l"))
+    d = _vec_dim(base, "__v")
+    labels = sorted(
+        r[0] for r in base.select("__l").distinct().collect()
+    )
+    lab_idx = {v: i for i, v in enumerate(labels)}
+    nl = len(labels)
+
+    row = base.agg(
+        *[F.min(F.col("__v")[i]).alias(f"mn{i}") for i in range(d)],
+        *[F.max(F.col("__v")[i]).alias(f"mx{i}") for i in range(d)],
+    ).collect()[0]
+    mn = np.array([row[f"mn{i}"] for i in range(d)], dtype=np.float64)
+    mx = np.array([row[f"mx{i}"] for i in range(d)], dtype=np.float64)
+    w = np.where(mx > mn, (mx - mn) / float(bins), 1.0)
+
+    schema = StructType(
+        [
+            StructField("pid", LongType()),
+            StructField("t", ArrayType(LongType())),  # (L, d, bins) flat
+        ]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t = np.zeros((nl, d * bins), dtype=np.int64)
+        seen = False
+        offs = np.arange(d, dtype=np.int64) * bins
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            B = np.clip(
+                np.floor((X - mn) / w).astype(np.int64), 0, bins - 1
+            )
+            li = pdf["__l"].map(lab_idx).to_numpy()
+            for i in range(nl):
+                sel = B[li == i]
+                if len(sel):
+                    t[i] += np.bincount(
+                        (sel + offs).ravel(), minlength=d * bins
+                    )
+        if seen:
+            yield pd.DataFrame({"pid": [pid], "t": [t.ravel().tolist()]})
+
+    parts = collect_partials(base.mapInPandas(partials, schema=schema))
+    t = np.zeros((nl, d, bins), dtype=np.int64)
+    for r in parts:
+        t += np.asarray(r["t"], dtype=np.int64).reshape(nl, d, bins)
+    n = int(t.sum(axis=(0, 2))[0]) if d else 0
+    if n < 1:
+        raise ValueError("no rows with non-null vector and label")
+    cl = t.sum(axis=2)      # (L, d) label margin (same per d)
+    cb = t.sum(axis=0)      # (d, bins) bin margin
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # I = sum c/n * ln(c*n / (cb*cl))
+        ratio = (t.astype(np.float64) * n) / (
+            cb[None, :, :] * cl[:, :, None]
+        )
+        terms = np.where(t > 0, t / float(n) * np.log(ratio), 0.0)
+    mi = np.maximum(terms.sum(axis=(0, 2)), 0.0)
+    pdf = pd.DataFrame(
+        {"pos": np.arange(d, dtype=np.int64), "n": np.int64(n), "mi": mi}
     )
     return spark.createDataFrame(pdf)
 
