@@ -1135,6 +1135,35 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of two BM25 query reformulations (words 1-6
+    and 4-9 of each probe doc) over one shared inverted index
+    (operators/retrieval.py rrf_fuse). Oracle: both ranked runs + the RRF
+    sum replayed in DuckDB."""
+    from modlyn_spark.operators.retrieval import bm25_topk, build_index, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def reformulation(start: int):
+        return docs.where("doc_id % 100 = 7").selectExpr(
+            "doc_id AS query_id",
+            "array_join(slice(regexp_extract_all(lower(text), '[a-z0-9]+',"
+            f" 0), {start}, 6), ' ') AS qtext",
+        )
+
+    p, d, s = build_index(docs)
+    runs = [
+        bm25_topk(reformulation(1), p, d, s, k=5),
+        bm25_topk(reformulation(4), p, d, s, k=5),
+    ]
+    return rrf_fuse(runs, k0=60.0).select(
+        "query_id",
+        "doc_id",
+        F.round("rrf", 6).alias("rrf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_feature_corr(spark, sf_dir):
     """Distributed Pearson correlation matrix (scoring/selection.py): one
     GEMM-partials pass (shared with PCA), tree-combined, long-form f1<f2.
@@ -1878,6 +1907,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "feature_corr": q_feature_corr,
         "mi_scores": q_mi_scores,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -1930,6 +1960,50 @@ def _ngram_pairs_sql(threshold: float) -> str:
         WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= {threshold}
     """
 _EN = "['the','and','of','to','in','is','that','it','was','for']"
+
+
+def _bm25_run_sql(lo: int, hi: int) -> str:
+    """One ranked BM25 run (k=5, probe queries = every 100th doc's words
+    ``lo..hi``) — shared by the bm25_topk oracle and both legs of the
+    hybrid_rrf reciprocal-rank-fusion oracle."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                     AS token
+          FROM documents),
+        post AS (SELECT doc_id, token, count(*) AS tf
+                 FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+        dfr AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+        st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        q AS (SELECT doc_id AS query_id,
+                     array_to_string(
+                         (regexp_extract_all(lower(text),
+                                             '[a-z0-9]+'))[{lo}:{hi}],
+                         ' ') AS qtext
+              FROM documents WHERE doc_id % 100 = 7),
+        qt AS (SELECT DISTINCT query_id,
+                      unnest(regexp_extract_all(qtext, '[a-z0-9]+'))
+                          AS token
+               FROM q),
+        sc AS (SELECT qt.query_id, post.doc_id,
+                      sum(ln(1 + (n_docs - dfr.df + 0.5)
+                             / (dfr.df + 0.5))
+                          * post.tf * 2.2
+                          / (post.tf
+                             + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
+                          AS score
+               FROM qt JOIN post USING (token)
+                       JOIN dfr USING (token)
+                       JOIN dl ON post.doc_id = dl.doc_id, st
+               GROUP BY 1, 2)
+        SELECT query_id, doc_id, score, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rank
+          FROM sc)
+        WHERE rank <= 5
+    """
 _DE = "['der','die','und','das','ist','von','den','mit','nicht','ein']"
 _FR = "['le','la','les','et','de','un','une','est','que','pour']"
 _ES = "['el','la','los','de','que','y','en','un','una','por']"
@@ -3126,43 +3200,23 @@ def retired_oracle_sql() -> dict[str, str]:
                    doc_id NOT IN (SELECT doc_id FROM blocked) AS kept
             FROM d
         """,
-        "bm25_topk": """
-            WITH tok AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                         AS token
-              FROM documents),
-            post AS (SELECT doc_id, token, count(*) AS tf
-                     FROM tok GROUP BY 1, 2),
-            dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
-            dfr AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
-            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            q AS (SELECT doc_id AS query_id,
-                         array_to_string(
-                             (regexp_extract_all(lower(text),
-                                                 '[a-z0-9]+'))[1:6],
-                             ' ') AS qtext
-                  FROM documents WHERE doc_id % 100 = 7),
-            qt AS (SELECT DISTINCT query_id,
-                          unnest(regexp_extract_all(qtext, '[a-z0-9]+'))
-                              AS token
-                   FROM q),
-            sc AS (SELECT qt.query_id, post.doc_id,
-                          sum(ln(1 + (n_docs - dfr.df + 0.5)
-                                 / (dfr.df + 0.5))
-                              * post.tf * 2.2
-                              / (post.tf
-                                 + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)))
-                              AS score
-                   FROM qt JOIN post USING (token)
-                           JOIN dfr USING (token)
-                           JOIN dl ON post.doc_id = dl.doc_id, st
-                   GROUP BY 1, 2)
-            SELECT query_id, doc_id, round(score, 6) AS score, rank FROM (
-              SELECT *, row_number() OVER (PARTITION BY query_id
-                            ORDER BY score DESC, doc_id) AS rank
-              FROM sc)
-            WHERE rank <= 5
+        "bm25_topk": f"""
+            SELECT query_id, doc_id, round(score, 6) AS score, rank
+            FROM ({_bm25_run_sql(1, 6)})
+        """,
+        "hybrid_rrf": f"""
+            WITH u AS (
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+              FROM ({_bm25_run_sql(1, 6)})
+              UNION ALL
+              SELECT query_id, doc_id, 1.0 / (60 + rank) AS c
+              FROM ({_bm25_run_sql(4, 9)})),
+            f AS (SELECT query_id, doc_id, sum(c) AS rrf
+                  FROM u GROUP BY 1, 2)
+            SELECT query_id, doc_id, round(rrf, 6) AS rrf,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+            FROM f
         """,
         "chunk_documents": r"""
             WITH w AS (

@@ -162,3 +162,55 @@ def bm25_topk(
         .where(F.col("rank") <= int(k))
         .select(query_id_col, doc_id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    runs: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: float = 60.0,
+    weights: list[float] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval runs:
+    ``rrf(q, d) = Σ_runs w_i / (k0 + rank_i(q, d))`` with a document
+    absent from a run contributing nothing (Cormack et al., SIGIR 2009 —
+    the standard hybrid-retrieval combiner for BM25 + dense runs, and for
+    multi-query reformulation fusion).
+
+    Each run needs (query_col, doc_col, rank_col) with rank 1-based —
+    the shape :func:`bm25_topk`, ``similarity.cosine_topk`` and
+    ``similarity.hamming_topk`` already emit. Output:
+    (query, doc, rrf, rank), ranked by descending rrf with ascending doc
+    tie-break; ``k`` truncates per query.
+
+    Scale: a union of the (already tiny, ≤ queries×k rows) run tables and
+    ONE map-side-combinable groupBy — fusion cost is proportional to the
+    result lists, never to the corpus.
+    """
+    if not runs:
+        raise ValueError("need at least one run")
+    w = [1.0] * len(runs) if weights is None else [float(x) for x in weights]
+    if len(w) != len(runs):
+        raise ValueError("weights must match runs")
+    tagged = [
+        r.select(
+            F.col(query_col),
+            F.col(doc_col),
+            (F.lit(wi) / (F.lit(float(k0)) + F.col(rank_col))).alias("__c"),
+        )
+        for r, wi in zip(runs, w)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(query_col, doc_col).agg(F.sum("__c").alias("rrf"))
+    win = Window.partitionBy(query_col).orderBy(
+        F.col("rrf").desc(), F.col(doc_col).asc()
+    )
+    out = fused.withColumn("rank", F.row_number().over(win))
+    if k is not None:
+        out = out.where(F.col("rank") <= int(k))
+    return out.select(query_col, doc_col, "rrf", "rank")

@@ -160,3 +160,97 @@ def test_self_retrieval_sanity(spark, corpus_texts):
         bm25_topk(queries, p, d, s, k=1).where("rank = 1").toPandas()
     )
     assert (top1["query_id"] == top1["doc_id"]).all()
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def _run_df(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["query_id", "doc_id", "rank"])
+    )
+
+
+def test_rrf_matches_hand_computation(spark):
+    from modlyn_spark.operators.retrieval import rrf_fuse
+
+    r1 = _run_df(spark, [(1, 10, 1), (1, 11, 2), (1, 12, 3)])
+    r2 = _run_df(spark, [(1, 11, 1), (1, 13, 2)])
+    out = (
+        rrf_fuse([r1, r2], k0=60.0)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(out.loc[10, "rrf"], 1 / 61)
+    np.testing.assert_allclose(out.loc[11, "rrf"], 1 / 62 + 1 / 61)
+    np.testing.assert_allclose(out.loc[13, "rrf"], 1 / 62)
+    # doc in both runs outranks single-run docs at comparable ranks
+    assert out.loc[11, "rank"] == 1
+    assert list(out.sort_values("rank").index) == [11, 10, 13, 12]
+
+
+def test_rrf_weights_and_topk(spark):
+    from modlyn_spark.operators.retrieval import rrf_fuse
+
+    r1 = _run_df(spark, [(1, 10, 1), (1, 11, 2)])
+    r2 = _run_df(spark, [(1, 11, 1), (1, 10, 2)])
+    # symmetric ranks, asymmetric weights: run2's winner must win
+    out = rrf_fuse([r1, r2], weights=[1.0, 3.0]).toPandas()
+    top = out[out["rank"] == 1]["doc_id"].iloc[0]
+    assert top == 11
+    trunc = rrf_fuse([r1, r2], k=1).toPandas()
+    assert len(trunc) == 1
+    # equal fused scores (symmetric ranks, equal weights): doc asc wins
+    assert trunc["doc_id"].iloc[0] == 10
+
+
+def test_rrf_validation(spark):
+    import pytest as _pytest
+
+    from modlyn_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with _pytest.raises(ValueError, match="weights"):
+        rrf_fuse([_run_df(spark, [(1, 1, 1)])], weights=[1.0, 2.0])
+
+
+def test_rrf_hybrid_over_bm25_reformulations(spark):
+    """Fusing two query reformulations of the same info need must keep
+    the gold doc at rank 1 when both runs retrieve it first."""
+    import pandas as pd
+
+    from modlyn_spark.operators.retrieval import bm25_topk, build_index, rrf_fuse
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "sparse retrieval with inverted index structures",
+                    "dense vector search embeddings",
+                    "cooking pasta with tomato sauce",
+                    "index structures for search retrieval",
+                ],
+            }
+        )
+    )
+    p, d, s = build_index(docs)
+    q1 = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "qtext": ["retrieval index"]})
+    )
+    q2 = spark.createDataFrame(
+        pd.DataFrame({"query_id": [0], "qtext": ["search index structures"]})
+    )
+    fused = rrf_fuse(
+        [bm25_topk(q1, p, d, s, k=3), bm25_topk(q2, p, d, s, k=3)]
+    ).toPandas()
+    assert fused[fused["rank"] == 1]["doc_id"].iloc[0] in (0, 3)
+    assert set(fused["doc_id"]) <= {0, 1, 3}
