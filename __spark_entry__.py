@@ -1135,6 +1135,40 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_standardize(spark, sf_dir):
+    """Global z-scoring (scoring/selection.py): moments fit + pure-JVM
+    zip_with transform, emitted long-form for the oracle. Oracle: DuckDB
+    per-position mean/stddev_pop over the exploded embeddings."""
+    from modlyn_spark.scoring.selection import standardize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    z = standardize(emb.where(F.col("embedding").isNotNull()),
+                    "embedding", out_col="z")
+    return z.select(
+        "vec_id", F.posexplode("z").alias("pos", "zv")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("zv", 4).alias("zv"),
+    )
+
+
+def q_time_split(spark, sf_dir):
+    """Temporal split with a 2-day embargo (operators/sampling.py
+    time_split): pure column expression, chronological leak-free eval.
+    Oracle: the same CASE boundaries in DuckDB."""
+    from modlyn_spark.operators.sampling import time_split
+
+    ev = _events(spark, sf_dir)
+    out = time_split(
+        ev,
+        "ts",
+        F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+        embargo=F.expr("INTERVAL 2 DAYS"),
+    )
+    return out.select("event_id", "split")
+
+
 def q_hybrid_rrf(spark, sf_dir):
     """Reciprocal-rank fusion of two BM25 query reformulations (words 1-6
     and 4-9 of each probe doc) over one shared inverted index
@@ -1908,6 +1942,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_corr": q_feature_corr,
         "mi_scores": q_mi_scores,
         "hybrid_rrf": q_hybrid_rrf,
+        "standardize": q_standardize,
+        "time_split": q_time_split,
     }
 
 
@@ -2792,6 +2828,28 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT a.pos AS f1, b.pos AS f2, round(corr(a.x, b.x), 4) AS corr
             FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.pos < b.pos
             GROUP BY 1, 2
+        """,
+        "standardize": """
+            WITH l AS (
+              SELECT vec_id, g.i AS pos,
+                     CAST(embedding[g.i + 1] AS DOUBLE) AS x
+              FROM embeddings, (SELECT unnest(range(0, 64)) AS i) g
+              WHERE embedding IS NOT NULL),
+            s AS (SELECT pos, avg(x) AS mn,
+                         CASE WHEN var_pop(x) > 0 THEN sqrt(var_pop(x))
+                              ELSE 1.0 END AS sd
+                  FROM l GROUP BY 1)
+            SELECT l.vec_id, l.pos, round((l.x - s.mn) / s.sd, 4) AS zv
+            FROM l JOIN s USING (pos)
+        """,
+        "time_split": """
+            SELECT event_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00'
+                        THEN 'train'
+                        WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                        THEN 'embargo'
+                        ELSE 'test' END AS split
+            FROM events
         """,
         "mi_scores": """
             WITH l AS (

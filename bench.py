@@ -144,6 +144,16 @@ def main() -> None:
     bench("bm25_topk", lambda: run(all_qs["bm25_topk"](spark, sf_dir)))
     bench("chunk_documents",
           lambda: run(all_qs["chunk_documents"](spark, sf_dir)))
+    # r4 third-session additions: the fused feature-store assembly (three
+    # state tables, one shuffle), out-of-fold target encoding, and the
+    # shared-moments feature-selection pass (corr + MI)
+    bench("training_set",
+          lambda: run(all_qs["training_set"](spark, sf_dir)))
+    bench("target_encode",
+          lambda: run(all_qs["target_encode"](spark, sf_dir)))
+    bench("feature_corr",
+          lambda: run(all_qs["feature_corr"](spark, sf_dir)))
+    bench("mi_scores", lambda: run(all_qs["mi_scores"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(

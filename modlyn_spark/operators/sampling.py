@@ -226,3 +226,46 @@ def split_column(
     for name, edge in reversed(edges):
         expr = F.when(u < edge, F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    test_start,
+    *,
+    embargo: Column | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with an optional embargo gap.
+
+    Rows strictly before ``test_start`` are ``train``; rows inside
+    ``[test_start, test_start + embargo)`` are ``embargo`` (discard them —
+    they are the leakage buffer for features computed over trailing
+    windows: a rolling feature at test time must not overlap raw rows the
+    training set saw); rows at/after the embargo end are ``test``. With no
+    embargo, ``test`` starts exactly at ``test_start``.
+
+    This is the temporal counterpart of :func:`split_column`: that one
+    guarantees a KEY never crosses splits, this one guarantees a TIME
+    never does — chronological evaluation for the point-in-time feature
+    pipeline (BASELINE.json north_rule: zero temporal leakage). A pure
+    column expression: no shuffle, full pushdown on other predicates.
+
+    Args:
+        test_start: a literal/Column boundary comparable to ``ts_col``
+            (e.g. ``F.lit("2024-06-01").cast("timestamp")``).
+        embargo: optional gap width as an INTERVAL Column, e.g.
+            ``F.expr("INTERVAL 7 DAYS")``.
+    """
+    lo = test_start if isinstance(test_start, Column) else F.lit(test_start)
+    ts = F.col(ts_col)
+    if embargo is None:
+        expr = F.when(ts < lo, "train").otherwise("test")
+    else:
+        hi = lo + embargo
+        expr = (
+            F.when(ts < lo, "train")
+            .when(ts < hi, "embargo")
+            .otherwise("test")
+        )
+    return df.withColumn(out_col, expr)

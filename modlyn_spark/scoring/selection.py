@@ -87,6 +87,60 @@ def correlation_matrix(df: DataFrame, vec_col: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def fit_standardizer(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Global per-position (mean, std_pop) from one moments pass. A
+    constant feature gets std 1.0 (sklearn ``StandardScaler`` convention:
+    it centers to exactly 0 instead of dividing by 0)."""
+    _, mean, _, var = _stats(df, vec_col)
+    std = np.sqrt(var)
+    std[std == 0.0] = 1.0
+    return mean, std
+
+
+def apply_standardizer(
+    df: DataFrame,
+    vec_col: str,
+    mean: np.ndarray,
+    std: np.ndarray,
+    *,
+    out_col: str | None = None,
+    with_mean: bool = True,
+    with_std: bool = True,
+) -> DataFrame:
+    """Apply ``(x - mean) / std`` elementwise — pure JVM ``zip_with`` over
+    the array against literal parameter arrays (whole-stage codegen, no
+    Python in the transform path; fitting and serving can reuse the same
+    frozen (mean, std) across jobs). Practical for d up to a few thousand
+    (the literals live in the plan)."""
+    out_col = out_col or vec_col
+    expr = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if with_mean:
+        ma = F.array(*[F.lit(float(v)) for v in mean])
+        expr = F.zip_with(expr, ma, lambda x, m: x - m)
+    if with_std:
+        sa = F.array(*[F.lit(float(v)) for v in std])
+        expr = F.zip_with(expr, sa, lambda x, s: x / s)
+    return df.withColumn(out_col, expr)
+
+
+def standardize(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    out_col: str | None = None,
+    with_mean: bool = True,
+    with_std: bool = True,
+) -> DataFrame:
+    """Fit + apply z-scoring in one call (the pre-logreg normalization
+    step). NULL vectors pass through unchanged by the fit and transform
+    to NULL."""
+    mean, std = fit_standardizer(df, vec_col)
+    return apply_standardizer(
+        df, vec_col, mean, std,
+        out_col=out_col, with_mean=with_mean, with_std=with_std,
+    )
+
+
 def mutual_information(
     df: DataFrame,
     vec_col: str,

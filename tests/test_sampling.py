@@ -234,3 +234,56 @@ def test_hash_sample_pandas_twin(spark):
         for r in hash_sample(_docs(spark), ["doc_id"], 0.4).select("doc_id").collect()
     )
     assert got == sorted(keep.tolist())
+
+
+# ---------------------------------------------------------------------------
+# temporal split with embargo
+# ---------------------------------------------------------------------------
+
+
+def test_time_split_partitions_and_embargo(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.sampling import time_split
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(100),
+            "ts": pd.date_range("2024-01-01", periods=100, freq="D"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cut = F.lit("2024-03-01").cast("timestamp")
+    out = time_split(
+        df, "ts", cut, embargo=F.expr("INTERVAL 7 DAYS")
+    ).toPandas()
+    cutoff = pd.Timestamp("2024-03-01")
+    assert (out.loc[out["ts"] < cutoff, "split"] == "train").all()
+    emb = (out["ts"] >= cutoff) & (out["ts"] < cutoff + pd.Timedelta(days=7))
+    assert (out.loc[emb, "split"] == "embargo").all()
+    assert (out.loc[out["ts"] >= cutoff + pd.Timedelta(days=7), "split"]
+            == "test").all()
+    assert set(out["split"]) == {"train", "embargo", "test"}
+    # every row assigned exactly once; boundaries leak nowhere
+    assert out["split"].notna().all()
+    # no embargo: test starts exactly at the cutoff
+    out2 = time_split(df, "ts", cut).toPandas()
+    assert (out2.loc[out2["ts"] >= cutoff, "split"] == "test").all()
+    assert set(out2["split"]) == {"train", "test"}
+
+
+def test_time_split_on_real_ntz_parquet(spark):
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.sampling import time_split
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    med = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp_ltz) as long), 0.5) p"
+    ).collect()[0]["p"]
+    cut = F.timestamp_seconds(F.lit(float(med))).cast("timestamp_ntz")
+    out = time_split(ev, "ts", cut, embargo=F.expr("INTERVAL 1 DAY"))
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0

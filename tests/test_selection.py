@@ -84,3 +84,51 @@ def test_prune_prefers_higher_score(spark, mat):
     scores.loc[3, "score"] = 5.0  # now the near-dup outranks col 1
     kept = redundancy_prune(corr, spark.createDataFrame(scores), threshold=0.95)
     assert 3 in kept and 1 not in kept
+
+
+# ---------------------------------------------------------------------------
+# standardization
+# ---------------------------------------------------------------------------
+
+
+def test_standardize_matches_sklearn_convention(spark, mat):
+    from modlyn_spark.scoring.selection import standardize
+
+    out = standardize(_df(spark, mat), "vec").toPandas().sort_values("vid")
+    Z = np.stack(out["vec"].to_numpy())
+    mu, sd = mat.mean(axis=0), mat.std(axis=0)
+    sd_adj = np.where(sd == 0, 1.0, sd)
+    np.testing.assert_allclose(Z, (mat - mu) / sd_adj, rtol=1e-9, atol=1e-12)
+    # constant column centers to exactly 0 (std->1 convention)
+    np.testing.assert_allclose(Z[:, 9], 0.0, atol=1e-12)
+    np.testing.assert_allclose(Z.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_standardize_jvm_only_plan(spark, mat):
+    """The transform must stay inside whole-stage codegen: no Arrow/Python
+    eval nodes in the plan."""
+    from modlyn_spark.scoring.selection import fit_standardizer, apply_standardizer
+
+    df = _df(spark, mat)
+    mean, std = fit_standardizer(df, "vec")
+    out = apply_standardizer(df, "vec", mean, std, out_col="z")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_standardizer_serving_reuse(spark, mat):
+    """Frozen (mean, std) from a fit applies identically to new data —
+    the train-time/serve-time contract."""
+    from modlyn_spark.scoring.selection import apply_standardizer, fit_standardizer
+
+    df = _df(spark, mat)
+    mean, std = fit_standardizer(df, "vec")
+    fresh = mat[:5] * 2.0 + 1.0
+    out = apply_standardizer(
+        _df(spark, fresh), "vec", mean, std
+    ).toPandas().sort_values("vid")
+    Z = np.stack(out["vec"].to_numpy())
+    sd_adj = np.where(mat.std(axis=0) == 0, 1.0, mat.std(axis=0))
+    np.testing.assert_allclose(
+        Z, (fresh - mat.mean(axis=0)) / sd_adj, rtol=1e-9, atol=1e-12
+    )
