@@ -1135,6 +1135,22 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI feature drift between two embedding snapshots (even vs odd
+    vec_id; scoring/selection.py psi_scores): bins frozen on the
+    reference min/max, edge-bin clamping, eps-floored proportions —
+    all replayed verbatim in the DuckDB oracle."""
+    from modlyn_spark.scoring.selection import psi_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = psi_scores(
+        emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1"),
+        "embedding", bins=10,
+    )
+    return out.select("pos", "n_ref", "n_new",
+                      F.round("psi", 4).alias("psi"))
+
+
 def q_standardize(spark, sf_dir):
     """Global z-scoring (scoring/selection.py): moments fit + pure-JVM
     zip_with transform, emitted long-form for the oracle. Oracle: DuckDB
@@ -1944,6 +1960,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "standardize": q_standardize,
         "time_split": q_time_split,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -2828,6 +2845,38 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT a.pos AS f1, b.pos AS f2, round(corr(a.x, b.x), 4) AS corr
             FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.pos < b.pos
             GROUP BY 1, 2
+        """,
+        "psi_drift": """
+            WITH l AS (
+              SELECT vec_id, g.i AS pos,
+                     CAST(embedding[g.i + 1] AS DOUBLE) AS x,
+                     vec_id % 2 = 0 AS is_ref
+              FROM embeddings, (SELECT unnest(range(0, 64)) AS i) g
+              WHERE embedding IS NOT NULL),
+            e AS (SELECT pos, min(x) AS mn, max(x) AS mx
+                  FROM l WHERE is_ref GROUP BY 1),
+            b AS (SELECT l.pos, l.is_ref,
+                         LEAST(GREATEST(CAST(floor((l.x - e.mn) /
+                             (CASE WHEN e.mx > e.mn
+                                   THEN (e.mx - e.mn) / 10.0
+                                   ELSE 1.0 END)) AS BIGINT), 0), 9) AS bin
+                  FROM l JOIN e USING (pos)),
+            cnt AS (SELECT pos, bin,
+                           sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cp,
+                           sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS cq
+                    FROM b GROUP BY 1, 2),
+            n AS (SELECT pos, sum(cp) AS np, sum(cq) AS nq
+                  FROM cnt GROUP BY 1)
+            SELECT c.pos,
+                   CAST(max(n.np) AS BIGINT) AS n_ref,
+                   CAST(max(n.nq) AS BIGINT) AS n_new,
+                   round(sum(
+                       (GREATEST(c.cp * 1.0 / n.np, 1e-06)
+                        - GREATEST(c.cq * 1.0 / n.nq, 1e-06))
+                       * ln(GREATEST(c.cp * 1.0 / n.np, 1e-06)
+                            / GREATEST(c.cq * 1.0 / n.nq, 1e-06))), 4) AS psi
+            FROM cnt c JOIN n USING (pos)
+            GROUP BY 1
         """,
         "standardize": """
             WITH l AS (

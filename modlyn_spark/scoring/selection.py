@@ -191,12 +191,7 @@ def mutual_information(
     lab_idx = {v: i for i, v in enumerate(labels)}
     nl = len(labels)
 
-    row = base.agg(
-        *[F.min(F.col("__v")[i]).alias(f"mn{i}") for i in range(d)],
-        *[F.max(F.col("__v")[i]).alias(f"mx{i}") for i in range(d)],
-    ).collect()[0]
-    mn = np.array([row[f"mn{i}"] for i in range(d)], dtype=np.float64)
-    mx = np.array([row[f"mx{i}"] for i in range(d)], dtype=np.float64)
+    mn, mx = _minmax(base, d)
     w = np.where(mx > mn, (mx - mn) / float(bins), 1.0)
 
     schema = StructType(
@@ -249,6 +244,107 @@ def mutual_information(
     mi = np.maximum(terms.sum(axis=(0, 2)), 0.0)
     pdf = pd.DataFrame(
         {"pos": np.arange(d, dtype=np.int64), "n": np.int64(n), "mi": mi}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _minmax(base: DataFrame, d: int) -> tuple[np.ndarray, np.ndarray]:
+    row = base.agg(
+        *[F.min(F.col("__v")[i]).alias(f"mn{i}") for i in range(d)],
+        *[F.max(F.col("__v")[i]).alias(f"mx{i}") for i in range(d)],
+    ).collect()[0]
+    mn = np.array([row[f"mn{i}"] for i in range(d)], dtype=np.float64)
+    mx = np.array([row[f"mx{i}"] for i in range(d)], dtype=np.float64)
+    return mn, mx
+
+
+def _hist_tensor(
+    base: DataFrame, d: int, bins: int, mn: np.ndarray, w: np.ndarray
+) -> np.ndarray:
+    """(d, bins) histogram counts: one Arrow pass of per-partition
+    tensors, tree-combined. Values outside [mn, mx] clamp to edge bins."""
+    from typing import Iterator
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from modlyn_spark.operators.combine import collect_partials
+
+    schema = StructType(
+        [StructField("pid", LongType()), StructField("t", ArrayType(LongType()))]
+    )
+    offs = np.arange(d, dtype=np.int64) * bins
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t = np.zeros(d * bins, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            B = np.clip(np.floor((X - mn) / w).astype(np.int64), 0, bins - 1)
+            t += np.bincount((B + offs).ravel(), minlength=d * bins)
+        if seen:
+            yield pd.DataFrame({"pid": [pid], "t": [t.tolist()]})
+
+    out = np.zeros(d * bins, dtype=np.int64)
+    for r in collect_partials(base.mapInPandas(partials, schema=schema)):
+        out += np.asarray(r["t"], dtype=np.int64)
+    return out.reshape(d, bins)
+
+
+def psi_scores(
+    ref: DataFrame,
+    new: DataFrame,
+    vec_col: str,
+    *,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per feature position between a reference
+    snapshot (training distribution) and a new one (serving / next corpus
+    epoch): ``PSI = Σ_b (p_b - q_b) · ln(p_b / q_b)`` over equal-width
+    bins FROZEN on the reference min/max (the standard drift monitor;
+    PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action). New-side
+    values outside the reference range clamp into the edge bins; empty
+    bins are floored at ``eps`` (``max(c/n, eps)``) so the log is finite
+    — both rules reproduced verbatim in the SQL oracle.
+
+    Two JVM min/max expressions + one Arrow histogram-tensor pass per
+    side, tree-combined: nothing row-shaped ever shuffles.
+    """
+    from modlyn_spark.operators.similarity import _vec_dim
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    spark = SparkSession.getActiveSession()
+    r = ref.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v")
+    )
+    q = new.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v")
+    )
+    d = _vec_dim(r, "__v")
+    mn, mx = _minmax(r, d)
+    w = np.where(mx > mn, (mx - mn) / float(bins), 1.0)
+    tp = _hist_tensor(r, d, bins, mn, w)
+    tq = _hist_tensor(q, d, bins, mn, w)
+    np_, nq = tp.sum(axis=1), tq.sum(axis=1)
+    if np_.min() < 1 or nq.min() < 1:
+        raise ValueError("both sides need at least one row")
+    p = np.maximum(tp / np_[:, None].astype(np.float64), eps)
+    qd = np.maximum(tq / nq[:, None].astype(np.float64), eps)
+    psi = ((p - qd) * np.log(p / qd)).sum(axis=1)
+    pdf = pd.DataFrame(
+        {
+            "pos": np.arange(d, dtype=np.int64),
+            "n_ref": np_.astype(np.int64),
+            "n_new": nq.astype(np.int64),
+            "psi": psi,
+        }
     )
     return spark.createDataFrame(pdf)
 

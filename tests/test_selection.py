@@ -132,3 +132,70 @@ def test_standardizer_serving_reuse(spark, mat):
     np.testing.assert_allclose(
         Z, (fresh - mat.mean(axis=0)) / sd_adj, rtol=1e-9, atol=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def _psi_twin(R, Q, bins=10, eps=1e-6):
+    mn, mx = R.min(axis=0), R.max(axis=0)
+    w = np.where(mx > mn, (mx - mn) / bins, 1.0)
+    out = np.empty(R.shape[1])
+    for j in range(R.shape[1]):
+        bp = np.clip(np.floor((R[:, j] - mn[j]) / w[j]).astype(int), 0, bins - 1)
+        bq = np.clip(np.floor((Q[:, j] - mn[j]) / w[j]).astype(int), 0, bins - 1)
+        p = np.maximum(np.bincount(bp, minlength=bins) / len(R), eps)
+        q = np.maximum(np.bincount(bq, minlength=bins) / len(Q), eps)
+        out[j] = ((p - q) * np.log(p / q)).sum()
+    return out
+
+
+def test_psi_matches_twin_and_detects_drift(spark):
+    from modlyn_spark.scoring.selection import psi_scores
+
+    rng = np.random.default_rng(17)
+    n, d = 800, 6
+    R = rng.normal(0, 1, (n, d))
+    Q = rng.normal(0, 1, (n, d))
+    Q[:, 2] += 2.0          # mean shift
+    Q[:, 4] *= 3.0          # variance blow-up (mass into clamp bins)
+    got = (
+        psi_scores(_df(spark, R), _df(spark, Q), "vec")
+        .toPandas()
+        .sort_values("pos")
+    )
+    exp = _psi_twin(R, Q)
+    np.testing.assert_allclose(got["psi"], exp, rtol=1e-10, atol=1e-12)
+    assert (got["n_ref"] == n).all() and (got["n_new"] == n).all()
+    stable = [0, 1, 3, 5]
+    assert got["psi"].iloc[stable].max() < 0.1      # undrifted features
+    assert got["psi"].iloc[2] > 0.25                # shifted feature flags
+    assert got["psi"].iloc[4] > 0.25
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from modlyn_spark.scoring.selection import psi_scores
+
+    rng = np.random.default_rng(23)
+    R = rng.normal(0, 1, (1000, 4))
+    got = (
+        psi_scores(_df(spark, R), _df(spark, R.copy()), "vec")
+        .toPandas()["psi"]
+    )
+    np.testing.assert_allclose(got, 0.0, atol=1e-12)  # same rows: exact 0
+
+
+def test_psi_partition_invariance(spark):
+    from modlyn_spark.scoring.selection import psi_scores
+
+    rng = np.random.default_rng(29)
+    R, Q = rng.normal(0, 1, (300, 5)), rng.normal(0.5, 1, (300, 5))
+    a = psi_scores(
+        _df(spark, R).coalesce(1), _df(spark, Q).coalesce(1), "vec"
+    ).toPandas().sort_values("pos")["psi"].to_numpy()
+    b = psi_scores(
+        _df(spark, R).repartition(8), _df(spark, Q).repartition(3), "vec"
+    ).toPandas().sort_values("pos")["psi"].to_numpy()
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)
