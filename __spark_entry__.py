@@ -1135,6 +1135,21 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id")
 
 
+def q_compact_history(spark, sf_dir):
+    """State-history compaction (operators/windows.py compact_history):
+    keep each user's event_type CHANGE rows only — as-of joins against
+    the compacted table are provably identical (test_windows). Oracle:
+    lag + IS DISTINCT FROM in DuckDB."""
+    from modlyn_spark.operators.windows import compact_history
+
+    ev = _events(spark, sf_dir)
+    out = compact_history(
+        ev, "user_id", "ts",
+        payload_cols=["event_type"], tiebreak=["event_id"],
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI feature drift between two embedding snapshots (even vs odd
     vec_id; scoring/selection.py psi_scores): bins frozen on the
@@ -1961,6 +1976,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardize": q_standardize,
         "time_split": q_time_split,
         "psi_drift": q_psi_drift,
+        "compact_history": q_compact_history,
     }
 
 
@@ -2845,6 +2861,17 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT a.pos AS f1, b.pos AS f2, round(corr(a.x, b.x), 4) AS corr
             FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.pos < b.pos
             GROUP BY 1, 2
+        """,
+        "compact_history": """
+            WITH w AS (
+              SELECT event_id, user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev,
+                     row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT event_id, user_id, event_type FROM w
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev
         """,
         "psi_drift": """
             WITH l AS (

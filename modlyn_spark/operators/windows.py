@@ -200,3 +200,53 @@ def rolling_stats(
         .withColumn(f"{p}_max", F.max(x).over(w))
         .withColumn(f"{p}_var", var)
     )
+
+
+def compact_history(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str,
+    *,
+    payload_cols: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Collapse an entity-state history to its CHANGE rows: keep each
+    key's first row and every row whose payload differs (null-safely)
+    from the previous row in ``(ts, tiebreak)`` order.
+
+    Feature-store state tables are typically snapshot dumps where most
+    rows repeat the previous state verbatim; as-of joining against the
+    compacted table produces identical results (the carried-forward
+    payload is unchanged by dropping repeats) while shrinking the state
+    side — often by orders of magnitude — before the shuffle.
+
+    Pure window + filter: one shuffle on the key, whole-stage codegen,
+    no Python. The payload comparison wraps all columns in ONE struct and
+    uses null-safe equality, so a NULL field is "same state" only against
+    another NULL.
+
+    Args:
+        payload_cols: state columns to compare (default: everything
+            except the key(s), ``ts_col`` and ``tiebreak``).
+        tiebreak: extra ordering columns for rows sharing (key, ts) —
+            supply one whenever (key, ts) can repeat, or the kept set is
+            partition-order dependent.
+    """
+    on = _as_list(on)
+    tiebreak = list(tiebreak or [])
+    if payload_cols is None:
+        drop = set(on) | {ts_col} | set(tiebreak)
+        payload_cols = [c for c in df.columns if c not in drop]
+    if not payload_cols:
+        raise ValueError("payload_cols must not be empty")
+    w = Window.partitionBy(*on).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    cur = F.struct(*[F.col(c) for c in payload_cols])
+    prev = F.lag(cur).over(w)
+    keep = prev.isNull() | ~cur.eqNullSafe(prev)
+    return (
+        df.withColumn("__keep", keep)
+        .where(F.col("__keep"))
+        .drop("__keep")
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from modlyn_spark.operators.windows import (
     backfill,
@@ -145,3 +146,73 @@ def test_rolling_range_window(spark, events_pdf):
         got["value_roll_mean"].fillna(-1).values,
         pd.Series(exp_mean).fillna(-1).values,
     )
+
+
+# ---------------------------------------------------------------------------
+# state-history compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compact_history_keeps_change_rows(spark):
+    import pandas as pd
+
+    from modlyn_spark.operators.windows import compact_history
+
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 6 + ["b"] * 3,
+            "ts": pd.date_range("2024-01-01", periods=6, freq="h").tolist()
+            + pd.date_range("2024-01-01", periods=3, freq="h").tolist(),
+            "state": ["x", "x", "y", "y", "y", "x", None, None, "z"],
+            "v": [1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 5.0, 5.0, 5.0],
+        }
+    )
+    out = (
+        compact_history(spark.createDataFrame(pdf), "key", "ts")
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    # a: x@0 (first), y@2 (state flip), (y,2.0)@3 (v flip), x@5; b: null@0, z@2
+    assert len(out) == 6
+    assert out[out["key"] == "a"]["state"].tolist() == ["x", "y", "y", "x"]
+    assert out[out["key"] == "b"]["state"].tolist()[0] is None
+    # null == null is "same state": the second (None, 5.0) row dropped
+    assert len(out[out["key"] == "b"]) == 2
+
+
+def test_compact_history_preserves_asof_semantics(spark, events_pdf, probes_pdf):
+    """As-of joining the compacted state table must give the same answer
+    as joining the full history (the whole point of compacting)."""
+    from modlyn_spark.operators.asof import asof_join
+    from modlyn_spark.operators.windows import compact_history
+
+    right = spark.createDataFrame(
+        events_pdf.groupby(["key", "ts"], as_index=False).last()
+    )
+    # quantize values so consecutive-equal states actually occur
+    right = right.selectExpr(
+        "key", "ts", "cast(round(value, 0) as double) AS value"
+    )
+    left = spark.createDataFrame(probes_pdf)
+    full = asof_join(
+        left, right, on="key", left_ts="feature_ts", right_ts="ts",
+        right_cols=["value"], strategy="union",
+    ).toPandas().sort_values("probe_id").reset_index(drop=True)
+    compacted = compact_history(right, "key", "ts")
+    assert compacted.count() < right.count()
+    cmp = asof_join(
+        left, compacted, on="key", left_ts="feature_ts", right_ts="ts",
+        right_cols=["value"], strategy="union",
+    ).toPandas().sort_values("probe_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(full["value"], cmp["value"])
+
+
+def test_compact_history_validation(spark):
+    import pandas as pd
+
+    from modlyn_spark.operators.windows import compact_history
+
+    df = spark.createDataFrame(pd.DataFrame({"key": ["a"], "ts": [1]}))
+    with pytest.raises(ValueError, match="payload_cols"):
+        compact_history(df, "key", "ts")
