@@ -1150,6 +1150,44 @@ def q_compact_history(spark, sf_dir):
     return out.select("event_id", "user_id", "event_type")
 
 
+def q_training_table(spark, sf_dir):
+    """The COMPOSED point-in-time training-table pipeline
+    (plans/feature_pipeline.py make_training_table): state compaction →
+    fused as-of assembly → staleness-age feature → embargoed temporal
+    split → md5 CV folds. Oracle: compaction (lag + IS DISTINCT FROM),
+    a DuckDB ASOF join, epoch-diff age, the same CASE boundaries and
+    fold hash arithmetic — the full composition in one SQL statement."""
+    from modlyn_spark.operators.training_set import FeatureSpec
+    from modlyn_spark.plans.feature_pipeline import make_training_table
+
+    out = make_training_table(
+        _probes(spark, sf_dir),
+        [
+            FeatureSpec(
+                df=_purchase_state(spark, sf_dir), ts="ts",
+                cols=["purchase_value"], matched_ts_col="state_ts",
+            )
+        ],
+        on="user_id",
+        spine_ts="feature_ts",
+        compact=True,
+        test_start=F.lit("2024-01-20 00:00:00").cast("timestamp_ntz"),
+        embargo=F.expr("INTERVAL 2 DAYS"),
+        n_folds=4,
+        fold_key_cols=["event_id"],
+        fold_salt="tt",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        "state_ts",
+        F.round("state_ts_age_sec", 4).alias("age_sec"),
+        "split",
+        "fold",
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI feature drift between two embedding snapshots (even vs odd
     vec_id; scoring/selection.py psi_scores): bins frozen on the
@@ -1977,6 +2015,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "psi_drift": q_psi_drift,
         "compact_history": q_compact_history,
+        "training_table": q_training_table,
     }
 
 
@@ -2872,6 +2911,37 @@ def retired_oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT event_id, user_id, event_type FROM w
             WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        """,
+        "training_table": f"""
+            WITH pu AS ({_PURCHASE_STATE_SQL}),
+            cp AS (
+              SELECT user_id, ts, purchase_value FROM (
+                SELECT user_id, ts, purchase_value,
+                       lag(purchase_value) OVER (PARTITION BY user_id
+                           ORDER BY ts) AS pv,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts) AS rn
+                FROM pu)
+              WHERE rn = 1 OR purchase_value IS DISTINCT FROM pv),
+            pr AS ({_PROBES_SQL}),
+            j AS (
+              SELECT pr.event_id, pr.user_id, pr.feature_ts,
+                     cp.purchase_value, cp.ts AS state_ts
+              FROM pr ASOF LEFT JOIN cp
+                ON pr.user_id = cp.user_id AND cp.ts <= pr.feature_ts)
+            SELECT event_id, user_id,
+                   round(purchase_value, 4) AS purchase_value,
+                   state_ts,
+                   round(epoch(feature_ts) - epoch(state_ts), 4) AS age_sec,
+                   CASE WHEN feature_ts < TIMESTAMP '2024-01-20 00:00:00'
+                        THEN 'train'
+                        WHEN feature_ts < TIMESTAMP '2024-01-22 00:00:00'
+                        THEN 'embargo'
+                        ELSE 'test' END AS split,
+                   CAST(floor(CAST(('0x' || substr(md5(
+                        CAST(event_id AS VARCHAR) || '|tt'), 1, 8))
+                        AS BIGINT) / 4294967296.0 * 4.0) AS BIGINT) AS fold
+            FROM j
         """,
         "psi_drift": """
             WITH l AS (
