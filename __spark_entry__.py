@@ -1188,6 +1188,23 @@ def q_training_table(spark, sf_dir):
     )
 
 
+def q_quantile_bins(spark, sf_dir):
+    """Exact equal-frequency binning + robust scaling
+    (operators/binning.py): distinct-value histogram, integer-div rank
+    arithmetic, type-1 quantiles — all replayed verbatim in DuckDB
+    (no approx_percentile sketch anywhere)."""
+    from modlyn_spark.operators.binning import quantile_bins, robust_scale
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = quantile_bins(orders, "o_totalprice", 8, precision=2)
+    out = robust_scale(out, "o_totalprice", precision=2)
+    return out.select(
+        "o_orderkey",
+        F.col("o_totalprice_bin").alias("bin"),
+        F.round("o_totalprice_robust", 4).alias("robust"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI feature drift between two embedding snapshots (even vs odd
     vec_id; scoring/selection.py psi_scores): bins frozen on the
@@ -2016,6 +2033,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "compact_history": q_compact_history,
         "training_table": q_training_table,
+        "quantile_bins": q_quantile_bins,
     }
 
 
@@ -2942,6 +2960,24 @@ def retired_oracle_sql() -> dict[str, str]:
                         CAST(event_id AS VARCHAR) || '|tt'), 1, 8))
                         AS BIGINT) / 4294967296.0 * 4.0) AS BIGINT) AS fold
             FROM j
+        """,
+        "quantile_bins": """
+            WITH t AS (SELECT o_orderkey, o_totalprice,
+                              round(o_totalprice, 2) AS v
+                       FROM orders),
+            h AS (SELECT v, count(*) AS c FROM t WHERE v IS NOT NULL
+                  GROUP BY v),
+            w AS (SELECT v, sum(c) OVER (ORDER BY v) - c AS a,
+                         sum(c) OVER (ORDER BY v) AS cum,
+                         sum(c) OVER () AS n FROM h),
+            q AS (SELECT min(CASE WHEN cum >= GREATEST(CAST(ceil(n * 250000 / 1000000.0) AS BIGINT), 1) THEN v END) AS q25,
+                         min(CASE WHEN cum >= GREATEST(CAST(ceil(n * 500000 / 1000000.0) AS BIGINT), 1) THEN v END) AS q50,
+                         min(CASE WHEN cum >= GREATEST(CAST(ceil(n * 750000 / 1000000.0) AS BIGINT), 1) THEN v END) AS q75
+                  FROM w)
+            SELECT t.o_orderkey, CAST((w.a * 8) // w.n AS BIGINT) AS bin,
+                   round((t.o_totalprice - q.q50) / (q.q75 - q.q25), 4)
+                       AS robust
+            FROM t JOIN w USING (v) CROSS JOIN q
         """,
         "psi_drift": """
             WITH l AS (
