@@ -1205,6 +1205,39 @@ def q_quantile_bins(spark, sf_dir):
     )
 
 
+def q_chi2_scores(spark, sf_dir):
+    """Chi-square feature-vs-label scoring (scoring/categorical.py):
+    one melted shuffle for all features, margins as window sums over the
+    cells aggregate, closed-form full-grid statistic. Oracle: identical
+    closed-form arithmetic in DuckDB."""
+    from modlyn_spark.scoring.categorical import chi2_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chi2_scores(docs, ["source", "lang"], "lang")
+    return out.select(
+        "feature", F.round("chi2", 4).alias("chi2"), "dof", "n"
+    )
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence encoding + information value
+    (scoring/categorical.py): smoothed per-category event shares against
+    the binary event lang='en'. Oracle: the same smoothing/log arithmetic
+    in DuckDB."""
+    from modlyn_spark.scoring.categorical import woe_iv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    woe, iv = woe_iv(docs, ["source"], "lang", positive="en", alpha=0.5)
+    return woe.join(iv, "feature").select(
+        "feature",
+        "value",
+        "n_pos",
+        "n_neg",
+        F.round("woe", 6).alias("woe"),
+        F.round("iv", 6).alias("iv"),
+    )
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI feature drift between two embedding snapshots (even vs odd
     vec_id; scoring/selection.py psi_scores): bins frozen on the
@@ -2034,6 +2067,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_history": q_compact_history,
         "training_table": q_training_table,
         "quantile_bins": q_quantile_bins,
+        "chi2_scores": q_chi2_scores,
+        "woe_iv": q_woe_iv,
     }
 
 
@@ -2978,6 +3013,50 @@ def retired_oracle_sql() -> dict[str, str]:
                    round((t.o_totalprice - q.q50) / (q.q75 - q.q25), 4)
                        AS robust
             FROM t JOIN w USING (v) CROSS JOIN q
+        """,
+        "chi2_scores": """
+            WITH m AS (
+              SELECT 'source' AS feature, source AS value, lang AS label
+              FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+              UNION ALL
+              SELECT 'lang', lang, lang FROM documents
+              WHERE lang IS NOT NULL),
+            cells AS (SELECT feature, value, label, count(*) AS c
+                      FROM m GROUP BY 1, 2, 3),
+            g AS (SELECT feature, value, label, c,
+                         sum(c) OVER (PARTITION BY feature, value) AS rt,
+                         sum(c) OVER (PARTITION BY feature, label) AS ct,
+                         sum(c) OVER (PARTITION BY feature) AS n
+                  FROM cells)
+            SELECT feature,
+                   round(sum(CAST(c AS DOUBLE) * c * n / (rt * ct))
+                         - CAST(max(n) AS DOUBLE), 4) AS chi2,
+                   CAST((count(DISTINCT value) - 1)
+                        * (count(DISTINCT label) - 1) AS BIGINT) AS dof,
+                   CAST(max(n) AS BIGINT) AS n
+            FROM g GROUP BY feature
+        """,
+        "woe_iv": """
+            WITH pv AS (
+              SELECT 'source' AS feature, source AS value,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+                     sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+              FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY 1, 2),
+            j AS (SELECT feature, value, n_pos, n_neg,
+                         (n_pos + 0.5) / (sum(n_pos) OVER (PARTITION BY feature)
+                             + 0.5 * count(*) OVER (PARTITION BY feature)) AS p,
+                         (n_neg + 0.5) / (sum(n_neg) OVER (PARTITION BY feature)
+                             + 0.5 * count(*) OVER (PARTITION BY feature)) AS q
+                  FROM pv)
+            SELECT feature, value,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   round(ln(p / q), 6) AS woe,
+                   round(sum((p - q) * ln(p / q))
+                         OVER (PARTITION BY feature), 6) AS iv
+            FROM j
         """,
         "psi_drift": """
             WITH l AS (
