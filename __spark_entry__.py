@@ -1205,6 +1205,31 @@ def q_quantile_bins(spark, sf_dir):
     )
 
 
+def q_image_features(spark, sf_dir):
+    """Pixel-level image quality features (functions/image_features.py):
+    blur (variance of Laplacian), gradient energy, luma entropy,
+    Hasler-Süsstrunk colorfulness, exposure/contrast — decoded
+    Arrow-batched, bytes never shuffle, corrupt payloads surface as
+    decode_ok=False rows. Oracle: the INDEPENDENT numpy twin
+    (oracle_image_features — np.roll Laplacian, dot-product luma,
+    np.unique entropy) over the same fixture corpus."""
+    from modlyn_spark.functions.image_features import image_quality_features
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    out = image_quality_features(images)
+    return out.select(
+        "image_id",
+        "version",
+        "decode_ok",
+        F.round("brightness", 4).alias("brightness"),
+        F.round("contrast", 4).alias("contrast"),
+        F.round("blur_var", 4).alias("blur_var"),
+        F.round("grad_energy", 4).alias("grad_energy"),
+        F.round("entropy_bits", 4).alias("entropy_bits"),
+        F.round("colorfulness", 4).alias("colorfulness"),
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -2069,6 +2094,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins": q_quantile_bins,
         "chi2_scores": q_chi2_scores,
         "woe_iv": q_woe_iv,
+        "image_features": q_image_features,
     }
 
 
@@ -3057,6 +3083,11 @@ def retired_oracle_sql() -> dict[str, str]:
                    round(sum((p - q) * ln(p / q))
                          OVER (PARTITION BY feature), 6) AS iv
             FROM j
+        """,
+        "image_features": f"""
+            SELECT image_id, version, decode_ok, brightness, contrast,
+                   blur_var, grad_energy, entropy_bits, colorfulness
+            FROM read_parquet('{_FIXTURES}/image_features_expected.parquet')
         """,
         "psi_drift": """
             WITH l AS (

@@ -154,6 +154,13 @@ def main() -> None:
     bench("feature_corr",
           lambda: run(all_qs["feature_corr"](spark, sf_dir)))
     bench("mi_scores", lambda: run(all_qs["mi_scores"](spark, sf_dir)))
+    # r4 fourth-session additions: the composed training-table plan
+    # (compaction + fused as-of + age/split/fold) and exact histogram
+    # binning + robust scaling
+    bench("training_table",
+          lambda: run(all_qs["training_table"](spark, sf_dir)))
+    bench("quantile_bins",
+          lambda: run(all_qs["quantile_bins"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -542,3 +542,50 @@ def oracle_hashed_features(
         if total:
             X[r] /= total
     return X
+
+
+def oracle_image_features(px: "np.ndarray") -> dict:
+    """Independent twin of functions.image_features.pixel_features:
+    np.roll-based Laplacian, dot-product luma, np.unique entropy,
+    moment-form variances — a different formulation of every feature
+    (reference gate for the image_features fixture)."""
+    a = np.asarray(px, dtype=np.float64)
+    if a.ndim == 3:
+        luma = a @ np.array([0.299, 0.587, 0.114])
+    else:
+        luma = a
+    h, w = luma.shape
+    n = luma.size
+    mu = luma.sum() / n
+    var = (luma * luma).sum() / n - mu * mu
+    out = {"brightness": mu, "contrast": float(np.sqrt(max(var, 0.0)))}
+    if h >= 3 and w >= 3:
+        lap = 4.0 * luma - (
+            np.roll(luma, 1, 0) + np.roll(luma, -1, 0)
+            + np.roll(luma, 1, 1) + np.roll(luma, -1, 1)
+        )
+        inner = lap[1:-1, 1:-1]
+        out["blur_var"] = float(inner.var())
+    else:
+        out["blur_var"] = None
+    gx = np.abs(luma[:, 1:] - luma[:, :-1]).mean() if w >= 2 else 0.0
+    gy = np.abs(luma[1:, :] - luma[:-1, :]).mean() if h >= 2 else 0.0
+    out["grad_energy"] = float(gx + gy)
+    if a.ndim == 3:
+        i64 = np.asarray(px, dtype=np.int64)
+        ibin = (i64 @ np.array([299, 587, 114], dtype=np.int64)) // 1000
+    else:
+        ibin = np.asarray(px, dtype=np.int64)
+    vals, counts = np.unique(ibin, return_counts=True)
+    p = counts.astype(np.float64) / n
+    out["entropy_bits"] = float(-(p * np.log2(p)).sum())
+    if a.ndim == 3:
+        rg = a[..., 0] - a[..., 1]
+        yb = (a[..., 0] + a[..., 1]) / 2.0 - a[..., 2]
+        out["colorfulness"] = float(
+            np.sqrt(rg.var() + yb.var())
+            + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+        )
+    else:
+        out["colorfulness"] = 0.0
+    return out

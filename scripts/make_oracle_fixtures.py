@@ -293,6 +293,49 @@ def make_images_curation_input() -> str:
     return out
 
 
+def make_image_features_fixture() -> str:
+    """Expected quality-feature rows for q_image_features: the
+    INDEPENDENT twin (oracle_image_features — np.roll Laplacian,
+    dot-product luma, np.unique entropy) over every row of the
+    images_curation_input fixture. Decode failures (bad fmt / NULL or
+    corrupt bytes) become decode_ok=False rows with NULL features,
+    mirroring the engine's row-not-failure contract."""
+    from modlyn_spark.functions.image import decode_bytes
+    from modlyn_spark.oracle.pandas_oracle import oracle_image_features
+
+    src = pd.read_parquet(
+        os.path.join(FIXTURE_DIR, "images_curation_input.parquet")
+    )
+    feats = ["brightness", "contrast", "blur_var", "grad_energy",
+             "entropy_bits", "colorfulness"]
+    recs = []
+    for _, r in src.iterrows():
+        rec = {
+            "image_id": r["image_id"],
+            "version": int(r["version"]),
+            "decode_ok": False,
+            **{k: None for k in feats},
+        }
+        try:
+            if r["bytes"] is not None:
+                px = decode_bytes(bytes(r["bytes"]), r["fmt"])
+                o = oracle_image_features(px)
+                rec.update(
+                    {k: (None if o[k] is None else round(o[k], 4))
+                     for k in feats}
+                )
+                rec["decode_ok"] = True
+        except Exception:  # noqa: BLE001
+            pass
+        recs.append(rec)
+    out_df = pd.DataFrame(recs)
+    for k in feats:
+        out_df[k] = out_df[k].astype("float64")
+    out = os.path.join(FIXTURE_DIR, "image_features_expected.parquet")
+    out_df.to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
@@ -311,6 +354,8 @@ def main() -> int:
     print(f"wrote {p6} ({len(pd.read_parquet(p6))} rows)")
     p7 = make_quality_classifier_fixture()
     print(f"wrote {p7}")
+    p8 = make_image_features_fixture()
+    print(f"wrote {p8} ({len(pd.read_parquet(p8))} rows)")
     return 0
 
 
