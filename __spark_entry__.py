@@ -1205,6 +1205,20 @@ def q_quantile_bins(spark, sf_dir):
     )
 
 
+def q_tfidf_vectors(spark, sf_dir):
+    """Smoothed TF-IDF document vectors (operators/retrieval.py
+    tfidf_vectors): sklearn semantics over the shared BM25 inverted
+    index, min_df=2, L2-normalized. Oracle: the same tokenize/count/idf/
+    window-norm arithmetic in DuckDB."""
+    from modlyn_spark.operators.retrieval import tfidf_vectors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_vectors(docs, min_df=2)
+    return out.select(
+        "doc_id", "token", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Pixel-level image quality features (functions/image_features.py):
     blur (variance of Laplacian), gradient energy, luma entropy,
@@ -2095,6 +2109,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_scores": q_chi2_scores,
         "woe_iv": q_woe_iv,
         "image_features": q_image_features,
+        "tfidf_vectors": q_tfidf_vectors,
     }
 
 
@@ -3088,6 +3103,27 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT image_id, version, decode_ok, brightness, contrast,
                    blur_var, grad_energy, entropy_bits, colorfulness
             FROM read_parquet('{_FIXTURES}/image_features_expected.parquet')
+        """,
+        "tfidf_vectors": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+              FROM documents),
+            p AS (SELECT doc_id, token, count(*) AS tf
+                  FROM tok GROUP BY 1, 2),
+            d AS (SELECT token, count(*) AS df FROM p GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM p),
+            raw AS (
+              SELECT p.doc_id, p.token,
+                     p.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0)
+                         AS r
+              FROM p JOIN d USING (token) CROSS JOIN n
+              WHERE d.df >= 2)
+            SELECT doc_id, token,
+                   round(r / sqrt(sum(r * r)
+                         OVER (PARTITION BY doc_id)), 6) AS tfidf
+            FROM raw
         """,
         "psi_drift": """
             WITH l AS (

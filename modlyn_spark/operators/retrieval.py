@@ -214,3 +214,62 @@ def rrf_fuse(
     if k is not None:
         out = out.where(F.col("rank") <= int(k))
     return out.select(query_col, doc_col, "rrf", "rank")
+
+
+def tfidf_vectors(
+    docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+    l2_norm: bool = True,
+) -> DataFrame:
+    """Smoothed TF-IDF document vectors in long form
+    ``(id, token, tfidf)`` — sklearn ``TfidfVectorizer`` semantics:
+
+        idf(t)     = ln((1 + N) / (1 + df(t))) + 1      (smooth_idf)
+        tfidf(t,d) = tf(t,d) · idf(t)                    (raw-count tf)
+
+    then (default) L2-normalized per document. ``N`` counts documents
+    that produced at least one token (the docs visible to the index).
+
+    Reuses the BM25 inverted index verbatim — pass ``index=`` the
+    triple from :func:`build_index` to serve BM25 AND TF-IDF from one
+    build; otherwise the index is built from ``docs``. ``min_df`` /
+    ``max_df_frac`` prune rare / stop tokens (the cap stays auditable in
+    ``dfreq``, see :func:`build_index`).
+
+    Plan: the postings/dfreq groupBys are the only data shuffles
+    (map-side combinable); the idf join is token-keyed (AQE broadcasts
+    small vocabularies); L2 is one window over the postings keyed by
+    document. The output composes directly with
+    ``operators.similarity`` cosine via ``(token, tfidf)`` pairs.
+    """
+    if index is None:
+        if docs is None:
+            raise ValueError("pass docs or a prebuilt index")
+        index = build_index(
+            docs, id_col, text_col, max_df_frac=max_df_frac
+        )
+    postings, dfreq, stats = index
+    n_docs = stats.collect()[0]["n_docs"]  # one scalar, bounded
+    keep = dfreq.where(
+        (F.col("df") >= int(min_df)) & ~F.col("dropped")
+    ).select("token", "df")
+    idf = F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0
+    raw = postings.join(keep, "token").select(
+        id_col, "token", (F.col("tf") * idf).alias("__raw")
+    )
+    if not l2_norm:
+        return raw.withColumnRenamed("__raw", "tfidf")
+    w = Window.partitionBy(id_col)
+    return raw.select(
+        id_col,
+        "token",
+        (
+            F.col("__raw")
+            / F.sqrt(F.sum(F.col("__raw") * F.col("__raw")).over(w))
+        ).alias("tfidf"),
+    )

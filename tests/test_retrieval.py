@@ -9,7 +9,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from modlyn_spark.operators.retrieval import bm25_topk, build_index
+from modlyn_spark.operators.retrieval import bm25_topk, build_index, tfidf_vectors
 
 SF = "/root/testdata/sf0.001"
 
@@ -227,7 +227,7 @@ def test_rrf_hybrid_over_bm25_reformulations(spark):
     the gold doc at rank 1 when both runs retrieve it first."""
     import pandas as pd
 
-    from modlyn_spark.operators.retrieval import bm25_topk, build_index, rrf_fuse
+    from modlyn_spark.operators.retrieval import bm25_topk, build_index, tfidf_vectors, rrf_fuse
 
     docs = spark.createDataFrame(
         pd.DataFrame(
@@ -254,3 +254,55 @@ def test_rrf_hybrid_over_bm25_reformulations(spark):
     ).toPandas()
     assert fused[fused["rank"] == 1]["doc_id"].iloc[0] in (0, 3)
     assert set(fused["doc_id"]) <= {0, 1, 3}
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+
+def _sk_tfidf(pdf, min_df=1):
+    """Independent sklearn-semantics twin (raw-count tf, smooth idf, l2)."""
+    import re
+    from collections import Counter
+
+    docs = {r.doc_id: Counter(re.findall(r"[a-z0-9]+", r.text.lower()))
+            for r in pdf.itertuples()}
+    docs = {k: v for k, v in docs.items() if v}
+    n = len(docs)
+    df = Counter(t for c in docs.values() for t in c)
+    out = {}
+    for d, c in docs.items():
+        vec = {
+            t: tf * (np.log((1 + n) / (1 + df[t])) + 1)
+            for t, tf in c.items() if df[t] >= min_df
+        }
+        norm = np.sqrt(sum(v * v for v in vec.values()))
+        out[d] = {t: v / norm for t, v in vec.items()}
+    return out
+
+
+def test_tfidf_matches_twin_and_is_unit_norm(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+    got = tfidf_vectors(docs).collect()
+    exp = _sk_tfidf(docs.select("doc_id", "text").toPandas())
+    assert len(got) == sum(len(v) for v in exp.values())
+    for r in got:
+        assert r["tfidf"] == pytest.approx(exp[r["doc_id"]][r["token"]]), (
+            r["doc_id"], r["token"])
+    norms = {}
+    for r in got:
+        norms[r["doc_id"]] = norms.get(r["doc_id"], 0.0) + r["tfidf"] ** 2
+    assert all(abs(v - 1.0) < 1e-9 for v in norms.values())
+
+
+def test_tfidf_min_df_and_shared_index(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    idx = build_index(docs)
+    a = tfidf_vectors(index=idx, min_df=3).collect()
+    exp = _sk_tfidf(docs.select("doc_id", "text").toPandas(), min_df=3)
+    assert len(a) == sum(len(v) for v in exp.values()) > 0
+    # rare terms (df < 3) pruned
+    seen_tokens = {r["token"] for r in a}
+    dfreq = {r["token"]: r["df"] for r in idx[1].collect()}
+    assert all(dfreq[t] >= 3 for t in seen_tokens)
+    with pytest.raises(ValueError):
+        tfidf_vectors()
