@@ -1205,6 +1205,55 @@ def q_quantile_bins(spark, sf_dir):
     )
 
 
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC (scoring/metrics.py roc_auc):
+    Mann-Whitney rank form over a distinct-score histogram — the rank
+    window runs over distinct scores, never rows. Score = embedding[0],
+    event = label 0. Oracle: the identical histogram/rank arithmetic in
+    DuckDB."""
+    from modlyn_spark.scoring.metrics import roc_auc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = roc_auc(
+        emb.select(
+            F.col("embedding")[0].cast("double").alias("score"), "label"
+        ),
+        "score",
+        "label",
+        positive=0,
+        precision=4,
+    )
+    return out.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
+
+
+def q_calibration(spark, sf_dir):
+    """Reliability table + expected calibration error
+    (scoring/metrics.py calibration_report): equal-width probability
+    bins over p = embedding[0] + 0.5 (an exact-arithmetic [0,1] score),
+    event = label 0. Oracle: the same bin/average/ECE arithmetic in
+    DuckDB."""
+    from modlyn_spark.scoring.metrics import calibration_report
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = calibration_report(
+        emb.select(
+            (F.col("embedding")[0].cast("double") + 0.5).alias("p"),
+            "label",
+        ),
+        "p",
+        "label",
+        positive=0,
+        bins=10,
+    )
+    return out.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2110,6 +2159,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_iv": q_woe_iv,
         "image_features": q_image_features,
         "tfidf_vectors": q_tfidf_vectors,
+        "roc_auc": q_roc_auc,
+        "calibration": q_calibration,
     }
 
 
@@ -3124,6 +3175,44 @@ def retired_oracle_sql() -> dict[str, str]:
                    round(r / sqrt(sum(r * r)
                          OVER (PARTITION BY doc_id)), 6) AS tfidf
             FROM raw
+        """,
+        "roc_auc": """
+            WITH t AS (
+              SELECT round(CAST(embedding[1] AS DOUBLE), 4) AS s,
+                     CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            h AS (SELECT s, sum(y) AS cp, sum(1 - y) AS cn
+                  FROM t GROUP BY s),
+            r AS (SELECT cp, cn,
+                         sum(cp + cn) OVER (ORDER BY s) - (cp + cn)
+                             AS before_,
+                         cp + cn AS c
+                  FROM h),
+            a AS (SELECT sum(cp * (before_ + (c + 1) / 2.0)) AS rpos,
+                         sum(cp) AS np, sum(cn) AS nn
+                  FROM r)
+            SELECT round((rpos - np * (np + 1) / 2.0) / (np * nn), 6)
+                       AS auc,
+                   CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg
+            FROM a
+        """,
+        "calibration": """
+            WITH t AS (
+              SELECT CAST(embedding[1] AS DOUBLE) + 0.5 AS p,
+                     CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            per AS (
+              SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+                     count(*) AS n, avg(p) AS conf, avg(y) AS acc
+              FROM t GROUP BY 1)
+            SELECT bin, CAST(n AS BIGINT) AS n,
+                   round(conf, 6) AS conf, round(acc, 6) AS acc,
+                   round(sum(n * abs(acc - conf)) OVER ()
+                         / sum(n) OVER (), 6) AS ece
+            FROM per
         """,
         "psi_drift": """
             WITH l AS (

@@ -180,3 +180,119 @@ def classification_report(
         sum(f * w for f, w in zip(f1s, weights)) / sum(weights) if sum(weights) else 0.0
     )
     return report
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    positive=1,
+    precision: int | None = None,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann-Whitney rank form:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+
+    where R⁺ is the sum of AVERAGE ranks of the positives (a tied block
+    of c scores starting after cum_before rows has average rank
+    ``cum_before + (c+1)/2`` — the standard tie correction, identical to
+    sklearn's trapezoidal ``roc_auc_score``).
+
+    Distributed as a distinct-SCORE histogram (the
+    ``operators.binning`` pattern): one map-side-combinable
+    ``groupBy(score)`` with per-class partial counts, then the rank
+    window runs over DISTINCT scores only, never the rows. Pass
+    ``precision`` to quantize continuous scores and bound that set
+    (same contract as ``quantile_bins``); calibrated probabilities at
+    precision 6 cost at most 1e6+1 histogram rows. NULL scores/labels
+    are excluded. Returns one row: (auc, n_pos, n_neg).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    h = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(is_pos).alias("__cp"),
+            F.sum(1 - is_pos).alias("__cn"),
+        )
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = h.select(
+        "__cp",
+        "__cn",
+        (
+            F.sum(F.col("__cp") + F.col("__cn")).over(w)
+            - (F.col("__cp") + F.col("__cn"))
+        ).alias("__before"),
+        (F.col("__cp") + F.col("__cn")).alias("__c"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("__cp")
+            * (F.col("__before") + (F.col("__c") + 1) / 2.0)
+        ).alias("rpos"),
+        F.sum("__cp").alias("np"),
+        F.sum("__cn").alias("nn"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("np") > 0) & (F.col("nn") > 0),
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+        ).alias("auc"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    *,
+    positive=1,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error over equal-WIDTH
+    probability bins (the standard ECE binning): per bin
+    ``(bin, n, conf, acc)`` with ``conf`` = mean predicted probability,
+    ``acc`` = empirical positive rate, plus the shared ``ece`` column
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|.
+
+    Bin = ``min(floor(p · bins), bins − 1)`` (p = 1.0 folds into the
+    last bin). One map-side-combinable groupBy; the ECE is a window over
+    the ≤``bins`` aggregate rows. Inputs must be probabilities in
+    [0, 1]: a p < 0 surfaces as a negative bin row rather than being
+    silently folded. NULL probabilities/labels are excluded.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    from pyspark.sql import Window
+
+    p = F.col(prob_col)
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("double")
+    b = F.least(F.floor(p * bins), F.lit(bins - 1)).cast("long")
+    per = (
+        df.where(p.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(p).alias("conf"),
+            F.avg(is_pos).alias("acc"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.withColumn(
+        "ece",
+        F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))).over(w)
+        / F.sum("n").over(w),
+    )

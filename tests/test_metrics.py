@@ -1,0 +1,94 @@
+"""Distributed evaluation metrics: tie-corrected ROC-AUC vs a
+trapezoidal twin, reliability/ECE arithmetic, degenerate inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+# --- ROC-AUC / calibration --------------------------------------------------
+
+
+def _np_auc(scores, labels):
+    """Independent twin: trapezoidal integration over the exact ROC."""
+    import numpy as np
+
+    s = np.asarray(scores, float)
+    y = np.asarray(labels, int)
+    order = np.argsort(-s, kind="mergesort")
+    s, y = s[order], y[order]
+    # group ties
+    tps = np.cumsum(y)
+    fps = np.cumsum(1 - y)
+    last = np.r_[np.diff(s) != 0, True]
+    tps, fps = tps[last], fps[last]
+    tpr = np.r_[0, tps] / tps[-1]
+    fpr = np.r_[0, fps] / fps[-1]
+    return float(np.trapz(tpr, fpr))
+
+
+def test_roc_auc_matches_trapezoid_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import roc_auc
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    y = rng.integers(0, 2, n)
+    # informative but noisy scores, quantized -> heavy ties
+    s = np.round(0.35 * y + 0.65 * rng.random(n), 2)
+    pdf = pd.DataFrame({"score": s, "y": y})
+    got = roc_auc(
+        spark.createDataFrame(pdf), "score", "y", precision=2
+    ).collect()[0]
+    assert got["auc"] == pytest.approx(_np_auc(s, y), abs=1e-12)
+    assert got["n_pos"] == int(y.sum()) and got["n_neg"] == int(n - y.sum())
+    # perfect and inverted separations
+    p2 = pd.DataFrame({"score": [0.1, 0.2, 0.8, 0.9], "y": [0, 0, 1, 1]})
+    assert roc_auc(spark.createDataFrame(p2), "score", "y").collect()[0][
+        "auc"
+    ] == pytest.approx(1.0)
+    p3 = pd.DataFrame({"score": [0.9, 0.8, 0.2, 0.1], "y": [0, 0, 1, 1]})
+    assert roc_auc(spark.createDataFrame(p3), "score", "y").collect()[0][
+        "auc"
+    ] == pytest.approx(0.0)
+    # single-class -> NULL auc, not a crash
+    p4 = pd.DataFrame({"score": [0.5, 0.6], "y": [1, 1]})
+    assert roc_auc(spark.createDataFrame(p4), "score", "y").collect()[0][
+        "auc"
+    ] is None
+
+
+def test_calibration_report_and_ece(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import calibration_report
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    p = rng.random(n)
+    y = (rng.random(n) < p).astype(int)  # calibrated by construction
+    pdf = pd.DataFrame({"p": p, "y": y})
+    rows = calibration_report(
+        spark.createDataFrame(pdf), "p", "y", bins=10
+    ).collect()
+    assert len(rows) == 10
+    eces = {round(r["ece"], 12) for r in rows}
+    assert len(eces) == 1  # shared column
+    # numpy twin
+    b = np.minimum(np.floor(p * 10).astype(int), 9)
+    ece = 0.0
+    for k in range(10):
+        m = b == k
+        r = next(x for x in rows if x["bin"] == k)
+        assert r["n"] == int(m.sum())
+        assert r["conf"] == pytest.approx(p[m].mean())
+        assert r["acc"] == pytest.approx(y[m].mean())
+        ece += m.sum() / n * abs(y[m].mean() - p[m].mean())
+    assert rows[0]["ece"] == pytest.approx(ece)
+    assert rows[0]["ece"] < 0.05  # calibrated input -> small ECE
+    # p = 1.0 folds into the last bin
+    p5 = pd.DataFrame({"p": [1.0, 0.95], "y": [1, 1]})
+    r5 = calibration_report(spark.createDataFrame(p5), "p", "y", bins=10)
+    assert [x["bin"] for x in r5.collect()] == [9]
