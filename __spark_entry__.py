@@ -1254,6 +1254,28 @@ def q_calibration(spark, sf_dir):
     )
 
 
+def q_avg_precision(spark, sf_dir):
+    """Exact average precision / PR-AUC (scoring/metrics.py
+    average_precision, sklearn ``average_precision_score`` semantics):
+    Σ ΔR·P over score-DESCENDING distinct thresholds, tie blocks whole.
+    Same distinct-score histogram shape as roc_auc; score =
+    embedding[0], event = label 0. Oracle: the identical histogram
+    arithmetic in DuckDB."""
+    from modlyn_spark.scoring.metrics import average_precision
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = average_precision(
+        emb.select(
+            F.col("embedding")[0].cast("double").alias("score"), "label"
+        ),
+        "score",
+        "label",
+        positive=0,
+        precision=4,
+    )
+    return out.select(F.round("ap", 6).alias("ap"), "n_pos", "n_neg")
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2161,6 +2183,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_vectors": q_tfidf_vectors,
         "roc_auc": q_roc_auc,
         "calibration": q_calibration,
+        "avg_precision": q_avg_precision,
     }
 
 
@@ -3197,6 +3220,25 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "avg_precision": """
+            WITH t AS (
+              SELECT round(CAST(embedding[1] AS DOUBLE), 4) AS s,
+                     CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            h AS (SELECT s, sum(y) AS cp, sum(1 - y) AS cn
+                  FROM t GROUP BY s),
+            r AS (SELECT cp,
+                         sum(cp) OVER (ORDER BY s DESC) AS tp,
+                         sum(cp + cn) OVER (ORDER BY s DESC) AS k,
+                         sum(cp) OVER () AS np,
+                         sum(cn) OVER () AS nn
+                  FROM h)
+            SELECT round(sum((cp * 1.0 / np) * (tp * 1.0 / k)), 6) AS ap,
+                   CAST(max(np) AS BIGINT) AS n_pos,
+                   CAST(max(nn) AS BIGINT) AS n_neg
+            FROM r
         """,
         "calibration": """
             WITH t AS (

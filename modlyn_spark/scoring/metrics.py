@@ -296,3 +296,66 @@ def calibration_report(
         F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf"))).over(w)
         / F.sum("n").over(w),
     )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    positive=1,
+    precision: int | None = None,
+) -> DataFrame:
+    """Exact average precision (PR-AUC, sklearn ``average_precision_score``
+    semantics): AP = Σ_k (R_k − R_{k−1}) · P_k over score-DESCENDING
+    thresholds, one threshold per distinct score — ties enter as one
+    block, exactly like sklearn.
+
+    Same distinct-score histogram shape as :func:`roc_auc`: the
+    threshold sweep is a cumulative window over distinct scores, never
+    rows (``precision`` bounds that set for continuous scores). Returns
+    one row (ap, n_pos, n_neg); AP is NULL when there are no positives.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    h = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(is_pos).alias("__cp"),
+            F.sum(1 - is_pos).alias("__cn"),
+        )
+    )
+    wd = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wa = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = h.select(
+        "__cp",
+        F.sum("__cp").over(wd).alias("__tp"),
+        F.sum(F.col("__cp") + F.col("__cn")).over(wd).alias("__k"),
+        F.sum("__cp").over(wa).alias("__np"),
+        F.sum("__cn").over(wa).alias("__nn"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.when(
+                F.col("__np") > 0,
+                (F.col("__cp") / F.col("__np"))
+                * (F.col("__tp") / F.col("__k")),
+            )
+        ).alias("ap"),
+        F.max("__np").alias("np"),
+        F.max("__nn").alias("nn"),
+    )
+    return agg.select(
+        F.col("ap"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )

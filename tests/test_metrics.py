@@ -59,6 +59,68 @@ def test_roc_auc_matches_trapezoid_twin(spark):
     ] is None
 
 
+def _np_ap(scores, labels):
+    """Independent twin: sklearn ``average_precision_score`` semantics —
+    AP = Σ_k (R_k − R_{k−1}) · P_k over score-descending distinct
+    thresholds, tie blocks entering whole."""
+    import numpy as np
+
+    s = np.asarray(scores, float)
+    y = np.asarray(labels, int)
+    order = np.argsort(-s, kind="mergesort")
+    s, y = s[order], y[order]
+    tp = np.cumsum(y)
+    k = np.arange(1, len(y) + 1)
+    last = np.r_[np.diff(s) != 0, True]  # end of each tie block
+    tp, k = tp[last], k[last]
+    npos = int(y.sum())
+    rec = np.r_[0, tp] / npos
+    prec = tp / k
+    return float(np.sum(np.diff(rec) * prec))
+
+
+def test_average_precision_matches_step_twin(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import average_precision
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    y = rng.integers(0, 2, n)
+    # informative but noisy scores, quantized -> heavy ties
+    s = np.round(0.35 * y + 0.65 * rng.random(n), 2)
+    pdf = pd.DataFrame({"score": s, "y": y})
+    got = average_precision(
+        spark.createDataFrame(pdf), "score", "y", precision=2
+    ).collect()[0]
+    assert got["ap"] == pytest.approx(_np_ap(s, y), abs=1e-12)
+    assert got["n_pos"] == int(y.sum()) and got["n_neg"] == int(n - y.sum())
+    # perfect separation -> AP 1.0
+    p2 = pd.DataFrame({"score": [0.1, 0.2, 0.8, 0.9], "y": [0, 0, 1, 1]})
+    assert average_precision(
+        spark.createDataFrame(p2), "score", "y"
+    ).collect()[0]["ap"] == pytest.approx(1.0)
+    # inverted separation -> AP = generalized harmonic ratio, twin agrees
+    p3 = pd.DataFrame({"score": [0.9, 0.8, 0.2, 0.1], "y": [0, 0, 1, 1]})
+    assert average_precision(
+        spark.createDataFrame(p3), "score", "y"
+    ).collect()[0]["ap"] == pytest.approx(
+        _np_ap([0.9, 0.8, 0.2, 0.1], [0, 0, 1, 1])
+    )
+    # all-ties block: single threshold, P = prevalence
+    p4 = pd.DataFrame({"score": [0.5] * 6, "y": [1, 0, 1, 0, 0, 0]})
+    assert average_precision(
+        spark.createDataFrame(p4), "score", "y"
+    ).collect()[0]["ap"] == pytest.approx(2 / 6)
+    # no positives -> NULL ap, not a crash
+    p5 = pd.DataFrame({"score": [0.5, 0.6], "y": [0, 0]})
+    r5 = average_precision(spark.createDataFrame(p5), "score", "y").collect()[
+        0
+    ]
+    assert r5["ap"] is None and r5["n_pos"] == 0 and r5["n_neg"] == 2
+
+
 def test_calibration_report_and_ece(spark):
     import numpy as np
     import pandas as pd
