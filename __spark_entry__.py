@@ -1276,6 +1276,60 @@ def q_avg_precision(spark, sf_dir):
     return out.select(F.round("ap", 6).alias("ap"), "n_pos", "n_neg")
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encoding (operators/pq.py pq_encode): each
+    64-dim embedding compresses to 8 one-byte codes against the fixed
+    codebook artifact (tests/fixtures/pq_codebooks.parquet — an INPUT
+    constant like the quality-classifier weights, so the query is a pure
+    function of (table, artifact) and holds at every SF). Long-form
+    (vec_id, subspace, code) out; oracle: per-subspace argmin over the
+    same codebook table via list_distance in DuckDB."""
+    import pandas as pd
+
+    from modlyn_spark.operators.pq import df_to_codebooks, pq_encode
+
+    C = df_to_codebooks(pd.read_parquet(f"{_FIXTURES}/pq_codebooks.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    enc = pq_encode(emb.select("vec_id", "embedding"), "embedding", C)
+    return enc.select(
+        "vec_id", F.posexplode("pq_code").alias("subspace", "code")
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k ANN (operators/pq.py pq_topk):
+    probes = every 100th embedding (query-sized by contract, LUT ships
+    in the closure), corpus scans once emitting per-partition partial
+    top-k only. Oracle: encode + LUT join + rounded ADC sum replayed in
+    DuckDB over the same codebook artifact."""
+    import pandas as pd
+
+    from modlyn_spark.operators.pq import (
+        df_to_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    C = df_to_codebooks(pd.read_parquet(f"{_FIXTURES}/pq_codebooks.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    probes = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") % 100 == 7)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    enc = pq_encode(emb.select("vec_id", "embedding"), "embedding", C)
+    return pq_topk(enc, probes, C, id_col="vec_id", k=5)
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2184,6 +2238,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "calibration": q_calibration,
         "avg_precision": q_avg_precision,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -3220,6 +3276,62 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "pq_encode": f"""
+            WITH cb AS (SELECT subspace, code,
+                               CAST(centroid AS DOUBLE[]) AS c
+                        FROM read_parquet(
+                            '{_FIXTURES}/pq_codebooks.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            sub AS (SELECT vec_id, g.i AS subspace,
+                           v[g.i * 8 + 1 : g.i * 8 + 8] AS sv
+                    FROM e, (SELECT unnest(range(0, 8)) AS i) g),
+            enc AS (SELECT vec_id, subspace, code FROM (
+                      SELECT sub.vec_id, sub.subspace, cb.code,
+                             row_number() OVER (
+                                 PARTITION BY sub.vec_id, sub.subspace
+                                 ORDER BY list_distance(sub.sv, cb.c),
+                                          cb.code) AS rn
+                      FROM sub JOIN cb USING (subspace))
+                    WHERE rn = 1)
+            SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+                   CAST(code AS BIGINT) AS code
+            FROM enc
+        """,
+        "pq_topk": f"""
+            WITH cb AS (SELECT subspace, code,
+                               CAST(centroid AS DOUBLE[]) AS c
+                        FROM read_parquet(
+                            '{_FIXTURES}/pq_codebooks.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            sub AS (SELECT vec_id, g.i AS subspace,
+                           v[g.i * 8 + 1 : g.i * 8 + 8] AS sv
+                    FROM e, (SELECT unnest(range(0, 8)) AS i) g),
+            enc AS (SELECT vec_id, subspace, code FROM (
+                      SELECT sub.vec_id, sub.subspace, cb.code,
+                             row_number() OVER (
+                                 PARTITION BY sub.vec_id, sub.subspace
+                                 ORDER BY list_distance(sub.sv, cb.c),
+                                          cb.code) AS rn
+                      FROM sub JOIN cb USING (subspace))
+                    WHERE rn = 1),
+            qsub AS (SELECT vec_id AS probe_id, subspace, sv
+                     FROM sub WHERE vec_id % 100 = 7),
+            lut AS (SELECT qsub.probe_id, qsub.subspace, cb.code,
+                           power(list_distance(qsub.sv, cb.c), 2) AS d
+                    FROM qsub JOIN cb USING (subspace)),
+            ad AS (SELECT lut.probe_id, enc.vec_id AS corpus_id,
+                          round(sum(lut.d), 6) AS dist
+                   FROM enc JOIN lut ON enc.subspace = lut.subspace
+                                    AND enc.code = lut.code
+                   GROUP BY 1, 2)
+            SELECT probe_id, corpus_id, dist, rank FROM (
+              SELECT ad.*, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY dist, corpus_id) AS rank
+              FROM ad)
+            WHERE rank <= 5
         """,
         "avg_precision": """
             WITH t AS (

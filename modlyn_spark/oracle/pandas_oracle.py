@@ -394,6 +394,54 @@ def oracle_kmeans(
     return C, d.argmin(axis=1), history
 
 
+def oracle_pq_train(
+    X: np.ndarray,
+    m: int,
+    k: int,
+    *,
+    max_iter: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+    tol: float = 1e-6,
+    ids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Single-node twin of operators.pq.pq_train: same md5-ordered init
+    pool, same per-subspace rng draw sequence, same distance algebra and
+    stopping rule. Returns codebooks (m, k, dim//m)."""
+    import hashlib
+
+    X = np.asarray(X, dtype=np.float64)
+    if ids is not None:
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = np.argsort(np.array(keys), kind="stable")
+        pool = X[order[:sample]]
+    else:
+        pool = X[:sample]
+    rng = np.random.default_rng(seed)
+    k = min(k, len(pool))
+    dim = X.shape[1]
+    dsub = dim // m
+    C = np.empty((m, k, dsub))
+    for j in range(m):
+        idx = rng.choice(len(pool), size=k, replace=False)
+        C[j] = pool[idx, j * dsub : (j + 1) * dsub]
+    Xs = X.reshape(len(X), m, dsub)
+    for _ in range(max_iter):
+        newC = C.copy()
+        for j in range(m):
+            d = -2.0 * (Xs[:, j] @ C[j].T) + (C[j] * C[j]).sum(axis=1)[None]
+            a = d.argmin(axis=1)
+            for c in range(k):
+                msk = a == c
+                if msk.any():
+                    newC[j, c] = Xs[msk, j].mean(axis=0)
+        move = float(np.abs(newC - C).max())
+        C = newC
+        if move <= tol:
+            break
+    return C
+
+
 def oracle_repetition(
     texts: list,
     line_delim: str = "\n",

@@ -145,6 +145,26 @@ def make_kmeans_fixture() -> str:
     return out
 
 
+def make_pq_codebooks() -> str:
+    """PQ codebook ARTIFACT (subspace, code, centroid) — an input
+    constant for q_pq_encode / q_pq_topk (like the quality-classifier
+    weights), so those queries are pure functions of (table, artifact)
+    and hold at EVERY SF. Trained once by the single-node twin
+    (oracle_pq_train) on the gate-SF embeddings: m=8, k=16, max_iter=8,
+    seed 42, md5-ordered init pool."""
+    from modlyn_spark.operators.pq import codebooks_to_df
+    from modlyn_spark.oracle.pandas_oracle import oracle_pq_train
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet").sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    C = oracle_pq_train(
+        X, 8, 16, max_iter=8, ids=emb["vec_id"].to_numpy()
+    )
+    out = os.path.join(FIXTURE_DIR, "pq_codebooks.parquet")
+    codebooks_to_df(C).to_parquet(out, index=False)
+    return out
+
+
 def make_pca_fixture() -> str:
     """Expected (vec_id, p0..p3) projections for the retired pca_projection
     query at sf0.01: single-node numpy twin of operators/pca.py's moment
@@ -356,6 +376,8 @@ def main() -> int:
     print(f"wrote {p7}")
     p8 = make_image_features_fixture()
     print(f"wrote {p8} ({len(pd.read_parquet(p8))} rows)")
+    p9 = make_pq_codebooks()
+    print(f"wrote {p9} ({len(pd.read_parquet(p9))} rows)")
     return 0
 
 
