@@ -1330,6 +1330,37 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(enc, probes, C, id_col="vec_id", k=5)
 
 
+def q_isotonic_fit(spark, sf_dir):
+    """Isotonic (PAV) calibration blocks (scoring/metrics.py
+    isotonic_fit): bounded distinct-score histogram distributed, PAV on
+    the driver (model-sized state — same contract as logreg weights /
+    k-means centroids). Score = round(embedding[0] + 0.5, 3), event =
+    label 0. Oracle: SF-bound fixture from the INDEPENDENT O(B^2)
+    pool-first-violator twin (oracle_isotonic — different pooling order,
+    unique solution)."""
+    from modlyn_spark.scoring.metrics import isotonic_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = isotonic_fit(
+        emb.select(
+            (F.col("embedding")[0].cast("double") + 0.5).alias("p"),
+            "label",
+        ),
+        "p",
+        "label",
+        positive=0,
+        precision=3,
+    )
+    out = spark.createDataFrame(model)
+    return out.select(
+        "block",
+        F.round("score_lo", 6).alias("score_lo"),
+        F.round("score_hi", 6).alias("score_hi"),
+        F.round("p_cal", 6).alias("p_cal"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2240,6 +2271,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_precision": q_avg_precision,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
+        "isotonic_fit": q_isotonic_fit,
     }
 
 
@@ -2265,6 +2297,7 @@ SF_BOUND_ORACLES = {
     "pca_projection": "/root/testdata/sf0.01",
     "bpe_merges": "/root/testdata/sf0.01",
     "quality_classifier": "/root/testdata/sf0.01",
+    "isotonic_fit": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -3276,6 +3309,13 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "isotonic_fit": f"""
+            SELECT block, round(score_lo, 6) AS score_lo,
+                   round(score_hi, 6) AS score_hi,
+                   round(p_cal, 6) AS p_cal,
+                   CAST(n AS BIGINT) AS n
+            FROM read_parquet('{_FIXTURES}/isotonic_blocks_sf001.parquet')
         """,
         "pq_encode": f"""
             WITH cb AS (SELECT subspace, code,

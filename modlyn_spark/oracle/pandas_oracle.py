@@ -442,6 +442,53 @@ def oracle_pq_train(
     return C
 
 
+def oracle_isotonic(
+    scores: np.ndarray, labels: np.ndarray, *, precision: int | None = None
+) -> pd.DataFrame:
+    """Independent twin of scoring.metrics.isotonic_fit: O(B^2)
+    pool-first-violator PAV (a genuinely different pooling order — the
+    isotonic solution is unique, so results agree) over the pandas
+    distinct-score histogram. Returns (block, score_lo, score_hi,
+    p_cal, n)."""
+    s = np.asarray(scores, dtype=np.float64)
+    y = np.asarray(labels, dtype=np.float64)
+    if precision is not None:
+        s = np.round(s, precision)
+    h = (
+        pd.DataFrame({"s": s, "y": y})
+        .groupby("s")
+        .agg(n=("y", "size"), p=("y", "mean"))
+        .reset_index()
+        .sort_values("s")
+    )
+    blocks = [
+        [i, i, float(p), float(n)]
+        for i, (p, n) in enumerate(zip(h["p"], h["n"]))
+    ]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][2] > blocks[i + 1][2]:
+                lo, _, v1, w1 = blocks[i]
+                _, hi, v2, w2 = blocks[i + 1]
+                blocks[i : i + 2] = [
+                    [lo, hi, (v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2]
+                ]
+                changed = True
+                break
+    sc = h["s"].to_numpy()
+    return pd.DataFrame(
+        {
+            "block": np.arange(len(blocks), dtype=np.int64),
+            "score_lo": [sc[b[0]] for b in blocks],
+            "score_hi": [sc[b[1]] for b in blocks],
+            "p_cal": [b[2] for b in blocks],
+            "n": np.asarray([b[3] for b in blocks], dtype=np.int64),
+        }
+    )
+
+
 def oracle_repetition(
     texts: list,
     line_delim: str = "\n",

@@ -298,6 +298,135 @@ def calibration_report(
     )
 
 
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    positive=1,
+    precision: int | None = None,
+) -> pd.DataFrame:
+    """Fit isotonic (monotone non-decreasing) calibration by weighted
+    pool-adjacent-violators over the distinct-score histogram.
+
+    Distributed part: the same bounded map-side-combinable
+    ``groupBy(score)`` histogram as :func:`roc_auc` (``precision``
+    bounds the distinct-score set for continuous scores — calibrated
+    probabilities at precision 3 cost <= 1001 rows). PAV itself is
+    inherently sequential, so it runs on the DRIVER over that bounded
+    histogram — the same driver-holds-the-model contract as the logreg
+    weights / k-means centroids / PCA eigendecomposition: the collected
+    state is O(distinct scores), never O(rows).
+
+    Returns a pandas model table (block, score_lo, score_hi, p_cal, n):
+    maximal constant blocks in ascending score order, ``p_cal``
+    non-decreasing, each block's value the weighted positive rate of its
+    pooled scores (sklearn ``IsotonicRegression`` block semantics).
+    Apply with :func:`calibrate_scores`.
+    """
+    import numpy as np
+
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
+    is_pos = (F.col(label_col) == F.lit(positive)).cast("long")
+    h = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(is_pos).alias("__p"),
+        )
+        .orderBy("__s")
+        .toPandas()
+    )
+    if h.empty:
+        return pd.DataFrame(
+            columns=["block", "score_lo", "score_hi", "p_cal", "n"]
+        )
+    scores = h["__s"].to_numpy(dtype=np.float64)
+    n = h["__n"].to_numpy(dtype=np.float64)
+    p = h["__p"].to_numpy(dtype=np.float64) / n
+    # weighted PAV, stack formulation: O(distinct scores)
+    vals: list[float] = []
+    wts: list[float] = []
+    hi_idx: list[int] = []  # last histogram bin folded into this block
+    for i in range(len(scores)):
+        vals.append(float(p[i]))
+        wts.append(float(n[i]))
+        hi_idx.append(i)
+        while len(vals) > 1 and vals[-2] > vals[-1]:
+            merged = (
+                vals[-1] * wts[-1] + vals[-2] * wts[-2]
+            ) / (wts[-1] + wts[-2])
+            w2 = wts[-1] + wts[-2]
+            vals.pop()
+            wts.pop()
+            hi = hi_idx.pop()
+            vals[-1] = merged
+            wts[-1] = w2
+            hi_idx[-1] = hi
+    lo_idx = [0] + [h + 1 for h in hi_idx[:-1]]
+    return pd.DataFrame(
+        {
+            "block": np.arange(len(vals), dtype=np.int64),
+            "score_lo": scores[lo_idx],
+            "score_hi": scores[hi_idx],
+            "p_cal": vals,
+            "n": np.asarray(wts, dtype=np.int64),
+        }
+    )
+
+
+def calibrate_scores(
+    df: DataFrame,
+    model: pd.DataFrame,
+    score_col: str,
+    *,
+    out_col: str = "p_cal",
+    precision: int | None = None,
+) -> DataFrame:
+    """Apply an :func:`isotonic_fit` model: stepwise-constant lookup —
+    a score maps to the LAST block whose ``score_lo`` is <= score,
+    clamped to the first/last block outside the fitted range (sklearn
+    ``out_of_bounds='clip'`` semantics, stepwise rather than
+    interpolated — documented engine choice). NULL scores stay NULL.
+
+    The model is block-sized (<= distinct scores), so it BROADCASTS
+    into a range join against half-open block intervals
+    [score_lo_i, score_lo_{i+1}) — one scan, no shuffle of ``df``.
+    Pass the same ``precision`` used at fit time so raw scores quantize
+    onto the fitted grid before lookup."""
+    import numpy as np
+
+    spark = df.sparkSession
+    if model.empty:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    lo = model["score_lo"].to_numpy(dtype=np.float64)
+    edges = np.r_[-np.inf, lo[1:]]
+    uppers = np.r_[lo[1:], np.inf]
+    blocks = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__lo": edges,
+                "__hi": uppers,
+                "__p": model["p_cal"].to_numpy(dtype=np.float64),
+            }
+        )
+    )
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
+    joined = df.join(
+        F.broadcast(blocks),
+        on=[s >= F.col("__lo"), s < F.col("__hi")],
+        how="left",
+    )
+    return joined.withColumn(out_col, F.col("__p")).drop(
+        "__lo", "__hi", "__p"
+    )
+
+
 def average_precision(
     df: DataFrame,
     score_col: str,

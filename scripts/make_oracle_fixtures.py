@@ -165,6 +165,22 @@ def make_pq_codebooks() -> str:
     return out
 
 
+def make_isotonic_fixture() -> str:
+    """Expected PAV block table for q_isotonic_fit at the gate SF:
+    independent O(B^2) pool-first-violator twin (oracle_isotonic),
+    score = round(embedding[0] + 0.5, 3), event = label 0."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_isotonic
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    emb = emb[emb["embedding"].notna() & emb["label"].notna()]
+    s = np.stack(emb["embedding"].to_numpy())[:, 0].astype(np.float64) + 0.5
+    y = (emb["label"].to_numpy() == 0).astype(np.int64)
+    out_pdf = oracle_isotonic(s, y, precision=3)
+    out = os.path.join(FIXTURE_DIR, "isotonic_blocks_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_pca_fixture() -> str:
     """Expected (vec_id, p0..p3) projections for the retired pca_projection
     query at sf0.01: single-node numpy twin of operators/pca.py's moment
@@ -378,6 +394,8 @@ def main() -> int:
     print(f"wrote {p8} ({len(pd.read_parquet(p8))} rows)")
     p9 = make_pq_codebooks()
     print(f"wrote {p9} ({len(pd.read_parquet(p9))} rows)")
+    p10 = make_isotonic_fixture()
+    print(f"wrote {p10} ({len(pd.read_parquet(p10))} rows)")
     return 0
 
 

@@ -154,3 +154,128 @@ def test_calibration_report_and_ece(spark):
     p5 = pd.DataFrame({"p": [1.0, 0.95], "y": [1, 1]})
     r5 = calibration_report(spark.createDataFrame(p5), "p", "y", bins=10)
     assert [x["bin"] for x in r5.collect()] == [9]
+
+
+# --- isotonic calibration ---------------------------------------------------
+
+
+def _brute_pav(y, w):
+    """O(B^2) reference PAV: repeatedly pool the first adjacent violator
+    until monotone. The isotonic solution is unique, so any pooling
+    order agrees with the engine's stack formulation."""
+    blocks = [[i, i, float(y[i]), float(w[i])] for i in range(len(y))]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][2] > blocks[i + 1][2]:
+                lo, _, v1, w1 = blocks[i]
+                _, hi, v2, w2 = blocks[i + 1]
+                blocks[i : i + 2] = [
+                    [lo, hi, (v1 * w1 + v2 * w2) / (w1 + w2), w1 + w2]
+                ]
+                changed = True
+                break
+    return blocks
+
+
+def test_isotonic_fit_matches_brute_pav(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import isotonic_fit
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    s = np.round(rng.random(n), 2)
+    # non-monotone miscalibrated truth so PAV has real pooling to do
+    y = (rng.random(n) < 0.2 + 0.6 * np.abs(np.sin(3 * s))).astype(int)
+    pdf = pd.DataFrame({"score": s, "y": y})
+    got = isotonic_fit(
+        spark.createDataFrame(pdf), "score", "y", precision=2
+    )
+    # brute twin over the same histogram
+    h = (
+        pdf.groupby("score")
+        .agg(n=("y", "size"), p=("y", "mean"))
+        .reset_index()
+        .sort_values("score")
+    )
+    exp = _brute_pav(h["p"].to_numpy(), h["n"].to_numpy())
+    assert len(got) == len(exp)
+    sc = h["score"].to_numpy()
+    for row, (lo, hi, v, w) in zip(got.itertuples(index=False), exp):
+        assert row.score_lo == sc[lo] and row.score_hi == sc[hi]
+        assert row.p_cal == pytest.approx(v, abs=1e-12)
+        assert row.n == int(w)
+    # monotone, and pooling preserves the base rate
+    assert list(got["p_cal"]) == sorted(got["p_cal"])
+    assert (got["p_cal"] * got["n"]).sum() / got["n"].sum() == pytest.approx(
+        y.mean()
+    )
+    # hand case: one violator pools to the weighted mean
+    p2 = pd.DataFrame({"score": [1.0, 2.0, 2.0], "y": [1, 0, 0]})
+    m2 = isotonic_fit(spark.createDataFrame(p2), "score", "y")
+    assert len(m2) == 1 and m2["p_cal"].iloc[0] == pytest.approx(1 / 3)
+
+
+def test_calibrate_scores_stepwise_clamp_and_nulls(spark):
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import calibrate_scores, isotonic_fit
+
+    train = pd.DataFrame(
+        {
+            "score": [0.1, 0.1, 0.3, 0.3, 0.7, 0.7, 0.9, 0.9],
+            "y": [0, 0, 0, 1, 1, 0, 1, 1],
+        }
+    )
+    model = isotonic_fit(spark.createDataFrame(train), "score", "y")
+    apply_pdf = pd.DataFrame(
+        {
+            "i": [0, 1, 2, 3, 4],
+            "score": [0.05, 0.2, 0.5, 0.95, None],
+        }
+    )
+    got = {
+        r["i"]: r["p_cal"]
+        for r in calibrate_scores(
+            spark.createDataFrame(apply_pdf), model, "score"
+        ).collect()
+    }
+    first, last = model["p_cal"].iloc[0], model["p_cal"].iloc[-1]
+    assert got[0] == pytest.approx(first)  # below range -> clip
+    assert got[3] == pytest.approx(last)  # above range -> clip
+    # gaps take the block to the LEFT (stepwise-constant)
+    lo = model["score_lo"].to_numpy()
+    import numpy as np
+
+    for i, sv in ((1, 0.2), (2, 0.5)):
+        blk = int(np.searchsorted(lo, sv, side="right")) - 1
+        assert got[i] == pytest.approx(model["p_cal"].iloc[blk])
+    assert got[4] is None  # NULL passthrough
+
+
+def test_isotonic_improves_ece(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import (
+        calibrate_scores,
+        calibration_report,
+        isotonic_fit,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    true_p = rng.random(n)
+    y = (rng.random(n) < true_p).astype(int)
+    # overconfident raw scores: push toward the extremes
+    raw = np.clip(true_p + 0.35 * np.sign(true_p - 0.5), 0, 1)
+    pdf = pd.DataFrame({"raw": np.round(raw, 3), "y": y})
+    df = spark.createDataFrame(pdf)
+    model = isotonic_fit(df, "raw", "y", precision=3)
+    cal = calibrate_scores(df, model, "raw", precision=3)
+    ece_raw = calibration_report(df, "raw", "y").collect()[0]["ece"]
+    ece_cal = calibration_report(cal, "p_cal", "y").collect()[0]["ece"]
+    assert ece_cal < ece_raw / 3
