@@ -1361,6 +1361,25 @@ def q_isotonic_fit(spark, sf_dir):
     )
 
 
+def q_fuzzy_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage (operators/linkage.py
+    linked_pairs): normalize → sorted-2-token block key → length
+    prefilter → JVM levenshtein verify, over part names. Oracle: the
+    identical normalize/block/levenshtein pipeline in DuckDB."""
+    from modlyn_spark.operators.linkage import linked_pairs
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = linked_pairs(
+        parts, "p_partkey", "p_name", block_tokens=2, min_sim=0.5
+    )
+    return out.select(
+        "id1",
+        "id2",
+        F.col("dist").cast("long").alias("dist"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2272,6 +2291,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "isotonic_fit": q_isotonic_fit,
+        "fuzzy_linkage": q_fuzzy_linkage,
     }
 
 
@@ -3309,6 +3329,27 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "fuzzy_linkage": """
+            WITH n AS (
+              SELECT p_partkey AS id,
+                     trim(regexp_replace(regexp_replace(lower(p_name),
+                          '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+              FROM part),
+            k AS (SELECT id, t,
+                         array_to_string(
+                             list_sort(string_split(t, ' '))[1:2], ' ')
+                             AS bk
+                  FROM n WHERE len(t) > 0),
+            c AS (SELECT a.id AS id1, b.id AS id2, a.t AS t1, b.t AS t2
+                  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id),
+            s AS (SELECT id1, id2,
+                         CAST(levenshtein(t1, t2) AS BIGINT) AS dist,
+                         1.0 - levenshtein(t1, t2)
+                             / greatest(len(t1), len(t2)) AS sim
+                  FROM c)
+            SELECT id1, id2, dist, round(sim, 6) AS sim
+            FROM s WHERE sim >= 0.5
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,
