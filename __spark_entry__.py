@@ -1380,6 +1380,23 @@ def q_fuzzy_linkage(spark, sf_dir):
     )
 
 
+def q_maha_outliers(spark, sf_dir):
+    """Squared Mahalanobis outlier scores (scoring/outliers.py
+    mahalanobis_scores): one shared feature_moments pass (tree-combined)
+    for mean/covariance, driver-side (d, d) inverse, one broadcast GEMM
+    scoring pass. Oracle: SF-bound fixture from the independent numpy
+    twin (make_oracle_fixtures.make_maha_fixture)."""
+    from modlyn_spark.scoring.outliers import mahalanobis_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("embedding").isNotNull()
+    )
+    out = mahalanobis_scores(emb.select("vec_id", "embedding"), "embedding")
+    return out.select(
+        "vec_id", F.round("maha_sq", 3).alias("maha_sq")
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2292,6 +2309,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "isotonic_fit": q_isotonic_fit,
         "fuzzy_linkage": q_fuzzy_linkage,
+        "maha_outliers": q_maha_outliers,
     }
 
 
@@ -2318,6 +2336,7 @@ SF_BOUND_ORACLES = {
     "bpe_merges": "/root/testdata/sf0.01",
     "quality_classifier": "/root/testdata/sf0.01",
     "isotonic_fit": "/root/testdata/sf0.01",
+    "maha_outliers": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -3329,6 +3348,10 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "maha_outliers": f"""
+            SELECT vec_id, maha_sq
+            FROM read_parquet('{_FIXTURES}/maha_outliers_sf001.parquet')
         """,
         "fuzzy_linkage": """
             WITH n AS (

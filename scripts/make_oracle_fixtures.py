@@ -181,6 +181,28 @@ def make_isotonic_fixture() -> str:
     return out
 
 
+def make_maha_fixture() -> str:
+    """Expected (vec_id, maha_sq) for q_maha_outliers at the gate SF:
+    independent numpy twin of scoring.outliers.mahalanobis_scores
+    (population moments, ridge 1e-9), rounded like the query."""
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    emb = emb[emb["embedding"].notna()].sort_values("vec_id")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    P = np.linalg.inv(cov + 1e-9 * np.eye(X.shape[1]))
+    Z = X - mu
+    out_pdf = pd.DataFrame(
+        {
+            "vec_id": emb["vec_id"].to_numpy(),
+            "maha_sq": np.round(((Z @ P) * Z).sum(axis=1), 3),
+        }
+    )
+    out = os.path.join(FIXTURE_DIR, "maha_outliers_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_pca_fixture() -> str:
     """Expected (vec_id, p0..p3) projections for the retired pca_projection
     query at sf0.01: single-node numpy twin of operators/pca.py's moment
@@ -396,6 +418,8 @@ def main() -> int:
     print(f"wrote {p9} ({len(pd.read_parquet(p9))} rows)")
     p10 = make_isotonic_fixture()
     print(f"wrote {p10} ({len(pd.read_parquet(p10))} rows)")
+    p11 = make_maha_fixture()
+    print(f"wrote {p11} ({len(pd.read_parquet(p11))} rows)")
     return 0
 
 
