@@ -1364,13 +1364,17 @@ def q_isotonic_fit(spark, sf_dir):
 def q_fuzzy_linkage(spark, sf_dir):
     """Blocked fuzzy record linkage (operators/linkage.py
     linked_pairs): normalize → sorted-2-token block key → length
-    prefilter → JVM levenshtein verify, over part names. Oracle: the
+    prefilter → JVM levenshtein verify, over document "titles" (first
+    120 chars) — an edit-distance modality that independently
+    rediscovers the corpus's planted near-duplicates. Oracle: the
     identical normalize/block/levenshtein pipeline in DuckDB."""
     from modlyn_spark.operators.linkage import linked_pairs
 
-    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring("text", 1, 120).alias("title")
+    )
     out = linked_pairs(
-        parts, "p_partkey", "p_name", block_tokens=2, min_sim=0.5
+        docs, "doc_id", "title", block_tokens=2, min_sim=0.8
     )
     return out.select(
         "id1",
@@ -3355,10 +3359,11 @@ def retired_oracle_sql() -> dict[str, str]:
         """,
         "fuzzy_linkage": """
             WITH n AS (
-              SELECT p_partkey AS id,
-                     trim(regexp_replace(regexp_replace(lower(p_name),
+              SELECT doc_id AS id,
+                     trim(regexp_replace(regexp_replace(
+                          lower(substr(text, 1, 120)),
                           '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
-              FROM part),
+              FROM documents),
             k AS (SELECT id, t,
                          array_to_string(
                              list_sort(string_split(t, ' '))[1:2], ' ')
@@ -3372,7 +3377,7 @@ def retired_oracle_sql() -> dict[str, str]:
                              / greatest(len(t1), len(t2)) AS sim
                   FROM c)
             SELECT id1, id2, dist, round(sim, 6) AS sim
-            FROM s WHERE sim >= 0.5
+            FROM s WHERE sim >= 0.8
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

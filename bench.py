@@ -161,6 +161,11 @@ def main() -> None:
           lambda: run(all_qs["training_table"](spark, sf_dir)))
     bench("quantile_bins",
           lambda: run(all_qs["quantile_bins"](spark, sf_dir)))
+    # r4 fifth-session additions: PQ ADC search (encode + top-k over the
+    # committed codebook artifact) and blocked edit-distance linkage
+    bench("pq_topk", lambda: run(all_qs["pq_topk"](spark, sf_dir)))
+    bench("fuzzy_linkage",
+          lambda: run(all_qs["fuzzy_linkage"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(

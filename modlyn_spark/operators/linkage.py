@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from modlyn_spark.session import ensure_parallelism
+
 _TOKEN_SPLIT = "\\s+"
 
 
@@ -64,6 +66,7 @@ def linked_pairs(
     block_tokens: int = 1,
     min_sim: float | None = None,
     max_dist: int | None = None,
+    hot_block_chunk: int | None = 256,
 ) -> DataFrame:
     """Fuzzy-matched pairs. Self mode (``other`` None): within ``df``,
     ``id1 < id2``. Cross mode: ``df`` x ``other`` (ids independent).
@@ -72,21 +75,82 @@ def linked_pairs(
     (0, 1]) or ``max_dist`` (absolute edit-distance cap) is required.
     Output: (id1, id2, dist, sim), sim = 1 − dist / max(len1, len2)
     (1.0 for two empty strings).
+
+    ``hot_block_chunk`` (default ON at 256): EXACTNESS-PRESERVING skew
+    guard, the dedup inverted-index pattern — a natural-language corpus
+    concentrates block keys on common low tokens, and a hot block's
+    pairs would all land on ONE reducer running the O(len²) distances
+    serially. Blocks with > chunk rows get two-sided chunk salting:
+    each row takes chunk c = hash(id) mod m (m = ceil(count / chunk)),
+    the left side replicates to (c, 0..m−1), the right to (0..m−1, c),
+    so every pair meets on exactly one of the m² keys carrying
+    ~chunk² distances. Identical output to the unsalted join
+    (pytest-pinned); None disables.
+
+    The threshold predicate is pushed by Catalyst into the join
+    condition, so the per-candidate ``levenshtein`` runs once where the
+    candidates materialize; the output projection re-evaluates it only
+    on the surviving (matched) pairs — at linkage thresholds a tiny
+    fraction of candidates.
     """
     if (min_sim is None) == (max_dist is None):
         raise ValueError("pass exactly one of min_sim / max_dist")
 
     def prep(d: DataFrame, suffix: str) -> DataFrame:
         norm = normalize_text(F.col(text_col))
-        return d.select(
-            F.col(id_col).alias(f"id{suffix}"),
-            norm.alias(f"t{suffix}"),
-            block_key(norm, block_tokens).alias("bk"),
-        ).where(F.length(f"t{suffix}") > 0)
+        # single-row-group sources scan as ONE partition; if the planner
+        # then broadcasts the other side, the whole candidate loop (and
+        # every per-candidate levenshtein) runs on one core. min_bytes=1
+        # overrides ensure_parallelism's per-byte floor: a blocked
+        # self-join amplifies work ~100-1000x past the input bytes
+        # (sf0.1: 400KB of titles -> 1M candidate DPs; measured 200s
+        # single-core vs ~6s spread), so even a sub-MB probe side is
+        # worth one round-robin exchange
+        return ensure_parallelism(
+            d.select(
+                F.col(id_col).alias(f"id{suffix}"),
+                norm.alias(f"t{suffix}"),
+                block_key(norm, block_tokens).alias("bk"),
+            ).where(F.length(f"t{suffix}") > 0),
+            min_bytes=1,
+        )
 
     left = prep(df, "1")
     right = prep(other if other is not None else df, "2")
-    cand = left.join(right, on="bk")
+    join_keys = ["bk"]
+    if hot_block_chunk is not None:
+        chunk_n = int(hot_block_chunk)
+        # block cardinality from the larger join input drives m; both
+        # sides must agree on m per key, so compute it once and
+        # broadcast (block-key count is bounded by distinct keys)
+        counts = (
+            left.select("bk")
+            .unionByName(right.select("bk"))
+            .groupBy("bk")
+            .count()
+        )
+        hot = counts.where(F.col("count") > chunk_n).select(
+            "bk",
+            F.ceil(F.col("count") / chunk_n).cast("int").alias("m"),
+        )
+
+        def salt(d: DataFrame, idc: str, mine_first: bool) -> DataFrame:
+            s = d.join(F.broadcast(hot), "bk", "left").withColumn(
+                "m", F.coalesce("m", F.lit(1))
+            )
+            c = F.pmod(F.xxhash64(F.col(idc).cast("string")), F.col("m")).cast(
+                "int"
+            )
+            o = F.explode(F.sequence(F.lit(0), F.col("m") - 1))
+            kx, ky = (c, o) if mine_first else (o, c)
+            return s.select(
+                *d.columns, kx.alias("kx"), ky.alias("ky")
+            ).drop("m")
+
+        left = salt(left, "id1", True)
+        right = salt(right, "id2", False)
+        join_keys = ["bk", "kx", "ky"]
+    cand = left.join(right, on=join_keys)
     if other is None:
         cand = cand.where(F.col("id1") < F.col("id2"))
     l1, l2 = F.length("t1"), F.length("t2")
@@ -99,13 +163,17 @@ def linked_pairs(
         cand = cand.where(
             gap.cast("double") <= (1.0 - float(min_sim)) * mx
         )
+    # the threshold predicate deliberately references the raw expression:
+    # Catalyst pushes it INTO the join condition, so the per-candidate
+    # levenshtein runs exactly once where the candidates materialize
+    # (plan-asserted); the output projection re-evaluates only on the
+    # tiny survivor set
     dist = F.levenshtein("t1", "t2")
-    scored = cand.select(
-        "id1",
-        "id2",
-        dist.alias("dist"),
-        F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0)).alias("sim"),
-    )
+    sim = F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0))
     if max_dist is not None:
-        return scored.where(F.col("dist") <= int(max_dist))
-    return scored.where(F.col("sim") >= float(min_sim))
+        cand = cand.where(dist <= int(max_dist))
+    else:
+        cand = cand.where(sim >= float(min_sim))
+    return cand.select(
+        "id1", "id2", dist.alias("dist"), sim.alias("sim")
+    )

@@ -169,3 +169,34 @@ def test_duckdb_parity_on_real_parts(spark):
         for r in exp.itertuples(index=False)
     )
     assert len(got) > 0  # the real corpus produces matches
+
+
+def test_salting_is_exact_and_lev_single_eval(spark):
+    # two-sided chunk salting: identical pair set to the unsalted join,
+    # tiny chunk to force m > 1 on every block
+    sf = "/root/testdata/sf0.001"
+    parts = spark.read.parquet(f"{sf}/part.parquet")
+    unsalted = _collect(
+        linked_pairs(
+            parts, "p_partkey", "p_name", block_tokens=1, min_sim=0.5,
+            hot_block_chunk=None,
+        )
+    )
+    salted = _collect(
+        linked_pairs(
+            parts, "p_partkey", "p_name", block_tokens=1, min_sim=0.5,
+            hot_block_chunk=4,
+        )
+    )
+    assert salted == unsalted and len(salted) > 0
+    # the verify predicate fuses into the JOIN condition: the
+    # per-candidate levenshtein runs where candidates materialize, and
+    # the output projection recomputes only for surviving pairs
+    out = linked_pairs(
+        parts, "p_partkey", "p_name", block_tokens=1, min_sim=0.5
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_line = next(
+        ln for ln in plan.split("\n") if "Join Inner" in ln
+    )
+    assert "levenshtein" in join_line
