@@ -1401,6 +1401,43 @@ def q_maha_outliers(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized interval (range) join (operators/ranges.py): even
+    events become SCD2 validity intervals (intervalize lead-window
+    construction, capped at the history max ts), odd events are points
+    matched under closed='left' — the validity-window dual of the as-of
+    join. Bucket explode + equi-join on (user, bucket): no nested loop
+    (plan-asserted in tests). Oracle: the interval construction + plain
+    BETWEEN join in DuckDB."""
+    from modlyn_spark.operators.ranges import interval_join, intervalize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull()
+    )
+    history = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    cap = history.agg(F.max("ts")).collect()[0][0]
+    iv = intervalize(history, "user_id", "ts", end_cap=cap)
+    pts = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", F.col("ts").alias("pt_ts")
+    )
+    out = interval_join(
+        pts,
+        iv,
+        point_col="pt_ts",
+        lo_col="valid_from",
+        hi_col="valid_to",
+        on="user_id",
+        closed="left",
+    )
+    return out.select(
+        "event_id", "user_id", F.round("state_value", 6).alias("state_value")
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2314,6 +2351,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_fit": q_isotonic_fit,
         "fuzzy_linkage": q_fuzzy_linkage,
         "maha_outliers": q_maha_outliers,
+        "interval_join": q_interval_join,
     }
 
 
@@ -3352,6 +3390,28 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "interval_join": """
+            WITH h AS (
+              SELECT user_id, ts, max(value) AS state_value
+              FROM events
+              WHERE event_id % 2 = 0 AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            cap AS (SELECT max(ts) AS cap FROM h),
+            iv AS (
+              SELECT user_id, state_value, ts AS valid_from,
+                     coalesce(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts),
+                              (SELECT cap FROM cap)) AS valid_to
+              FROM h),
+            p AS (SELECT event_id, user_id, ts AS pt_ts
+                  FROM events
+                  WHERE event_id % 2 = 1 AND ts IS NOT NULL)
+            SELECT p.event_id, p.user_id,
+                   round(iv.state_value, 6) AS state_value
+            FROM p JOIN iv ON p.user_id = iv.user_id
+                          AND p.pt_ts >= iv.valid_from
+                          AND p.pt_ts < iv.valid_to
         """,
         "maha_outliers": f"""
             SELECT vec_id, maha_sq
