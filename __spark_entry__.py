@@ -1438,6 +1438,25 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-sequence funnel (operators/funnels.py): greedy-earliest
+    view -> click -> purchase conversion within a 1-day horizon of the
+    first view; one shuffle, JVM aggregate HOF scan per user, then the
+    conversion table. Oracle: the identical chained-min formulation in
+    DuckDB (t_{k+1} = earliest qualifying event strictly after t_k)."""
+    from modlyn_spark.operators.funnels import funnel_levels, funnel_report
+
+    steps = ["view", "click", "purchase"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    levels = funnel_levels(
+        ev, "user_id", "ts", "event_type", steps, horizon_s=86400.0
+    )
+    rep = funnel_report(levels, steps)
+    return rep.select(
+        F.col("step_idx").cast("long").alias("step_idx"), "step", "users"
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2352,6 +2371,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_linkage": q_fuzzy_linkage,
         "maha_outliers": q_maha_outliers,
         "interval_join": q_interval_join,
+        "funnel": q_funnel,
     }
 
 
@@ -3390,6 +3410,27 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "funnel": """
+            WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(t) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND t > t1
+                     AND t <= t1 + 86400.0 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(t) AS t3
+                   FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+                   WHERE event_type = 'purchase' AND t > t2
+                     AND t <= t1 + 86400.0 GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s1) AS users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM s2)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
         """,
         "interval_join": """
             WITH h AS (
