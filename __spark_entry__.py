@@ -1457,6 +1457,24 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators/cohorts.py): epoch-weekly
+    cohorts by first activity, per-(cohort, offset) active-user counts —
+    map-side-combinable aggregates only, rollup bounded by cohorts x
+    offsets. Oracle: the identical bucketing/rollup in DuckDB."""
+    from modlyn_spark.operators.cohorts import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = cohort_retention(ev, "user_id", "ts", period_s=7 * 86400.0)
+    return out.select(
+        "cohort",
+        "offset",
+        "users",
+        "cohort_size",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2372,6 +2390,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maha_outliers": q_maha_outliers,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3410,6 +3429,23 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "cohort_retention": """
+            WITH up AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS period
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            f AS (SELECT user_id, min(period) AS cohort FROM up
+                  GROUP BY 1),
+            tri AS (SELECT f.cohort, up.period - f.cohort AS "offset",
+                           count(*) AS users
+                    FROM up JOIN f USING (user_id) GROUP BY 1, 2),
+            sz AS (SELECT cohort, users AS cohort_size FROM tri
+                   WHERE "offset" = 0)
+            SELECT tri.cohort, tri."offset", tri.users, sz.cohort_size,
+                   round(tri.users * 1.0 / sz.cohort_size, 6) AS retention
+            FROM tri JOIN sz USING (cohort)
         """,
         "funnel": """
             WITH e AS (SELECT user_id, epoch(ts) AS t, event_type
