@@ -1475,6 +1475,29 @@ def q_cohort_retention(spark, sf_dir):
     )
 
 
+def q_welch_ab(spark, sf_dir):
+    """Welch unequal-variance A/B readout (scoring/abtest.py): each
+    event_type vs the 'view' control on the value metric — one
+    map-side-combinable group aggregate + broadcast control row, exact
+    closed-form t/df. Oracle: the same formulae over var_samp in
+    DuckDB."""
+    from modlyn_spark.scoring.abtest import welch_ab_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = welch_ab_test(ev, "event_type", "value", control="view")
+    return out.select(
+        "group",
+        "metric",
+        "n_t",
+        F.round("mean_t", 6).alias("mean_t"),
+        "n_c",
+        F.round("mean_c", 6).alias("mean_c"),
+        F.round("lift", 6).alias("lift"),
+        F.round("t", 6).alias("t"),
+        F.round("df", 4).alias("df"),
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2391,6 +2414,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "welch_ab": q_welch_ab,
     }
 
 
@@ -3429,6 +3453,24 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "welch_ab": """
+            WITH per AS (
+              SELECT event_type AS g, count(value) AS n, avg(value) AS m,
+                     var_samp(value) AS v
+              FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+            c AS (SELECT n AS nc, m AS mc, v AS vc FROM per
+                  WHERE g = 'view')
+            SELECT per.g AS "group", 'value' AS metric,
+                   per.n AS n_t, round(per.m, 6) AS mean_t,
+                   c.nc AS n_c, round(c.mc, 6) AS mean_c,
+                   round((per.m - c.mc) / c.mc, 6) AS lift,
+                   round((per.m - c.mc)
+                         / sqrt(per.v / per.n + c.vc / c.nc), 6) AS t,
+                   round(pow(per.v / per.n + c.vc / c.nc, 2)
+                         / (pow(per.v / per.n, 2) / (per.n - 1)
+                            + pow(c.vc / c.nc, 2) / (c.nc - 1)), 4) AS df
+            FROM per, c WHERE per.g <> 'view'
         """,
         "cohort_retention": """
             WITH up AS (

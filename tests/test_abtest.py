@@ -1,0 +1,118 @@
+"""Welch A/B test: numpy twin (textbook formulae), null-metric
+exclusion, degenerate guards, A/A sanity, DuckDB parity on real
+events."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from modlyn_spark.scoring.abtest import welch_ab_test
+
+
+def _twin(a, b):
+    a, b = np.asarray(a, float), np.asarray(b, float)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    na, nb = len(a), len(b)
+    se2 = va / na + vb / nb
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, df
+
+
+def test_matches_textbook_twin_and_aa(spark):
+    rng = np.random.default_rng(29)
+    n = 2000
+    g = rng.choice(["control", "t1", "t2"], n)
+    x = rng.normal(0, 1, n) + 0.2 * (g == "t1") + 0.5 * (g == "t2")
+    y = rng.exponential(2, n) * (1 + 0.3 * (g == "t1"))
+    pdf = pd.DataFrame({"g": g, "x": x, "y": y})
+    rows = welch_ab_test(
+        spark.createDataFrame(pdf), "g", ["x", "y"], control="control"
+    ).collect()
+    assert len(rows) == 4  # 2 groups x 2 metrics
+    for r in rows:
+        a = pdf.loc[pdf["g"] == r["group"], r["metric"]]
+        b = pdf.loc[pdf["g"] == "control", r["metric"]]
+        t, df = _twin(a, b)
+        assert r["t"] == pytest.approx(t, rel=1e-10)
+        assert r["df"] == pytest.approx(df, rel=1e-10)
+        assert r["n_t"] == len(a) and r["n_c"] == len(b)
+        assert r["mean_t"] == pytest.approx(a.mean())
+        assert r["lift"] == pytest.approx(
+            (a.mean() - b.mean()) / b.mean()
+        )
+    # planted effects are detected with the right signs
+    by = {(r["group"], r["metric"]): r["t"] for r in rows}
+    assert by[("t2", "x")] > by[("t1", "x")] > 2
+    assert by[("t1", "y")] > 2
+    # A/A: split control randomly -> |t| small almost surely
+    pdf2 = pdf[pdf["g"] == "control"].copy()
+    pdf2["g"] = np.where(rng.random(len(pdf2)) < 0.5, "a", "control")
+    r2 = welch_ab_test(
+        spark.createDataFrame(pdf2), "g", "x", control="control"
+    ).collect()[0]
+    assert abs(r2["t"]) < 3
+
+
+def test_nulls_and_degenerate_groups(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["c", "c", "c", "t", "t", "t", "solo"],
+            "x": [1.0, 2.0, None, 4.0, 5.0, 6.0, 1.0],
+        }
+    )
+    rows = {
+        r["group"]: r
+        for r in welch_ab_test(
+            spark.createDataFrame(pdf), "g", "x", control="c"
+        ).collect()
+    }
+    # NULL metric excluded from n/mean
+    assert rows["t"]["n_c"] == 2 and rows["t"]["mean_c"] == pytest.approx(1.5)
+    t, df = _twin([4.0, 5.0, 6.0], [1.0, 2.0])
+    assert rows["t"]["t"] == pytest.approx(t)
+    assert rows["t"]["df"] == pytest.approx(df)
+    # single-row group -> NULL t/df, row still present
+    assert rows["solo"]["t"] is None and rows["solo"]["df"] is None
+    with pytest.raises(ValueError, match="non-empty"):
+        welch_ab_test(spark.createDataFrame(pdf), "g", [], control="c")
+
+
+def test_duckdb_parity_on_real_events(spark):
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = sorted(
+        (r["group"], round(r["t"], 8), round(r["df"], 6), r["n_t"])
+        for r in welch_ab_test(
+            ev, "event_type", "value", control="view"
+        ).collect()
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        WITH per AS (
+          SELECT event_type AS g, count(value) AS n, avg(value) AS m,
+                 var_samp(value) AS v
+          FROM '{sf}/events.parquet'
+          WHERE event_type IS NOT NULL GROUP BY 1),
+        c AS (SELECT n AS nc, m AS mc, v AS vc FROM per
+              WHERE g = 'view')
+        SELECT per.g,
+               round((per.m - c.mc)
+                     / sqrt(per.v / per.n + c.vc / c.nc), 8) AS t,
+               round(pow(per.v / per.n + c.vc / c.nc, 2)
+                     / (pow(per.v / per.n, 2) / (per.n - 1)
+                        + pow(c.vc / c.nc, 2) / (c.nc - 1)), 6) AS df,
+               per.n
+        FROM per, c WHERE per.g <> 'view'
+        """
+    ).df()
+    exp_rows = sorted(
+        (r.g, float(r.t), float(r.df), int(r.n))
+        for r in exp.itertuples(index=False)
+    )
+    assert got == exp_rows and len(got) == 4
