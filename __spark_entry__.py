@@ -1498,6 +1498,43 @@ def q_welch_ab(spark, sf_dir):
     )
 
 
+def q_cdc_apply(spark, sf_dir):
+    """CDC apply-changes merge (operators/cdc.py): base = each user's
+    pre-cutoff latest state, changelog = post-cutoff events with
+    'error' deleting the row; per-key latest change wins, untouched
+    base passes through one anti-join. Oracle: the identical collapse +
+    anti-join + union in DuckDB."""
+    from pyspark.sql import Window
+
+    from modlyn_spark.operators.cdc import apply_changes
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "value", "event_id")
+    )
+    changes = ev.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    out = apply_changes(base, changes, "user_id", "event_id")
+    return out.select(
+        "user_id", "event_id", F.round("value", 6).alias("value")
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2415,6 +2452,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "welch_ab": q_welch_ab,
+        "cdc_apply": q_cdc_apply,
     }
 
 
@@ -3453,6 +3491,31 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "cdc_apply": """
+            WITH e AS (SELECT * FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            base AS (
+              SELECT user_id, value, event_id FROM (
+                SELECT user_id, value, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e WHERE ts < TIMESTAMP '2024-01-15')
+              WHERE rn = 1),
+            ch AS (SELECT user_id, value, event_id,
+                          CASE WHEN event_type = 'error' THEN 'delete'
+                               ELSE 'upsert' END AS op
+                   FROM e WHERE ts >= TIMESTAMP '2024-01-15'),
+            latest AS (SELECT * FROM (
+                         SELECT ch.*, row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY event_id DESC) AS rn
+                         FROM ch) WHERE rn = 1)
+            SELECT user_id, event_id, round(value, 6) AS value FROM base
+            WHERE user_id NOT IN (SELECT user_id FROM latest)
+            UNION ALL
+            SELECT user_id, event_id, round(value, 6) FROM latest
+            WHERE op <> 'delete'
         """,
         "welch_ab": """
             WITH per AS (

@@ -1,0 +1,199 @@
+"""CDC apply-changes: pandas twin, idempotence + composition
+properties, tie detection, delete-then-upsert ordering, DuckDB parity
+on a real-parquet-derived changelog."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from modlyn_spark.operators.cdc import apply_changes
+
+
+def _twin(base, changes, delete_op="delete"):
+    latest = (
+        changes.sort_values(["k", "seq"])
+        .groupby("k", as_index=False)
+        .last()
+    )
+    out = base[~base["k"].isin(latest["k"])]
+    ups = latest[latest["op"] != delete_op][base.columns]
+    return (
+        pd.concat([out, ups])
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def _mk(seed=7):
+    rng = np.random.default_rng(seed)
+    base = pd.DataFrame(
+        {
+            "k": np.arange(50, dtype=np.int64),
+            "v": np.round(rng.random(50), 4),
+            "tag": [f"b{i}" for i in range(50)],
+        }
+    )
+    n = 120
+    changes = pd.DataFrame(
+        {
+            "k": rng.integers(0, 70, n),  # some brand-new keys
+            "v": np.round(rng.random(n), 4),
+            "tag": [f"c{i}" for i in range(n)],
+            "seq": np.arange(n, dtype=np.int64),
+            "op": rng.choice(["upsert", "delete"], n, p=[0.7, 0.3]),
+        }
+    )
+    return base, changes
+
+
+def _collect(df):
+    return (
+        df.toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+
+
+def test_matches_twin_and_properties(spark):
+    base, changes = _mk()
+    b, c = spark.createDataFrame(base), spark.createDataFrame(changes)
+    got = _collect(apply_changes(b, c, "k", "seq"))
+    exp = _twin(base, changes)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # new keys inserted, deleted keys absent
+    latest = changes.sort_values("seq").groupby("k").last()
+    assert set(got["k"]) == (
+        set(base["k"]) - set(latest[latest["op"] == "delete"].index)
+    ) | set(latest[latest["op"] != "delete"].index)
+    # idempotence: re-applying the same changelog is a no-op
+    again = _collect(
+        apply_changes(spark.createDataFrame(got), c, "k", "seq")
+    )
+    pd.testing.assert_frame_equal(again, got, check_dtype=False)
+    # composition: apply(c1 ++ c2) == apply(apply(c1), c2) when c2
+    # orders after c1
+    half = len(changes) // 2
+    c1, c2 = changes.iloc[:half], changes.iloc[half:]
+    two_step = _collect(
+        apply_changes(
+            apply_changes(b, spark.createDataFrame(c1), "k", "seq"),
+            spark.createDataFrame(c2),
+            "k",
+            "seq",
+        )
+    )
+    pd.testing.assert_frame_equal(two_step, got, check_dtype=False)
+
+
+def test_tie_detection_and_validation(spark):
+    base, changes = _mk(seed=9)
+    tied = pd.concat([changes, changes.iloc[[0]]])  # duplicate (k, seq)
+    with pytest.raises(ValueError, match="ties"):
+        apply_changes(
+            spark.createDataFrame(base),
+            spark.createDataFrame(tied),
+            "k",
+            "seq",
+        )
+    with pytest.raises(ValueError, match="missing base columns"):
+        apply_changes(
+            spark.createDataFrame(base),
+            spark.createDataFrame(changes.drop(columns=["tag"])),
+            "k",
+            "seq",
+        )
+    # delete then later upsert of the same key -> key lives
+    seq = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "v": [0.5, 0.9],
+            "tag": ["x", "y"],
+            "seq": [1, 2],
+            "op": ["delete", "upsert"],
+        }
+    )
+    out = _collect(
+        apply_changes(
+            spark.createDataFrame(base),
+            spark.createDataFrame(seq),
+            "k",
+            "seq",
+        )
+    )
+    row = out[out["k"] == 1].iloc[0]
+    assert row["v"] == 0.9 and row["tag"] == "y"
+
+
+def test_duckdb_parity_on_real_events(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    # base = each user's pre-cutoff latest state; changes = post-cutoff
+    # events, 'error' events deleting the user's row
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    cutoff = "2024-01-15"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        ev.where(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("user_id", "value", "event_id")
+    )
+    changes = ev.where(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp_ntz")
+    ).select(
+        "user_id",
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    got = sorted(
+        (r["user_id"], r["event_id"], round(r["value"], 6))
+        for r in apply_changes(
+            base, changes, "user_id", "event_id"
+        ).collect()
+    )
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        WITH e AS (SELECT * FROM '{sf}/events.parquet'
+                   WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        base AS (
+          SELECT user_id, value, event_id FROM (
+            SELECT user_id, value, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e WHERE ts < TIMESTAMP '{cutoff}')
+          WHERE rn = 1),
+        ch AS (SELECT user_id, value, event_id,
+                      CASE WHEN event_type = 'error' THEN 'delete'
+                           ELSE 'upsert' END AS op
+               FROM e WHERE ts >= TIMESTAMP '{cutoff}'),
+        latest AS (SELECT * FROM (
+                     SELECT ch.*, row_number() OVER (
+                         PARTITION BY user_id
+                         ORDER BY event_id DESC) AS rn
+                     FROM ch) WHERE rn = 1)
+        SELECT user_id, event_id, round(value, 6) AS value FROM base
+        WHERE user_id NOT IN (SELECT user_id FROM latest)
+        UNION ALL
+        SELECT user_id, event_id, round(value, 6) FROM latest
+        WHERE op <> 'delete'
+        """
+    ).df()
+    exp_rows = sorted(
+        (int(r.user_id), int(r.event_id), float(r.value))
+        for r in exp.itertuples(index=False)
+    )
+    assert got == exp_rows and len(got) > 3
