@@ -1535,6 +1535,32 @@ def q_cdc_apply(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/cdc.py snapshot_diff): changelog
+    between the customer table and a derived next snapshot (every third
+    key dropped, another third's balance shifted) — one full-outer key
+    join + null-safe codegen compare; round-trips through apply_changes
+    (pytest-pinned). Oracle: the identical classification in DuckDB."""
+    from modlyn_spark.operators.cdc import snapshot_diff
+
+    old = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    new = old.where(F.col("c_custkey") % 3 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 1, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    d = snapshot_diff(old, new, "c_custkey")
+    return d.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        "c_mktsegment",
+        "op",
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2453,6 +2479,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "welch_ab": q_welch_ab,
         "cdc_apply": q_cdc_apply,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3491,6 +3518,43 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_pos,
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
+        """,
+        "snapshot_diff": """
+            WITH o AS (SELECT * FROM customer),
+            n AS (SELECT c_custkey, c_name, c_nationkey,
+                         CASE WHEN c_custkey % 3 = 1
+                              THEN c_acctbal + 10.0
+                              ELSE c_acctbal END AS c_acctbal,
+                         c_mktsegment
+                  FROM customer WHERE c_custkey % 3 <> 0),
+            j AS (SELECT o.c_custkey AS ko, n.c_custkey AS kn,
+                         o.c_name AS o_name, n.c_name AS n_name,
+                         o.c_nationkey AS o_nk, n.c_nationkey AS n_nk,
+                         o.c_acctbal AS o_bal, n.c_acctbal AS n_bal,
+                         o.c_mktsegment AS o_seg, n.c_mktsegment AS n_seg
+                  FROM o FULL OUTER JOIN n
+                    ON o.c_custkey = n.c_custkey),
+            d AS (SELECT *,
+                         CASE WHEN ko IS NULL THEN 'insert'
+                              WHEN kn IS NULL THEN 'delete'
+                              WHEN (o_name IS DISTINCT FROM n_name)
+                                OR (o_nk IS DISTINCT FROM n_nk)
+                                OR (o_bal IS DISTINCT FROM n_bal)
+                                OR (o_seg IS DISTINCT FROM n_seg)
+                                   THEN 'update'
+                         END AS op
+                  FROM j)
+            SELECT coalesce(kn, ko) AS c_custkey,
+                   CASE WHEN op = 'delete' THEN o_name ELSE n_name END
+                       AS c_name,
+                   CASE WHEN op = 'delete' THEN o_nk ELSE n_nk END
+                       AS c_nationkey,
+                   round(CASE WHEN op = 'delete' THEN o_bal
+                              ELSE n_bal END, 6) AS c_acctbal,
+                   CASE WHEN op = 'delete' THEN o_seg ELSE n_seg END
+                       AS c_mktsegment,
+                   op
+            FROM d WHERE op IS NOT NULL
         """,
         "cdc_apply": """
             WITH e AS (SELECT * FROM events

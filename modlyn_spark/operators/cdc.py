@@ -88,3 +88,69 @@ def apply_changes(
     )
     untouched = base.join(latest.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(upserts)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """The changelog BETWEEN two snapshots — :func:`apply_changes`'s
+    inverse: one row per key that differs, carrying the NEW payload
+    (old payload for deletes, so the row is self-describing) and
+    ``op_col`` in {'insert', 'update', 'delete'}. Unchanged keys are
+    absent. Round trip (pytest-pinned):
+    ``apply_changes(old, snapshot_diff(old, new), ...) == new``.
+
+    One full-outer shuffle join on the keys — the honest cost of
+    diffing two snapshots — then pure codegen null-safe comparison
+    (``eqNullSafe`` per payload column; NULL == NULL is "unchanged",
+    matching SQL's IS NOT DISTINCT FROM). Both inputs must share a
+    schema and be key-unique (a duplicated key makes "the" diff
+    ill-defined; the join would fan out and the caller's snapshot
+    invariant is already broken upstream)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(set(old.columns) ^ set(new.columns))}"
+        )
+    payload = [c for c in old.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in payload],
+        F.lit(True).alias("__in_o"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in payload],
+        F.lit(True).alias("__in_n"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"__ko_{k}").eqNullSafe(F.col(f"__kn_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = o.join(n, on=cond, how="full_outer")
+    same = F.lit(True)
+    for c in payload:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    op = (
+        F.when(F.col("__in_o").isNull(), F.lit("insert"))
+        .when(F.col("__in_n").isNull(), F.lit("delete"))
+        .when(~same, F.lit("update"))
+    )
+    out = j.withColumn(op_col, op).where(F.col(op_col).isNotNull())
+    return out.select(
+        *[
+            F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(
+                F.col(op_col) == "delete", F.col(f"__o_{c}")
+            ).otherwise(F.col(f"__n_{c}")).alias(c)
+            for c in payload
+        ],
+        op_col,
+    )

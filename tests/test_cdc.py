@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from modlyn_spark.operators.cdc import apply_changes
 
@@ -197,3 +198,73 @@ def test_duckdb_parity_on_real_events(spark):
         for r in exp.itertuples(index=False)
     )
     assert got == exp_rows and len(got) > 3
+
+
+def test_snapshot_diff_and_roundtrip(spark):
+    import pandas as pd
+
+    from modlyn_spark.operators.cdc import snapshot_diff
+
+    old = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 4, 5],
+            "v": [1.0, 2.0, 3.0, None, 5.0],
+            "tag": ["a", "b", "c", "d", "e"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "k": [1, 2, 4, 6],  # 3,5 deleted; 6 inserted; 2 updated
+            "v": [1.0, 2.5, None, 6.0],  # 4 unchanged incl. NULL == NULL
+            "tag": ["a", "b", "d", "f"],
+        }
+    )
+    o, n = spark.createDataFrame(old), spark.createDataFrame(new)
+    d = snapshot_diff(o, n, "k")
+    got = {r["k"]: r["op"] for r in d.collect()}
+    assert got == {2: "update", 3: "delete", 5: "delete", 6: "insert"}
+    # delete rows carry the OLD payload (self-describing changelog)
+    row3 = next(r for r in d.collect() if r["k"] == 3)
+    assert row3["v"] == 3.0 and row3["tag"] == "c"
+    # round trip: applying the diff reproduces the new snapshot exactly
+    from modlyn_spark.operators.cdc import apply_changes
+
+    redo = apply_changes(
+        o, d.withColumn("seq", F.lit(1)), "k", "seq", delete_op="delete"
+    )
+    got_new = redo.toPandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_new, new.sort_values("k").reset_index(drop=True),
+        check_dtype=False,
+    )
+    # schema mismatch validation
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_diff(o, n.drop("tag"), "k")
+
+
+def test_snapshot_diff_roundtrip_on_real_parquet(spark):
+    import pandas as pd
+
+    from modlyn_spark.operators.cdc import apply_changes, snapshot_diff
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.read.parquet(f"{sf}/customer.parquet")
+    # synthetic next snapshot: drop a third, perturb a third
+    new = (
+        old.where(F.col("c_custkey") % 3 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 3 == 1, F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")),
+        )
+    )
+    d = snapshot_diff(old, new, "c_custkey")
+    ops = {r["op"] for r in d.select("op").distinct().collect()}
+    assert ops == {"update", "delete"}
+    redo = apply_changes(
+        old, d.withColumn("seq", F.lit(1)), "c_custkey", "seq"
+    )
+    a = redo.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    b = new.toPandas().sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
