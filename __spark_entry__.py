@@ -2213,17 +2213,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_statistic": q_f_statistic,
         "wilcoxon_scores": q_wilcoxon_scores,
         "topn_jaccard": q_topn_jaccard,
-        "dedup_exact": q_dedup_exact,
+        "cdc_apply": q_cdc_apply,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
+        "pq_topk": q_pq_topk,
+        "interval_join": q_interval_join,
+        "fuzzy_linkage": q_fuzzy_linkage,
         "kmeans_clusters": q_kmeans_clusters,
         # round-4 late rotation: five more thin slots (anti_join_orphans,
         # topk_per_group, rolling_stats, token_count, doc_fingerprint —
@@ -2470,16 +2470,21 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "avg_precision": q_avg_precision,
         "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
         "isotonic_fit": q_isotonic_fit,
-        "fuzzy_linkage": q_fuzzy_linkage,
         "maha_outliers": q_maha_outliers,
-        "interval_join": q_interval_join,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "welch_ab": q_welch_ab,
-        "cdc_apply": q_cdc_apply,
         "snapshot_diff": q_snapshot_diff,
+        # rotation 3 (fifth session): pq_topk / interval_join /
+        # fuzzy_linkage / cdc_apply promoted into the 50; these four
+        # (each fully subsumed by live composed queries — curation
+        # gates lang/quality/exact-dedup, ANN keeps cosine+IVF) retire
+        # with full oracles under the mirror
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "dedup_exact": q_dedup_exact,
     }
 
 
@@ -2892,10 +2897,6 @@ def oracle_sql() -> dict[str, str]:
                    round(c * 1.0 / (20 - c), 4) AS jaccard
             FROM inter
         """,
-        "dedup_exact": """
-            SELECT min(doc_id) AS doc_id FROM documents
-            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-        """,
         "ngram_jaccard_pairs": _ngram_pairs_sql(0.5),
         # candidates-then-verify operators: output = exact pair set at the
         # threshold; a hash mismatch here means the approximate candidate
@@ -2933,7 +2934,6 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         """,
-        "ann_lsh_topk": _ANN_RETRIEVAL_ORACLE,
         "ann_ivf_topk": _ANN_RETRIEVAL_ORACLE,
         "ann_cosine_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
@@ -2947,48 +2947,6 @@ def oracle_sql() -> dict[str, str]:
                          AS rank
               FROM q, c)
             WHERE rank <= 5
-        """,
-        "lang_id": f"""
-            WITH t AS (SELECT doc_id,
-                              regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-                       FROM documents),
-            s AS (SELECT doc_id,
-                         len(list_filter(w, x -> list_contains({_EN}, x))) AS s_en,
-                         len(list_filter(w, x -> list_contains({_DE}, x))) AS s_de,
-                         len(list_filter(w, x -> list_contains({_FR}, x))) AS s_fr,
-                         len(list_filter(w, x -> list_contains({_ES}, x))) AS s_es
-                  FROM t)
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
-                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-            FROM s
-        """,
-        "quality_score": f"""
-            WITH q AS (
-              SELECT doc_id, length(text) AS n_chars,
-                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
-                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
-              FROM documents),
-            r AS (SELECT doc_id, n_chars,
-                         CASE WHEN n_chars > 0
-                              THEN n_punct * 1.0 / n_chars ELSE 0 END AS punct_ratio,
-                         CASE WHEN len(w) > 0 THEN
-                              len(list_filter(w, x -> list_contains({_EN}, x)))
-                              * 1.0 / len(w) ELSE 0 END AS stopword_ratio,
-                         CASE WHEN len(w) > 0 THEN
-                              list_aggregate(list_transform(w, x -> length(x)), 'sum')
-                              * 1.0 / len(w) ELSE 0 END AS mean_word_len
-                  FROM q)
-            SELECT doc_id, n_chars, round(punct_ratio, 4) AS punct_ratio,
-                   round(stopword_ratio, 4) AS stopword_ratio,
-                   round(mean_word_len, 4) AS mean_word_len,
-                   round((least(n_chars / 200.0, 1.0)
-                          + greatest(1.0 - punct_ratio * 4.0, 0.0)
-                          + least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
-            FROM r
         """,
         "corpus_chunk_dedup": f"""
             WITH w AS ({_WORDS_SQL}),
@@ -3350,6 +3308,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM new
             WHERE text NOT IN (SELECT text FROM hist)
         """,
+        "cdc_apply": """
+            WITH e AS (SELECT * FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            base AS (
+              SELECT user_id, value, event_id FROM (
+                SELECT user_id, value, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e WHERE ts < TIMESTAMP '2024-01-15')
+              WHERE rn = 1),
+            ch AS (SELECT user_id, value, event_id,
+                          CASE WHEN event_type = 'error' THEN 'delete'
+                               ELSE 'upsert' END AS op
+                   FROM e WHERE ts >= TIMESTAMP '2024-01-15'),
+            latest AS (SELECT * FROM (
+                         SELECT ch.*, row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY event_id DESC) AS rn
+                         FROM ch) WHERE rn = 1)
+            SELECT user_id, event_id, round(value, 6) AS value FROM base
+            WHERE user_id NOT IN (SELECT user_id FROM latest)
+            UNION ALL
+            SELECT user_id, event_id, round(value, 6) FROM latest
+            WHERE op <> 'delete'
+        """,
+        "interval_join": """
+            WITH h AS (
+              SELECT user_id, ts, max(value) AS state_value
+              FROM events
+              WHERE event_id % 2 = 0 AND ts IS NOT NULL
+              GROUP BY 1, 2),
+            cap AS (SELECT max(ts) AS cap FROM h),
+            iv AS (
+              SELECT user_id, state_value, ts AS valid_from,
+                     coalesce(lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts),
+                              (SELECT cap FROM cap)) AS valid_to
+              FROM h),
+            p AS (SELECT event_id, user_id, ts AS pt_ts
+                  FROM events
+                  WHERE event_id % 2 = 1 AND ts IS NOT NULL)
+            SELECT p.event_id, p.user_id,
+                   round(iv.state_value, 6) AS state_value
+            FROM p JOIN iv ON p.user_id = iv.user_id
+                          AND p.pt_ts >= iv.valid_from
+                          AND p.pt_ts < iv.valid_to
+        """,
+        "fuzzy_linkage": """
+            WITH n AS (
+              SELECT doc_id AS id,
+                     trim(regexp_replace(regexp_replace(
+                          lower(substr(text, 1, 120)),
+                          '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+              FROM documents),
+            k AS (SELECT id, t,
+                         array_to_string(
+                             list_sort(string_split(t, ' '))[1:2], ' ')
+                             AS bk
+                  FROM n WHERE len(t) > 0),
+            c AS (SELECT a.id AS id1, b.id AS id2, a.t AS t1, b.t AS t2
+                  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id),
+            s AS (SELECT id1, id2,
+                         CAST(levenshtein(t1, t2) AS BIGINT) AS dist,
+                         1.0 - levenshtein(t1, t2)
+                             / greatest(len(t1), len(t2)) AS sim
+                  FROM c)
+            SELECT id1, id2, dist, round(sim, 6) AS sim
+            FROM s WHERE sim >= 0.8
+        """,
+        "pq_topk": f"""
+            WITH cb AS (SELECT subspace, code,
+                               CAST(centroid AS DOUBLE[]) AS c
+                        FROM read_parquet(
+                            '{_FIXTURES}/pq_codebooks.parquet')),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE embedding IS NOT NULL),
+            sub AS (SELECT vec_id, g.i AS subspace,
+                           v[g.i * 8 + 1 : g.i * 8 + 8] AS sv
+                    FROM e, (SELECT unnest(range(0, 8)) AS i) g),
+            enc AS (SELECT vec_id, subspace, code FROM (
+                      SELECT sub.vec_id, sub.subspace, cb.code,
+                             row_number() OVER (
+                                 PARTITION BY sub.vec_id, sub.subspace
+                                 ORDER BY list_distance(sub.sv, cb.c),
+                                          cb.code) AS rn
+                      FROM sub JOIN cb USING (subspace))
+                    WHERE rn = 1),
+            qsub AS (SELECT vec_id AS probe_id, subspace, sv
+                     FROM sub WHERE vec_id % 100 = 7),
+            lut AS (SELECT qsub.probe_id, qsub.subspace, cb.code,
+                           power(list_distance(qsub.sv, cb.c), 2) AS d
+                    FROM qsub JOIN cb USING (subspace)),
+            ad AS (SELECT lut.probe_id, enc.vec_id AS corpus_id,
+                          round(sum(lut.d), 6) AS dist
+                   FROM enc JOIN lut ON enc.subspace = lut.subspace
+                                    AND enc.code = lut.code
+                   GROUP BY 1, 2)
+            SELECT probe_id, corpus_id, dist, rank FROM (
+              SELECT ad.*, row_number() OVER (PARTITION BY probe_id
+                           ORDER BY dist, corpus_id) AS rank
+              FROM ad)
+            WHERE rank <= 5
+        """,
     }
 
 
@@ -3556,31 +3617,6 @@ def retired_oracle_sql() -> dict[str, str]:
                    op
             FROM d WHERE op IS NOT NULL
         """,
-        "cdc_apply": """
-            WITH e AS (SELECT * FROM events
-                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-            base AS (
-              SELECT user_id, value, event_id FROM (
-                SELECT user_id, value, event_id,
-                       row_number() OVER (PARTITION BY user_id
-                           ORDER BY ts DESC, event_id DESC) AS rn
-                FROM e WHERE ts < TIMESTAMP '2024-01-15')
-              WHERE rn = 1),
-            ch AS (SELECT user_id, value, event_id,
-                          CASE WHEN event_type = 'error' THEN 'delete'
-                               ELSE 'upsert' END AS op
-                   FROM e WHERE ts >= TIMESTAMP '2024-01-15'),
-            latest AS (SELECT * FROM (
-                         SELECT ch.*, row_number() OVER (
-                             PARTITION BY user_id
-                             ORDER BY event_id DESC) AS rn
-                         FROM ch) WHERE rn = 1)
-            SELECT user_id, event_id, round(value, 6) AS value FROM base
-            WHERE user_id NOT IN (SELECT user_id FROM latest)
-            UNION ALL
-            SELECT user_id, event_id, round(value, 6) FROM latest
-            WHERE op <> 'delete'
-        """,
         "welch_ab": """
             WITH per AS (
               SELECT event_type AS g, count(value) AS n, avg(value) AS m,
@@ -3637,53 +3673,9 @@ def retired_oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM s3)
         """,
-        "interval_join": """
-            WITH h AS (
-              SELECT user_id, ts, max(value) AS state_value
-              FROM events
-              WHERE event_id % 2 = 0 AND ts IS NOT NULL
-              GROUP BY 1, 2),
-            cap AS (SELECT max(ts) AS cap FROM h),
-            iv AS (
-              SELECT user_id, state_value, ts AS valid_from,
-                     coalesce(lead(ts) OVER (PARTITION BY user_id
-                                             ORDER BY ts),
-                              (SELECT cap FROM cap)) AS valid_to
-              FROM h),
-            p AS (SELECT event_id, user_id, ts AS pt_ts
-                  FROM events
-                  WHERE event_id % 2 = 1 AND ts IS NOT NULL)
-            SELECT p.event_id, p.user_id,
-                   round(iv.state_value, 6) AS state_value
-            FROM p JOIN iv ON p.user_id = iv.user_id
-                          AND p.pt_ts >= iv.valid_from
-                          AND p.pt_ts < iv.valid_to
-        """,
         "maha_outliers": f"""
             SELECT vec_id, maha_sq
             FROM read_parquet('{_FIXTURES}/maha_outliers_sf001.parquet')
-        """,
-        "fuzzy_linkage": """
-            WITH n AS (
-              SELECT doc_id AS id,
-                     trim(regexp_replace(regexp_replace(
-                          lower(substr(text, 1, 120)),
-                          '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
-              FROM documents),
-            k AS (SELECT id, t,
-                         array_to_string(
-                             list_sort(string_split(t, ' '))[1:2], ' ')
-                             AS bk
-                  FROM n WHERE len(t) > 0),
-            c AS (SELECT a.id AS id1, b.id AS id2, a.t AS t1, b.t AS t2
-                  FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id),
-            s AS (SELECT id1, id2,
-                         CAST(levenshtein(t1, t2) AS BIGINT) AS dist,
-                         1.0 - levenshtein(t1, t2)
-                             / greatest(len(t1), len(t2)) AS sim
-                  FROM c)
-            SELECT id1, id2, dist, round(sim, 6) AS sim
-            FROM s WHERE sim >= 0.8
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,
@@ -3713,40 +3705,6 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
                    CAST(code AS BIGINT) AS code
             FROM enc
-        """,
-        "pq_topk": f"""
-            WITH cb AS (SELECT subspace, code,
-                               CAST(centroid AS DOUBLE[]) AS c
-                        FROM read_parquet(
-                            '{_FIXTURES}/pq_codebooks.parquet')),
-            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                  FROM embeddings WHERE embedding IS NOT NULL),
-            sub AS (SELECT vec_id, g.i AS subspace,
-                           v[g.i * 8 + 1 : g.i * 8 + 8] AS sv
-                    FROM e, (SELECT unnest(range(0, 8)) AS i) g),
-            enc AS (SELECT vec_id, subspace, code FROM (
-                      SELECT sub.vec_id, sub.subspace, cb.code,
-                             row_number() OVER (
-                                 PARTITION BY sub.vec_id, sub.subspace
-                                 ORDER BY list_distance(sub.sv, cb.c),
-                                          cb.code) AS rn
-                      FROM sub JOIN cb USING (subspace))
-                    WHERE rn = 1),
-            qsub AS (SELECT vec_id AS probe_id, subspace, sv
-                     FROM sub WHERE vec_id % 100 = 7),
-            lut AS (SELECT qsub.probe_id, qsub.subspace, cb.code,
-                           power(list_distance(qsub.sv, cb.c), 2) AS d
-                    FROM qsub JOIN cb USING (subspace)),
-            ad AS (SELECT lut.probe_id, enc.vec_id AS corpus_id,
-                          round(sum(lut.d), 6) AS dist
-                   FROM enc JOIN lut ON enc.subspace = lut.subspace
-                                    AND enc.code = lut.code
-                   GROUP BY 1, 2)
-            SELECT probe_id, corpus_id, dist, rank FROM (
-              SELECT ad.*, row_number() OVER (PARTITION BY probe_id
-                           ORDER BY dist, corpus_id) AS rank
-              FROM ad)
-            WHERE rank <= 5
         """,
         "avg_precision": """
             WITH t AS (
@@ -4299,5 +4257,52 @@ def retired_oracle_sql() -> dict[str, str]:
                             ORDER BY hamming, corpus_id) AS BIGINT) AS rank
               FROM sc)
             WHERE rank <= 3
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        """,
+        "ann_lsh_topk": _ANN_RETRIEVAL_ORACLE,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         len(list_filter(w, x -> list_contains({_EN}, x))) AS s_en,
+                         len(list_filter(w, x -> list_contains({_DE}, x))) AS s_de,
+                         len(list_filter(w, x -> list_contains({_FR}, x))) AS s_fr,
+                         len(list_filter(w, x -> list_contains({_ES}, x))) AS s_es
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        "quality_score": f"""
+            WITH q AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents),
+            r AS (SELECT doc_id, n_chars,
+                         CASE WHEN n_chars > 0
+                              THEN n_punct * 1.0 / n_chars ELSE 0 END AS punct_ratio,
+                         CASE WHEN len(w) > 0 THEN
+                              len(list_filter(w, x -> list_contains({_EN}, x)))
+                              * 1.0 / len(w) ELSE 0 END AS stopword_ratio,
+                         CASE WHEN len(w) > 0 THEN
+                              list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                              * 1.0 / len(w) ELSE 0 END AS mean_word_len
+                  FROM q)
+            SELECT doc_id, n_chars, round(punct_ratio, 4) AS punct_ratio,
+                   round(stopword_ratio, 4) AS stopword_ratio,
+                   round(mean_word_len, 4) AS mean_word_len,
+                   round((least(n_chars / 200.0, 1.0)
+                          + greatest(1.0 - punct_ratio * 4.0, 0.0)
+                          + least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
+            FROM r
         """,
     }
