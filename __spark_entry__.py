@@ -1561,6 +1561,31 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_resample(spark, sf_dir):
+    """Gap-filled time-series resampling (operators/resample.py): per
+    user daily value average (forward-filled) + event count
+    (zero-filled) over each user's dense activity span — one grouped
+    aggregate, sequence-exploded grid, one left join, one fill window.
+    Oracle: the identical bucket/grid/fill pipeline in DuckDB."""
+    from modlyn_spark.operators.resample import resample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample(
+        ev,
+        "user_id",
+        "ts",
+        {"v_avg": F.avg("value"), "n": F.count(F.lit(1))},
+        every_s=86400.0,
+        fill={"v_avg": "ffill", "n": "zero"},
+    )
+    return out.select(
+        "user_id",
+        F.round("bucket_ts", 6).alias("bucket_ts"),
+        F.round("v_avg", 6).alias("v_avg"),
+        "n",
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2476,6 +2501,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "welch_ab": q_welch_ab,
         "snapshot_diff": q_snapshot_diff,
+        "resample": q_resample,
         # rotation 3 (fifth session): pq_topk / interval_join /
         # fuzzy_linkage / cdc_apply promoted into the 50; these four
         # (each fully subsumed by live composed queries — curation
@@ -3419,6 +3445,28 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "resample": """
+            WITH e AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+                                  AS b,
+                              value
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            per AS (SELECT user_id, b, avg(value) AS v, count(*) AS n
+                    FROM e GROUP BY 1, 2),
+            span AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+                     FROM per GROUP BY 1),
+            grid AS (SELECT user_id, unnest(range(lo, hi + 1)) AS b
+                     FROM span),
+            j AS (SELECT g.user_id, g.b, per.v, per.n
+                  FROM grid g LEFT JOIN per USING (user_id, b))
+            SELECT user_id, round(b * 86400.0, 6) AS bucket_ts,
+                   round(last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY b
+                       ROWS UNBOUNDED PRECEDING), 6) AS v_avg,
+                   coalesce(n, 0) AS n
+            FROM j
+        """,
         "feature_corr": """
             WITH l AS (
               SELECT vec_id, g.i AS pos, CAST(embedding[g.i + 1] AS DOUBLE) AS x
