@@ -1586,6 +1586,21 @@ def q_resample(spark, sf_dir):
     )
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order layout keys (functions/layout.py with_zorder): Morton
+    interleave of min/max-ranked (o_custkey, o_orderdate) — the
+    multi-dimensional data-skipping sort key (locality pinned
+    quantitatively in test_layout). Oracle: zorder_sql generates the
+    bit-identical interleave expression for DuckDB."""
+    from modlyn_spark.functions.layout import with_zorder
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    out = with_zorder(orders, ["o_custkey", "o_orderdate"], bits=16)
+    return out.select("o_orderkey", "zkey")
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2502,6 +2517,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ab": q_welch_ab,
         "snapshot_diff": q_snapshot_diff,
         "resample": q_resample,
+        "zorder_key": q_zorder,
         # rotation 3 (fifth session): pq_topk / interval_join /
         # fuzzy_linkage / cdc_apply promoted into the 50; these four
         # (each fully subsumed by live composed queries — curation
@@ -3445,6 +3461,22 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "zorder_key": """
+            WITH st AS (
+              SELECT CAST(min(o_custkey) AS DOUBLE) AS mnx,
+                     CAST(max(o_custkey) AS DOUBLE) AS mxx,
+                     min(epoch(o_orderdate)) AS mny,
+                     max(epoch(o_orderdate)) AS mxy
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            r AS (
+              SELECT o_orderkey,
+                     CAST(floor(((o_custkey - mnx) / (mxx - mnx)) * 65535.0) AS BIGINT) AS rx,
+                     CAST(floor(((epoch(o_orderdate) - mny) / (mxy - mny)) * 65535.0) AS BIGINT) AS ry
+              FROM orders, st
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+            SELECT o_orderkey, ((((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 0) & 1) << 0) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 1) & 1) << 2) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 2) & 1) << 4) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 3) & 1) << 6) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 4) & 1) << 8) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 5) & 1) << 10) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 6) & 1) << 12) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 7) & 1) << 14) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 8) & 1) << 16) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 9) & 1) << 18) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 10) & 1) << 20) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 11) & 1) << 22) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 12) & 1) << 24) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 13) & 1) << 26) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 14) & 1) << 28) + (((least(greatest(CAST(rx AS BIGINT), 0), 65535) >> 15) & 1) << 30) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 0) & 1) << 1) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 1) & 1) << 3) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 2) & 1) << 5) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 3) & 1) << 7) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 4) & 1) << 9) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 5) & 1) << 11) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 6) & 1) << 13) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 7) & 1) << 15) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 8) & 1) << 17) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 9) & 1) << 19) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 10) & 1) << 21) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 11) & 1) << 23) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 12) & 1) << 25) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 13) & 1) << 27) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 14) & 1) << 29) + (((least(greatest(CAST(ry AS BIGINT), 0), 65535) >> 15) & 1) << 31)) AS zkey FROM r
+        """,
         "resample": """
             WITH e AS (SELECT user_id,
                               CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
