@@ -1601,6 +1601,26 @@ def q_zorder(spark, sf_dir):
     return out.select("o_orderkey", "zkey")
 
 
+def q_neg_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (operators/negatives.py): every 10th doc anchors k=4 negatives from
+    the whole pool via the portable slot hash, positives/self excluded,
+    earliest-slot dedup — a pure function of (anchor, slot, seed), so
+    cluster size and resume order cannot change the training set.
+    Oracle: the identical slot-hash pipeline in DuckDB."""
+    from modlyn_spark.operators.negatives import sample_negatives
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("anchor"),
+        (F.col("doc_id") + 1).alias("item"),
+    )
+    pool = docs.select(F.col("doc_id").alias("item"))
+    return sample_negatives(
+        pos, pool, anchor_col="anchor", item_col="item", k=4
+    )
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2518,6 +2538,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "resample": q_resample,
         "zorder_key": q_zorder,
+        "neg_samples": q_neg_samples,
         # rotation 3 (fifth session): pq_topk / interval_join /
         # fuzzy_linkage / cdc_apply promoted into the 50; these four
         # (each fully subsumed by live composed queries — curation
@@ -3461,6 +3482,40 @@ def retired_oracle_sql() -> dict[str, str]:
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
     return {
+        "neg_samples": """
+            WITH pool AS (SELECT DISTINCT doc_id AS item FROM documents),
+            idx AS (SELECT item,
+                           row_number() OVER (ORDER BY item) - 1 AS i
+                    FROM pool),
+            np AS (SELECT count(*) AS n FROM pool),
+            anchors AS (SELECT DISTINCT doc_id AS anchor FROM documents
+                        WHERE doc_id % 10 = 0),
+            pos AS (SELECT doc_id AS anchor, doc_id + 1 AS item
+                    FROM documents WHERE doc_id % 10 = 0),
+            draws AS (SELECT anchor, unnest(range(0, 12)) AS slot
+                      FROM anchors),
+            hashed AS (SELECT anchor, slot,
+                              CAST(('0x' || substr(md5(
+                                  anchor || '|' || slot || '|0'), 1, 15))
+                                  AS BIGINT) % (SELECT n FROM np) AS i
+                       FROM draws),
+            cand AS (SELECT h.anchor, h.slot, idx.item
+                     FROM hashed h JOIN idx USING (i)
+                     WHERE NOT EXISTS (SELECT 1 FROM pos
+                                       WHERE pos.anchor = h.anchor
+                                         AND pos.item = idx.item)
+                       AND CAST(idx.item AS VARCHAR)
+                           <> CAST(h.anchor AS VARCHAR)),
+            dedup AS (SELECT * FROM (
+                        SELECT cand.*, row_number() OVER (
+                            PARTITION BY anchor, item
+                            ORDER BY slot) AS rd
+                        FROM cand) WHERE rd = 1)
+            SELECT anchor, item, slot FROM (
+              SELECT dedup.*, row_number() OVER (
+                  PARTITION BY anchor ORDER BY slot) AS rk
+              FROM dedup) WHERE rk <= 4
+        """,
         "zorder_key": """
             WITH st AS (
               SELECT CAST(min(o_custkey) AS DOUBLE) AS mnx,
