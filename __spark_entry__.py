@@ -1621,6 +1621,45 @@ def q_neg_samples(spark, sf_dir):
     )
 
 
+# Shared spec: the Spark query AND the DuckDB oracle are generated from
+# this one list (operators/profile.py pattern — single source of truth).
+_DOC_EXPECTATIONS = [
+    {"type": "row_count", "min": 10},
+    {"type": "not_null", "column": "text"},
+    {"type": "unique", "column": "doc_id"},
+    {"type": "in_set", "column": "lang",
+     "values": ["en", "de", "fr", "es", "it"], "min_fraction": 0.25},
+    {"type": "in_range", "column": "n_chars", "min": 1, "max": 1000000000},
+    {"type": "matches", "column": "source", "pattern": "^[a-z0-9_]+$"},
+    {"type": "not_null", "column": "lang", "min_fraction": 0.5},
+    {"type": "unique", "column": "text"},
+]
+
+
+def q_table_profile(spark, sf_dir):
+    """Single-pass table profiler (operators/profile.py profile_table):
+    per-column null/exact-distinct counts, typed min/max/mean/stddev and
+    string length bounds for the documents snapshot — ONE fused aggregate
+    scan, unpivoted over the 1-row result. Oracle: duckdb_profile_sql
+    generates the identical aggregate arithmetic per column."""
+    from modlyn_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs)
+
+
+def q_expectations(spark, sf_dir):
+    """Deequ-style data-quality contract (operators/profile.py
+    check_expectations): 8 constraints (row floor, null budgets, key
+    uniqueness, lang domain, n_chars range, source shape, a deliberately
+    failing text-uniqueness check) fused into one aggregate pass.
+    Oracle: duckdb_expectations_sql generated from the SAME spec list."""
+    from modlyn_spark.operators.profile import check_expectations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return check_expectations(docs, _DOC_EXPECTATIONS)
+
+
 def q_tfidf_vectors(spark, sf_dir):
     """Smoothed TF-IDF document vectors (operators/retrieval.py
     tfidf_vectors): sklearn semantics over the shared BM25 inverted
@@ -2544,6 +2583,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (each fully subsumed by live composed queries — curation
         # gates lang/quality/exact-dedup, ANN keeps cosine+IVF) retire
         # with full oracles under the mirror
+        # r4 sixth session: data-quality surface (mirror-gated, no free
+        # slot) — profiler + expectation suite over the documents snapshot
+        "table_profile": q_table_profile,
+        "expectations": q_expectations,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3481,7 +3524,21 @@ def retired_oracle_sql() -> dict[str, str]:
     """Oracles for retired_queries() — kept green by the pytest contract
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
+    from modlyn_spark.operators.profile import (
+        duckdb_expectations_sql,
+        duckdb_profile_sql,
+    )
+
     return {
+        "table_profile": duckdb_profile_sql(
+            "documents",
+            columns=["doc_id", "lang", "n_chars", "source", "text"],
+            numeric=["doc_id", "n_chars"],
+            strings=["text", "lang", "source"],
+        ),
+        "expectations": duckdb_expectations_sql(
+            "documents", _DOC_EXPECTATIONS
+        ),
         "neg_samples": """
             WITH pool AS (SELECT DISTINCT doc_id AS item FROM documents),
             idx AS (SELECT item,
