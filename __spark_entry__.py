@@ -1636,6 +1636,22 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/freq.py): exact set of
+    document tokens above 1/256 corpus frequency via per-partition MG
+    sketches (shuffle bounded by partitions x capacity, not distinct
+    tokens) + broadcast-semi exact recount of candidates only — exact
+    result from approximate pruning, so the oracle is plain
+    GROUP BY ... HAVING SQL over the shared \\s+ tokenizer."""
+    from modlyn_spark.operators.freq import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    return heavy_hitters(toks, "token", threshold=0.00390625)
+
+
 def q_table_profile(spark, sf_dir):
     """Single-pass table profiler (operators/profile.py profile_table):
     per-column null/exact-distinct counts, typed min/max/mean/stddev and
@@ -2587,6 +2603,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot) — profiler + expectation suite over the documents snapshot
         "table_profile": q_table_profile,
         "expectations": q_expectations,
+        "heavy_hitters": q_heavy_hitters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3539,6 +3556,20 @@ def retired_oracle_sql() -> dict[str, str]:
         "expectations": duckdb_expectations_sql(
             "documents", _DOC_EXPECTATIONS
         ),
+        "heavy_hitters": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(lower(text), '\s+'))
+                     AS token
+              FROM documents
+            ), f AS (SELECT token FROM w WHERE token <> ''),
+            tot AS (SELECT count(*) AS total FROM f)
+            SELECT token, count(*) AS count,
+                   (SELECT total FROM tot) AS total,
+                   round(count(*) * 1.0 / (SELECT total FROM tot), 6)
+                     AS frac
+            FROM f GROUP BY token
+            HAVING count(*) * 1.0 >= 0.00390625 * (SELECT total FROM tot)
+        """,
         "neg_samples": """
             WITH pool AS (SELECT DISTINCT doc_id AS item FROM documents),
             idx AS (SELECT item,
