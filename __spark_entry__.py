@@ -1636,6 +1636,40 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_pagerank_hosts(spark, sf_dir):
+    """Damped PageRank (operators/graph.py) over the deterministic
+    slot-hash link graph on the documents table (3 out-links per doc via
+    the portable md5 slot hash — the corpus has no real URLs, so the
+    graph is a pure function of doc_id, identical in any engine).
+    Web-curation domain ranking: iterative power method, localCheckpoint
+    lineage truncation, edge layout cached partitioned by src so only the
+    rank vector shuffles per round. Oracle: SF-bound fixture from the
+    independent dense float64 power-iteration twin
+    (scripts/make_oracle_fixtures.py make_pagerank_fixture)."""
+    from modlyn_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    slots = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+    )
+    edges = slots.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("src"), F.col("j"), F.lit("pr"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % n
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    out = pagerank(edges, iterations=10)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/freq.py): exact set of
     document tokens above 1/256 corpus frequency via per-partition MG
@@ -2604,6 +2638,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "expectations": q_expectations,
         "heavy_hitters": q_heavy_hitters,
+        "pagerank_hosts": q_pagerank_hosts,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2635,6 +2670,7 @@ SF_BOUND_ORACLES = {
     "quality_classifier": "/root/testdata/sf0.01",
     "isotonic_fit": "/root/testdata/sf0.01",
     "maha_outliers": "/root/testdata/sf0.01",
+    "pagerank_hosts": "/root/testdata/sf0.01",
 }
 
 _TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -3899,6 +3935,10 @@ def retired_oracle_sql() -> dict[str, str]:
         "maha_outliers": f"""
             SELECT vec_id, maha_sq
             FROM read_parquet('{_FIXTURES}/maha_outliers_sf001.parquet')
+        """,
+        "pagerank_hosts": f"""
+            SELECT node, rank
+            FROM read_parquet('{_FIXTURES}/pagerank_sf001.parquet')
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

@@ -394,6 +394,44 @@ def make_image_features_fixture() -> str:
     return out
 
 
+def make_pagerank_fixture() -> str:
+    """Expected (node, rank) for the retired pagerank_hosts query at the
+    gate SF: dense float64 power iteration (independent of every Spark
+    operator) over the deterministic slot-hash link graph — 3 out-links
+    per doc, dst = md5(doc_id|j|'pr')[:15 hex] mod N, self-loops dropped,
+    parallel edges deduped — 10 iterations, damping 0.85, uniform
+    dangling redistribution, rounded like the query (round 6)."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{SF_GATE}/documents.parquet")
+    ids = np.sort(docs["doc_id"].to_numpy())
+    n = len(ids)
+    edges = set()
+    for s in ids.tolist():
+        for j in range(3):
+            h = hashlib.md5(f"{s}|{j}|pr".encode()).hexdigest()
+            d = int(h[:15], 16) % n
+            if d != s:
+                edges.add((s, d))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    deg = np.zeros(m)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    r = np.full(m, 1.0 / m)
+    for _ in range(10):
+        dm = r[deg == 0].sum()
+        s = np.zeros(m)
+        for u, v in edges:
+            s[idx[v]] += r[idx[u]] / deg[idx[u]]
+        r = 0.15 / m + 0.85 * (s + dm / m)
+    out_pdf = pd.DataFrame({"node": nodes, "rank": np.round(r, 6)})
+    out = os.path.join(FIXTURE_DIR, "pagerank_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def main() -> int:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     p1 = make_logreg_fixture()
@@ -420,6 +458,8 @@ def main() -> int:
     print(f"wrote {p10} ({len(pd.read_parquet(p10))} rows)")
     p11 = make_maha_fixture()
     print(f"wrote {p11} ({len(pd.read_parquet(p11))} rows)")
+    p12 = make_pagerank_fixture()
+    print(f"wrote {p12} ({len(pd.read_parquet(p12))} rows)")
     return 0
 
 
