@@ -166,6 +166,18 @@ def main() -> None:
     bench("pq_topk", lambda: run(all_qs["pq_topk"](spark, sf_dir)))
     bench("fuzzy_linkage",
           lambda: run(all_qs["fuzzy_linkage"](spark, sf_dir)))
+    # r4 sixth-session additions: the data-quality surface (profiler +
+    # expectation suite: one fused aggregate scan each), MG heavy hitters
+    # (sketch-pruned exact token frequencies) and iterative PageRank over
+    # the slot-hash link graph (10 power rounds, rank-vector-only shuffle)
+    bench("table_profile",
+          lambda: run(all_qs["table_profile"](spark, sf_dir)))
+    bench("expectations",
+          lambda: run(all_qs["expectations"](spark, sf_dir)))
+    bench("heavy_hitters",
+          lambda: run(all_qs["heavy_hitters"](spark, sf_dir)))
+    bench("pagerank_hosts",
+          lambda: run(all_qs["pagerank_hosts"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
