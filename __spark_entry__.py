@@ -1636,6 +1636,46 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/cdc.py full_agg /
+    snapshot_diff(include_old) / incremental_agg): old snapshot = orders
+    minus every 7th key with unmutated values; new snapshot = all orders
+    minus every 19th key, +17 on every 5th value, every 13th row MOVED to
+    a synthetic group, every 17th value NULL. The engine maintains the
+    per-group (count, non-null count, sum) state purely from the
+    changelog; the oracle is a plain full aggregate over the NEW
+    snapshot — equality IS the retraction-algebra proof (update = retract
+    old + apply new, group moves included)."""
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    base_v = F.when(k % 17 == 0, F.lit(None).cast("long")).otherwise(
+        (k % 100).cast("long")
+    )
+    old = orders.where(k % 7 != 0).select(
+        k.alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        base_v.alias("v"),
+    )
+    new = orders.where(k % 19 != 0).select(
+        k.alias("k"),
+        F.when(k % 13 == 0, F.lit("9-SYNTH"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("g"),
+        F.when(k % 17 == 0, F.lit(None).cast("long"))
+        .otherwise((k % 100).cast("long") + F.when(k % 5 == 0, 17).otherwise(0))
+        .alias("v"),
+    )
+    state = full_agg(old, "g", "v")
+    diff = snapshot_diff(old, new, "k", include_old=True)
+    return incremental_agg(state, diff, "g", "v")
+
+
 def q_pagerank_hosts(spark, sf_dir):
     """Damped PageRank (operators/graph.py) over the deterministic
     slot-hash link graph on the documents table (3 out-links per doc via
@@ -2639,6 +2679,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "heavy_hitters": q_heavy_hitters,
         "pagerank_hosts": q_pagerank_hosts,
+        "incremental_agg": q_incremental_agg,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3939,6 +3980,20 @@ def retired_oracle_sql() -> dict[str, str]:
         "pagerank_hosts": f"""
             SELECT node, rank
             FROM read_parquet('{_FIXTURES}/pagerank_sf001.parquet')
+        """,
+        "incremental_agg": """
+            WITH nw AS (
+              SELECT CASE WHEN o_orderkey % 13 = 0 THEN '9-SYNTH'
+                          ELSE o_orderpriority END AS g,
+                     CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                          ELSE CAST(o_orderkey % 100 AS BIGINT)
+                               + CASE WHEN o_orderkey % 5 = 0 THEN 17
+                                      ELSE 0 END
+                     END AS v
+              FROM orders WHERE o_orderkey % 19 <> 0)
+            SELECT g, count(*) AS n, count(v) AS nn_v,
+                   CAST(sum(v) AS BIGINT) AS sum_v
+            FROM nw GROUP BY g
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

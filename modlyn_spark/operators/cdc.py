@@ -96,6 +96,7 @@ def snapshot_diff(
     key_cols: list[str] | str,
     *,
     op_col: str = "op",
+    include_old: bool = False,
 ) -> DataFrame:
     """The changelog BETWEEN two snapshots — :func:`apply_changes`'s
     inverse: one row per key that differs, carrying the NEW payload
@@ -103,6 +104,11 @@ def snapshot_diff(
     ``op_col`` in {'insert', 'update', 'delete'}. Unchanged keys are
     absent. Round trip (pytest-pinned):
     ``apply_changes(old, snapshot_diff(old, new), ...) == new``.
+
+    ``include_old=True`` additionally emits ``old_<c>`` for every payload
+    column (NULL on inserts) — the form downstream incremental consumers
+    need to RETRACT an update's previous contribution (see
+    :func:`incremental_agg`).
 
     One full-outer shuffle join on the keys — the honest cost of
     diffing two snapshots — then pure codegen null-safe comparison
@@ -141,6 +147,11 @@ def snapshot_diff(
         .when(~same, F.lit("update"))
     )
     out = j.withColumn(op_col, op).where(F.col(op_col).isNotNull())
+    old_cols = (
+        [F.col(f"__o_{c}").alias(f"old_{c}") for c in payload]
+        if include_old
+        else []
+    )
     return out.select(
         *[
             F.coalesce(F.col(f"__kn_{k}"), F.col(f"__ko_{k}")).alias(k)
@@ -152,5 +163,137 @@ def snapshot_diff(
             ).otherwise(F.col(f"__n_{c}")).alias(c)
             for c in payload
         ],
+        *old_cols,
         op_col,
     )
+
+
+def full_agg(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    sum_cols: list[str] | str,
+    *,
+    count_col: str = "n",
+) -> DataFrame:
+    """The maintainable aggregate state over a snapshot: per group, the
+    row count plus (non-null count, sum) per value column — exactly the
+    algebra :func:`incremental_agg` can keep current from a changelog
+    without touching the snapshot again. Output:
+    ``[*group_cols, count_col, nn_<c>..., sum_<c>...]``."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    sums = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    return df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias(count_col),
+        *[F.count(F.col(c)).alias(f"nn_{c}") for c in sums],
+        *[F.sum(F.col(c)).alias(f"sum_{c}") for c in sums],
+    )
+
+
+def incremental_agg(
+    state: DataFrame,
+    changes: DataFrame,
+    group_cols: list[str] | str,
+    sum_cols: list[str] | str,
+    *,
+    count_col: str = "n",
+    op_col: str = "op",
+) -> DataFrame:
+    """Maintain a count/sum aggregate from a changelog — never rescan the
+    base snapshot.
+
+    ``state`` is :func:`full_agg`'s output over the old snapshot;
+    ``changes`` is :func:`snapshot_diff(old, new, include_old=True)``
+    (or any changelog with the same shape: new payload in the value
+    columns, previous payload in ``old_<c>``, ``op`` in
+    insert/update/delete). Each change decomposes into retractions:
+
+    - insert  -> +1 row at the NEW group with the new values
+    - delete  -> -1 row at the OLD group with the old values
+    - update  -> both (so a row MOVING between groups is handled)
+
+    The retraction stream aggregates map-side to one tiny delta row per
+    touched group (shuffle is changelog-sized, never snapshot-sized),
+    then merges into the state with one full-outer join on the group
+    keys (null-safe: NULL is a real group). Groups whose count reaches
+    zero disappear; sums revert to NULL when their non-null count does
+    (matching a fresh ``full_agg`` over the new snapshot EXACTLY for
+    integer/decimal columns — pytest-pinned; float sums agree up to
+    reassociation). min/max are NOT maintainable from a changelog
+    without the full value multiset and are deliberately absent.
+
+    The 100 TB story: a daily 0.1% churn changelog updates a 10^12-row
+    rollup with work proportional to the CHURN; the state table is the
+    only other input and it is group-cardinality-sized.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    sums = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+
+    has_old = any(c.startswith("old_") for c in changes.columns)
+
+    def old_side(c: str):
+        # payload columns carry their retraction value in old_<c>; diff
+        # KEY columns never change so they have no old_<c> and the current
+        # value IS the old value. Without ANY old_* column the changelog
+        # cannot retract updates at all — refuse instead of silently
+        # subtracting the new value.
+        if f"old_{c}" in changes.columns:
+            return F.col(f"old_{c}")
+        if has_old and c in changes.columns:
+            return F.col(c)
+        raise ValueError(
+            f"changes lacks old_{c}: build them with "
+            "snapshot_diff(..., include_old=True)"
+        )
+
+    minus = changes.where(F.col(op_col).isin("update", "delete")).select(
+        *[old_side(g).alias(g) for g in groups],
+        *[old_side(c).alias(c) for c in sums],
+        F.lit(-1).alias("__w"),
+    )
+    plus = changes.where(F.col(op_col).isin("update", "insert")).select(
+        *groups, *sums, F.lit(1).alias("__w")
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(*groups)
+        .agg(
+            F.sum("__w").alias("__dn"),
+            *[
+                F.sum(
+                    F.when(F.col(c).isNotNull(), F.col("__w")).otherwise(F.lit(0))
+                ).alias(f"__dnn_{c}")
+                for c in sums
+            ],
+            *[F.sum(F.col("__w") * F.col(c)).alias(f"__ds_{c}") for c in sums],
+        )
+    )
+
+    s = state.select(
+        *[F.col(g).alias(f"__sg_{g}") for g in groups],
+        F.col(count_col).alias("__sn"),
+        *[F.col(f"nn_{c}").alias(f"__snn_{c}") for c in sums],
+        *[F.col(f"sum_{c}").alias(f"__ss_{c}") for c in sums],
+    )
+    cond = None
+    for g in groups:
+        c = F.col(f"__sg_{g}").eqNullSafe(F.col(g))
+        cond = c if cond is None else (cond & c)
+    j = s.join(delta, on=cond, how="full_outer")
+
+    def z(col):  # missing side contributes zero
+        return F.coalesce(col, F.lit(0))
+
+    n_new = z(F.col("__sn")) + z(F.col("__dn"))
+    out_cols = [
+        F.coalesce(F.col(f"__sg_{g}"), F.col(g)).alias(g) for g in groups
+    ]
+    out_cols.append(n_new.alias(count_col))
+    for c in sums:
+        nn_new = z(F.col(f"__snn_{c}")) + z(F.col(f"__dnn_{c}"))
+        out_cols.append(nn_new.alias(f"nn_{c}"))
+        out_cols.append(
+            F.when(
+                nn_new > 0, z(F.col(f"__ss_{c}")) + z(F.col(f"__ds_{c}"))
+            ).alias(f"sum_{c}")
+        )
+    return j.select(*out_cols).where(F.col(count_col) > 0)

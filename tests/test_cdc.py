@@ -268,3 +268,171 @@ def test_snapshot_diff_roundtrip_on_real_parquet(spark):
     a = redo.toPandas().sort_values("c_custkey").reset_index(drop=True)
     b = new.toPandas().sort_values("c_custkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def _rand_snapshots(seed):
+    """Two snapshots with inserts, deletes, value updates, group MOVES and
+    NULL values/groups."""
+    rng = np.random.default_rng(seed)
+    n = 400
+    old = pd.DataFrame(
+        {
+            "k": np.arange(n),
+            "g": rng.choice(["a", "b", "c", None], n, p=[0.4, 0.3, 0.2, 0.1]),
+            "v": rng.integers(0, 100, n).astype("float64"),
+        }
+    )
+    old.loc[rng.choice(n, 30, replace=False), "v"] = np.nan
+    new = old.copy()
+    new = new[new["k"] % 7 != 0]  # deletes
+    upd = new["k"] % 5 == 0
+    new.loc[upd, "v"] = new.loc[upd, "v"].fillna(0) + 1000  # value updates
+    mov = new["k"] % 11 == 0
+    new.loc[mov, "g"] = "d"  # group moves (into a brand-new group)
+    ins = pd.DataFrame(
+        {"k": np.arange(n, n + 50), "g": "a", "v": 7.0}
+    )
+    new = pd.concat([new, ins], ignore_index=True)
+    return old, new
+
+
+def _agg_twin(pdf):
+    out = {}
+    for g, sub in pdf.groupby("g", dropna=False):
+        g = None if pd.isna(g) else g
+        nn = int(sub["v"].notna().sum())
+        s = float(sub["v"].sum()) if nn else None
+        out[g] = (len(sub), nn, s)
+    return out
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    for seed in (3, 19):
+        old_pdf, new_pdf = _rand_snapshots(seed)
+        old = spark.createDataFrame(old_pdf)
+        new = spark.createDataFrame(new_pdf)
+        state = full_agg(old, "g", "v")
+        diff = snapshot_diff(old, new, "k", include_old=True)
+        got = {
+            r["g"]: (r["n"], r["nn_v"], r["sum_v"])
+            for r in incremental_agg(state, diff, "g", "v").collect()
+        }
+        want = _agg_twin(new_pdf)
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g][0] == want[g][0], g
+            assert got[g][1] == want[g][1], g
+            if want[g][2] is None:
+                assert got[g][2] is None, g
+            else:
+                assert got[g][2] == pytest.approx(want[g][2], rel=1e-12), g
+
+
+def test_incremental_agg_group_vanishes_and_sum_reverts_null(spark):
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1, 2, 3], "g": ["x", "x", "y"], "v": [5.0, None, 2.0]}
+        )
+    )
+    # delete all of group x; y's remaining row goes NULL-valued
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [3], "g": ["y"], "v": [None]}).astype(
+            {"v": "float64"}
+        )
+    )
+    state = full_agg(old, "g", "v")
+    diff = snapshot_diff(old, new, "k", include_old=True)
+    got = {r["g"]: (r["n"], r["nn_v"], r["sum_v"])
+           for r in incremental_agg(state, diff, "g", "v").collect()}
+    assert got == {"y": (1, 0, None)}
+
+
+def test_incremental_agg_exact_on_integers(spark):
+    """Integer sums must match a fresh full_agg EXACTLY (hash-equal), the
+    property the driver oracle relies on."""
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    rng = np.random.default_rng(23)
+    old_pdf = pd.DataFrame(
+        {
+            "k": np.arange(1000),
+            "g": rng.integers(0, 9, 1000),
+            "v": rng.integers(-50, 50, 1000),
+        }
+    )
+    new_pdf = old_pdf[old_pdf["k"] % 3 != 0].copy()
+    new_pdf.loc[new_pdf["k"] % 4 == 0, "v"] += 17
+    new_pdf.loc[new_pdf["k"] % 13 == 0, "g"] = 9
+    old = spark.createDataFrame(old_pdf)
+    new = spark.createDataFrame(new_pdf)
+    inc = incremental_agg(
+        full_agg(old, "g", "v"),
+        snapshot_diff(old, new, "k", include_old=True),
+        "g",
+        "v",
+    )
+    fresh = full_agg(new, "g", "v")
+
+    def rows(df):
+        return sorted(
+            (r["g"], r["n"], r["nn_v"], r["sum_v"]) for r in df.collect()
+        )
+
+    assert rows(inc) == rows(fresh)
+
+
+def test_incremental_agg_requires_old_columns(spark):
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(pd.DataFrame({"k": [1], "g": ["x"], "v": [1.0]}))
+    new = spark.createDataFrame(pd.DataFrame({"k": [1], "g": ["x"], "v": [2.0]}))
+    diff = snapshot_diff(old, new, "k")  # include_old=False
+    with pytest.raises(ValueError, match="old_g"):
+        incremental_agg(full_agg(old, "g", "v"), diff, "g", "v")
+
+
+def test_incremental_agg_group_by_key_column(spark):
+    """Grouping by a diff KEY column needs no old_<c> (keys never change
+    between snapshots)."""
+    from modlyn_spark.operators.cdc import (
+        full_agg,
+        incremental_agg,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "v": [1.0, 5.0]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 3], "v": [2.0, 9.0]})
+    )
+    diff = snapshot_diff(old, new, "k", include_old=True)
+    got = {r["k"]: (r["n"], r["sum_v"])
+           for r in incremental_agg(full_agg(old, "k", "v"), diff, "k", "v")
+           .collect()}
+    assert got == {1: (1, 2.0), 3: (1, 9.0)}
