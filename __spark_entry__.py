@@ -1636,6 +1636,23 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_source_lang_rollup(spark, sf_dir):
+    """Hierarchical OLAP rollup (operators/olap.py rollup_report):
+    per-(source, lang) corpus stats with source subtotals and a grand
+    total in ONE aggregation pass (single Expand, plan-asserted in
+    test_olap); gid is bit-identical to ANSI GROUPING(source, lang) so
+    rolled-up NULLs never collide with real NULL dimension values.
+    Oracle: DuckDB GROUP BY ROLLUP with the same GROUPING id."""
+    from modlyn_spark.operators.olap import rollup_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rollup_report(
+        docs,
+        ["source", "lang"],
+        {"n": F.count(F.lit(1)), "chars": F.sum("n_chars")},
+    )
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental aggregate maintenance (operators/cdc.py full_agg /
     snapshot_diff(include_old) / incremental_agg): old snapshot = orders
@@ -2680,6 +2697,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "pagerank_hosts": q_pagerank_hosts,
         "incremental_agg": q_incremental_agg,
+        "source_lang_rollup": q_source_lang_rollup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3994,6 +4012,16 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT g, count(*) AS n, count(v) AS nn_v,
                    CAST(sum(v) AS BIGINT) AS sum_v
             FROM nw GROUP BY g
+        """,
+        "source_lang_rollup": """
+            SELECT source, lang,
+                   CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+                   CAST(
+                     CASE WHEN GROUPING(source, lang) = 0 THEN 0
+                          WHEN GROUPING(source, lang) = 1 THEN 1
+                          ELSE 2 END AS INT) AS level,
+                   count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,
