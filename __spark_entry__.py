@@ -58,6 +58,52 @@ def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIXTURES = "/root/repo/tests/fixtures"
 
+# the image_curation driver oracle, shared verbatim by the contrastive-
+# pairs oracle (which selects from it as a CTE)
+IMAGE_MANIFEST_SQL = f"""
+            WITH latest AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT image_id, ts, version, w, h, fmt, caption, phash,
+                       CASE WHEN bytes IS NOT NULL
+                            THEN md5(hex(bytes)) END AS fp,
+                       row_number() OVER (PARTITION BY image_id
+                           ORDER BY ts DESC, version DESC) AS rn
+                FROM read_parquet('{_FIXTURES}/images_curation_input.parquet'))
+              WHERE rn = 1),
+            g AS (
+              SELECT * FROM latest
+              WHERE fmt IN ('png', 'qpng', 'jpeg')
+                AND w BETWEEN 8 AND 65536 AND h BETWEEN 8 AND 65536
+                AND greatest(w, h) <= 4.0 * least(w, h)
+                AND fp IS NOT NULL
+                AND caption IS NOT NULL
+                AND len(regexp_extract_all(caption,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) >= 3),
+            e AS (
+              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
+              FROM (
+                SELECT g.*, row_number() OVER (PARTITION BY fp
+                    ORDER BY image_id) AS rn2 FROM g)
+              WHERE rn2 = 1),
+            p AS (
+              SELECT DISTINCT b.image_id FROM e a JOIN e b
+                ON a.image_id < b.image_id
+               WHERE bit_count(xor(a.phash, b.phash)) <= 4)
+            SELECT image_id, ts, version, w, h, fmt, caption, phash, fp,
+                   CASE WHEN us < 0.5 THEN 'train'
+                        WHEN us < 0.75 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT e.*,
+                     CAST(('0x' || substr(md5(image_id || '|r4'), 1, 8))
+                          AS BIGINT) / 4294967296.0 AS us
+              FROM e
+              WHERE image_id NOT IN (SELECT image_id FROM p))
+        """
+
+
+
 _PURCHASE_STATE_SQL = """
   SELECT user_id, ts, max(value) AS purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
@@ -1636,6 +1682,27 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_contrastive_pairs(spark, sf_dir):
+    """CLIP-style contrastive pair assembly
+    (plans/image_curation.py build_contrastive_pairs): curated manifest ->
+    train-split anchors -> own caption as the positive + k=4 slot-hash
+    negatives from the SAME split (no val/test caption can leak into a
+    training batch). Oracle: the image_curation manifest SQL reused as a
+    CTE + the identical slot-hash/dedup/top-k arithmetic in DuckDB —
+    the whole composition is one SQL statement."""
+    from modlyn_spark.plans.image_curation import build_contrastive_pairs
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    return build_contrastive_pairs(
+        images,
+        k_negatives=4,
+        split="train",
+        min_side=8,
+        splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="r4",
+    )
+
+
 def q_source_lang_rollup(spark, sf_dir):
     """Hierarchical OLAP rollup (operators/olap.py rollup_report):
     per-(source, lang) corpus stats with source subtotals and a grand
@@ -2698,6 +2765,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": q_pagerank_hosts,
         "incremental_agg": q_incremental_agg,
         "source_lang_rollup": q_source_lang_rollup,
+        "contrastive_pairs": q_contrastive_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3471,47 +3539,7 @@ def oracle_sql() -> dict[str, str]:
                    vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
             FROM asg
         """,
-        "image_curation": f"""
-            WITH latest AS (
-              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
-              FROM (
-                SELECT image_id, ts, version, w, h, fmt, caption, phash,
-                       CASE WHEN bytes IS NOT NULL
-                            THEN md5(hex(bytes)) END AS fp,
-                       row_number() OVER (PARTITION BY image_id
-                           ORDER BY ts DESC, version DESC) AS rn
-                FROM read_parquet('{_FIXTURES}/images_curation_input.parquet'))
-              WHERE rn = 1),
-            g AS (
-              SELECT * FROM latest
-              WHERE fmt IN ('png', 'qpng', 'jpeg')
-                AND w BETWEEN 8 AND 65536 AND h BETWEEN 8 AND 65536
-                AND greatest(w, h) <= 4.0 * least(w, h)
-                AND fp IS NOT NULL
-                AND caption IS NOT NULL
-                AND len(regexp_extract_all(caption,
-                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) >= 3),
-            e AS (
-              SELECT image_id, ts, version, w, h, fmt, caption, phash, fp
-              FROM (
-                SELECT g.*, row_number() OVER (PARTITION BY fp
-                    ORDER BY image_id) AS rn2 FROM g)
-              WHERE rn2 = 1),
-            p AS (
-              SELECT DISTINCT b.image_id FROM e a JOIN e b
-                ON a.image_id < b.image_id
-               WHERE bit_count(xor(a.phash, b.phash)) <= 4)
-            SELECT image_id, ts, version, w, h, fmt, caption, phash, fp,
-                   CASE WHEN us < 0.5 THEN 'train'
-                        WHEN us < 0.75 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM (
-              SELECT e.*,
-                     CAST(('0x' || substr(md5(image_id || '|r4'), 1, 8))
-                          AS BIGINT) / 4294967296.0 AS us
-              FROM e
-              WHERE image_id NOT IN (SELECT image_id FROM p))
-        """,
+        "image_curation": IMAGE_MANIFEST_SQL,
         "quality_classifier": f"""
             SELECT label, pos, round(weight, 6) AS weight
             FROM read_parquet('{_FIXTURES}/quality_classifier_sf001.parquet')
@@ -3668,7 +3696,10 @@ def retired_oracle_sql() -> dict[str, str]:
         "neg_samples": """
             WITH pool AS (SELECT DISTINCT doc_id AS item FROM documents),
             idx AS (SELECT item,
-                           row_number() OVER (ORDER BY item) - 1 AS i
+                           row_number() OVER (ORDER BY
+                               CAST(('0x' || substr(md5(
+                                   CAST(item AS VARCHAR)), 1, 15))
+                                   AS BIGINT) % 256, item) - 1 AS i
                     FROM pool),
             np AS (SELECT count(*) AS n FROM pool),
             anchors AS (SELECT DISTINCT doc_id AS anchor FROM documents
@@ -4022,6 +4053,43 @@ def retired_oracle_sql() -> dict[str, str]:
                           ELSE 2 END AS INT) AS level,
                    count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "contrastive_pairs": f"""
+            WITH manifest AS ({IMAGE_MANIFEST_SQL}),
+            mf AS (SELECT image_id, caption FROM manifest
+                   WHERE split = 'train'),
+            np AS (SELECT count(*) AS n FROM mf),
+            idx AS (SELECT image_id AS item, caption,
+                           row_number() OVER (ORDER BY
+                               CAST(('0x' || substr(md5(image_id), 1, 15))
+                                   AS BIGINT) % 256, image_id) - 1 AS i
+                    FROM mf),
+            draws AS (SELECT image_id AS anchor,
+                             unnest(range(0, 12)) AS slot
+                      FROM mf),
+            hashed AS (SELECT anchor, slot,
+                              CAST(('0x' || substr(md5(
+                                  anchor || '|' || slot || '|0'), 1, 15))
+                                  AS BIGINT) % (SELECT n FROM np) AS i
+                       FROM draws),
+            cand AS (SELECT h.anchor, h.slot, idx.item, idx.caption
+                     FROM hashed h JOIN idx USING (i)
+                     WHERE idx.item <> h.anchor),
+            dedup AS (SELECT * FROM (
+                        SELECT cand.*, row_number() OVER (
+                            PARTITION BY anchor, item ORDER BY slot) AS rd
+                        FROM cand) WHERE rd = 1),
+            topk AS (SELECT * FROM (
+                       SELECT dedup.*, row_number() OVER (
+                           PARTITION BY anchor ORDER BY slot) AS rk
+                       FROM dedup) WHERE rk <= 4)
+            SELECT image_id AS anchor, image_id AS item, caption,
+                   1 AS label, CAST(-1 AS BIGINT) AS slot
+            FROM mf
+            UNION ALL
+            SELECT anchor, item, caption, 0 AS label,
+                   CAST(slot AS BIGINT) AS slot
+            FROM topk
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

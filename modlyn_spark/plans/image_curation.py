@@ -181,3 +181,71 @@ def curate_images(
         out = out.localCheckpoint(eager=True)
         cached.unpersist()
     return out
+
+
+def build_contrastive_pairs(
+    images: DataFrame,
+    *,
+    k_negatives: int = 4,
+    split: str | None = "train",
+    seed: int = 0,
+    id_col: str = "image_id",
+    **curate_kwargs,
+) -> DataFrame:
+    """CLIP-style contrastive training pairs from the curated manifest —
+    the composition a multimodal training job actually consumes:
+
+    1. :func:`curate_images` produces the deduped, gated, split manifest
+       (eager: the manifest feeds four consumers below);
+    2. anchors are restricted to ONE split (default ``train``) and the
+       negative pool is the SAME split — negatives can never leak
+       val/test captions into a training batch (run once per split for
+       the others);
+    3. each surviving image contributes its own caption as the positive
+       (label 1, slot -1) and ``k_negatives`` OTHER images' captions
+       drawn by ``operators.negatives.sample_negatives`` (label 0; slot
+       is the deterministic draw index) — a pure function of
+       (anchor, slot, seed), so the training set is identical across
+       cluster sizes, partitionings and resumes.
+
+    Output: ``(anchor, item, caption, label, slot)`` where ``caption`` is
+    the ITEM's caption (what the text tower encodes against the anchor
+    image). Captions attach by one join against the manifest — the bytes
+    column is never touched; the training job semi-joins payloads by
+    ``anchor`` afterwards (the manifest contract, see module docstring).
+    """
+    from modlyn_spark.operators.negatives import sample_negatives
+
+    manifest = curate_images(images, id_col=id_col, **curate_kwargs)
+    if split is not None:
+        if "split" not in manifest.columns:
+            raise ValueError("split filtering needs curate_images(splits=...)")
+        manifest = manifest.where(F.col("split") == split)
+
+    anchors = manifest.select(
+        F.col(id_col).alias("anchor"), F.col("caption")
+    )
+    positives = anchors.select("anchor", F.col("anchor").alias("item"))
+    pool = manifest.select(F.col(id_col).alias("item"))
+    negs = sample_negatives(
+        positives, pool, anchor_col="anchor", item_col="item",
+        k=k_negatives, seed=seed,
+    )
+    caps = manifest.select(
+        F.col(id_col).alias("item"), F.col("caption").alias("__item_cap")
+    )
+    pos_rows = anchors.select(
+        "anchor",
+        F.col("anchor").alias("item"),
+        F.col("caption"),
+        F.lit(1).alias("label"),
+        F.lit(-1).cast("long").alias("slot"),
+    )
+    neg_rows = negs.join(caps, "item").select(
+        "anchor",
+        "item",
+        F.col("__item_cap").alias("caption"),
+        F.lit(0).alias("label"),
+        F.col("slot").cast("long").alias("slot"),
+    )
+    return pos_rows.unionByName(neg_rows)

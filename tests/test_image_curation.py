@@ -145,3 +145,80 @@ def test_px_var_gate_drops_constant_images(spark, images):
     gated = curate_images(df, min_side=8, px_var_min=1.0).toPandas()
     ids = set(gated["image_id"])
     assert "zblank_0000" not in ids and len(ids) == 60
+
+
+# ---------------------------------------------------------------------------
+# contrastive pair assembly
+# ---------------------------------------------------------------------------
+
+
+def test_contrastive_pairs_structure(images):
+    from modlyn_spark.plans.image_curation import build_contrastive_pairs
+
+    out = build_contrastive_pairs(
+        images,
+        k_negatives=3,
+        min_side=8,
+        splits={"train": 0.5, "val": 0.25, "test": 0.25},
+        salt="r4",
+    ).toPandas()
+    manifest = curate_images(
+        images, min_side=8,
+        splits={"train": 0.5, "val": 0.25, "test": 0.25}, salt="r4",
+    ).toPandas()
+    train = manifest[manifest["split"] == "train"]
+    train_ids = set(train["image_id"])
+    caps = dict(zip(train["image_id"], train["caption"]))
+
+    pos = out[out["label"] == 1]
+    neg = out[out["label"] == 0]
+    # one positive per train image, carrying its OWN caption, slot -1
+    assert set(pos["anchor"]) == train_ids
+    assert (pos["anchor"] == pos["item"]).all()
+    assert all(caps[a] == c for a, c in zip(pos["anchor"], pos["caption"]))
+    assert (pos["slot"] == -1).all()
+    # negatives: k per anchor, never self, always train-split items,
+    # carrying the ITEM's caption
+    per = neg.groupby("anchor").size()
+    assert set(per.index) == train_ids and (per == 3).all()
+    assert (neg["anchor"] != neg["item"]).all()
+    assert set(neg["item"]) <= train_ids
+    assert all(caps[i] == c for i, c in zip(neg["item"], neg["caption"]))
+
+
+def test_contrastive_pairs_no_split_leakage(images):
+    from modlyn_spark.plans.image_curation import build_contrastive_pairs
+
+    splits = {"train": 0.5, "val": 0.25, "test": 0.25}
+    manifest = curate_images(images, min_side=8, splits=splits, salt="r4")
+    val_ids = {
+        r["image_id"]
+        for r in manifest.where("split = 'val'").collect()
+    }
+    out = build_contrastive_pairs(
+        images, k_negatives=4, split="val",
+        min_side=8, splits=splits, salt="r4",
+    )
+    ids = {r["item"] for r in out.collect()} | {
+        r["anchor"] for r in out.collect()
+    }
+    assert ids <= val_ids  # a val batch never sees train/test captions
+
+
+def test_contrastive_pairs_deterministic_across_partitionings(images):
+    from modlyn_spark.plans.image_curation import build_contrastive_pairs
+
+    kw = dict(k_negatives=2, min_side=8,
+              splits={"train": 0.5, "val": 0.25, "test": 0.25}, salt="r4")
+    a = build_contrastive_pairs(images.repartition(1), **kw)
+    b = build_contrastive_pairs(images.repartition(17), **kw)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_contrastive_pairs_requires_split_config(images):
+    from modlyn_spark.plans.image_curation import build_contrastive_pairs
+
+    with pytest.raises(ValueError, match="splits"):
+        build_contrastive_pairs(images, min_side=8)  # no splits=...

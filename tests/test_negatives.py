@@ -18,7 +18,8 @@ def _h(key: str, n: int) -> int:
 
 
 def _twin(pos_pairs, pool_items, k, oversample=3, seed=0, self_ex=True):
-    items = sorted(set(pool_items))
+    # sharded pool index: global rank under (md5(item) mod 256, item)
+    items = sorted(set(pool_items), key=lambda it: (_h(str(it), 256), it))
     n = len(items)
     pos = {}
     for a, i in pos_pairs:
@@ -134,7 +135,10 @@ def test_duckdb_parity_on_real_docs(spark):
         WITH pool AS (SELECT DISTINCT doc_id AS item
                       FROM '{sf}/documents.parquet'),
         idx AS (SELECT item,
-                       row_number() OVER (ORDER BY item) - 1 AS i
+                       row_number() OVER (ORDER BY
+                           CAST(('0x' || substr(md5(
+                               CAST(item AS VARCHAR)), 1, 15))
+                               AS BIGINT) % 256, item) - 1 AS i
                 FROM pool),
         np AS (SELECT count(*) AS n FROM pool),
         anchors AS (SELECT DISTINCT doc_id AS anchor
