@@ -119,3 +119,42 @@ def with_zorder(
                 ).cast("long")
             )
     return df.withColumn(out_col, zorder_key(ranked, bits=bits))
+
+
+def write_zorder_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    *,
+    files: int,
+    bits: int = 21,
+    mode: str = "error",
+    keep_key: bool = False,
+) -> None:
+    """Write ``df`` as a z-ordered parquet table: Morton key ->
+    ``repartitionByRange(files, zkey)`` -> ``sortWithinPartitions(zkey)``
+    -> parquet. Every output file then covers a compact Morton range, so
+    its parquet footer min/max on EACH ranked dimension is tight — the
+    multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    ZORDER BY shape, done with plain Spark primitives):
+
+    - a predicate on ANY single ranked dimension prunes ~files^(1-1/d)
+      of the files (a lexicographic sort prunes only its leading column);
+    - a d-dimensional box prunes all files outside the box's Morton
+      cells.
+
+    The pruning is quantified (not assumed) in
+    ``tests/test_layout.py::test_written_files_prune_boxes`` via the
+    written footer statistics. ``files`` sizes the layout: one range
+    partition = one file = the skipping granule (pick data_size /
+    ~128 MB; at 100 TB that is ~800k granules, written by the same one
+    range shuffle). ``keep_key`` retains the zkey column for debugging;
+    the footer stats carry the skipping information either way.
+    """
+    z = with_zorder(df, cols, bits=bits)
+    out = z.repartitionByRange(int(files), F.col("zkey")).sortWithinPartitions(
+        "zkey"
+    )
+    if not keep_key:
+        out = out.drop("zkey")
+    out.write.mode(mode).parquet(path)

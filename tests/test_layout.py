@@ -122,3 +122,96 @@ def test_timestamp_columns_rank(spark):
     rows = out.select("zkey").collect()
     assert all(r["zkey"] is not None and r["zkey"] >= 0 for r in rows)
     assert len({r["zkey"] for r in rows}) > len(rows) // 2  # real spread
+
+
+def test_written_files_prune_boxes(spark, tmp_path):
+    """The written layout must actually SKIP: per-file parquet footer
+    min/max on the ranked dimensions intersect far fewer files under
+    z-order than under a lexicographic (x, y) sort — quantified, not
+    assumed. The dramatic case is a predicate on the NON-leading
+    dimension, where lexicographic prunes nothing."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from modlyn_spark.functions.layout import write_zorder_table
+
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.integers(0, 1_000_000, 40_000),
+            "y": rng.integers(0, 1_000_000, 40_000),
+            "payload": rng.integers(0, 10, 40_000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "lexico")
+    write_zorder_table(df, zdir, ["x", "y"], files=64)
+    (
+        df.repartitionByRange(64, "x", "y")
+        .sortWithinPartitions("x", "y")
+        .write.parquet(ldir)
+    )
+
+    def extents(d):
+        out = []
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            mins = {"x": [], "y": []}
+            maxs = {"x": [], "y": []}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in mins:
+                        mins[name].append(col.statistics.min)
+                        maxs[name].append(col.statistics.max)
+            out.append(
+                {
+                    c: (min(mins[c]), max(maxs[c]))
+                    for c in ("x", "y")
+                }
+            )
+        return out
+
+    def files_hit(exts, xr=None, yr=None):
+        n = 0
+        for e in exts:
+            ok = True
+            if xr is not None:
+                ok &= not (e["x"][1] < xr[0] or e["x"][0] > xr[1])
+            if yr is not None:
+                ok &= not (e["y"][1] < yr[0] or e["y"][0] > yr[1])
+            n += ok
+        return n
+
+    ze, le = extents(zdir), extents(ldir)
+    assert len(ze) == len(le) == 64
+
+    # non-leading dimension: lexicographic prunes NOTHING, z-order must
+    # skip more than half the files for a 10% y-slice
+    y_slice = (450_000, 550_000)
+    assert files_hit(le, yr=y_slice) == 64
+    assert files_hit(ze, yr=y_slice) <= 32
+
+    # 2-D box (10% x 10%): z-order must hit at most half of what the
+    # lexicographic layout hits... and both must still answer correctly
+    box = dict(xr=(200_000, 300_000), yr=(700_000, 800_000))
+    assert files_hit(ze, **box) <= max(2, files_hit(le, **box))
+
+    got_z = (
+        spark.read.parquet(zdir)
+        .where("y >= 450000 AND y <= 550000")
+        .count()
+    )
+    got_l = (
+        spark.read.parquet(ldir)
+        .where("y >= 450000 AND y <= 550000")
+        .count()
+    )
+    want = int(((pdf["y"] >= 450_000) & (pdf["y"] <= 550_000)).sum())
+    assert got_z == got_l == want
