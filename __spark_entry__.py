@@ -1682,6 +1682,31 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_ovr_auc(spark, sf_dir):
+    """Per-class one-vs-rest ROC-AUC (scoring/metrics.py ovr_roc_auc):
+    long-form (class 0-9, score = embedding[class]) over the embeddings
+    table; every rank window partitions by class so the scan
+    parallelizes across classes. Oracle: the identical per-class
+    histogram/rank arithmetic in DuckDB."""
+    from modlyn_spark.scoring.metrics import ovr_roc_auc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    long = emb.select(
+        "label",
+        F.explode(F.array(*[F.lit(c) for c in range(10)])).alias("cls"),
+        "embedding",
+    ).select(
+        "cls",
+        F.round(F.element_at("embedding", F.col("cls") + 1).cast("double"), 4)
+        .alias("score"),
+        F.col("label").alias("truth"),
+    )
+    out = ovr_roc_auc(long, "cls", "score", "truth")
+    return out.select(
+        "cls", F.round("auc", 6).alias("auc"), "n_pos", "n_neg"
+    )
+
+
 def q_contrastive_pairs(spark, sf_dir):
     """CLIP-style contrastive pair assembly
     (plans/image_curation.py build_contrastive_pairs): curated manifest ->
@@ -2766,6 +2791,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg": q_incremental_agg,
         "source_lang_rollup": q_source_lang_rollup,
         "contrastive_pairs": q_contrastive_pairs,
+        "ovr_auc": q_ovr_auc,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -4090,6 +4116,31 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT anchor, item, caption, 0 AS label,
                    CAST(slot AS BIGINT) AS slot
             FROM topk
+        """,
+        "ovr_auc": """
+            WITH t AS (
+              SELECT cls,
+                     round(CAST(embedding[cls + 1] AS DOUBLE), 4) AS s,
+                     CASE WHEN label = cls THEN 1 ELSE 0 END AS y
+              FROM embeddings, unnest(range(0, 10)) AS u(cls)
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            h AS (SELECT cls, s, sum(y) AS cp, sum(1 - y) AS cn
+                  FROM t GROUP BY cls, s),
+            r AS (SELECT cls, cp, cn,
+                         sum(cp + cn) OVER (PARTITION BY cls ORDER BY s)
+                             - (cp + cn) AS before_,
+                         cp + cn AS c
+                  FROM h),
+            a AS (SELECT cls,
+                         sum(cp * (before_ + (c + 1) / 2.0)) AS rpos,
+                         sum(cp) AS np, sum(cn) AS nn
+                  FROM r GROUP BY cls)
+            SELECT CAST(cls AS INT) AS cls,
+                   round((rpos - np * (np + 1) / 2.0) / (np * nn), 6)
+                       AS auc,
+                   CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg
+            FROM a
         """,
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

@@ -488,3 +488,77 @@ def average_precision(
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),
     )
+
+
+def ovr_roc_auc(
+    df: DataFrame,
+    class_col: str,
+    score_col: str,
+    truth_col: str,
+    *,
+    precision: int | None = None,
+) -> DataFrame:
+    """Per-class one-vs-rest ROC-AUC over a LONG-form score table — the
+    multi-class companion of :func:`roc_auc` (macro-AUC is the plain
+    average of the output, micro/weighted variants are one aggregate
+    away).
+
+    ``df`` carries one row per (instance, class): the class's score and
+    the instance's true label (``truth_col``); a row is positive for its
+    class iff ``truth == class``. Same distributed shape as the binary
+    form — a distinct-(class, score) histogram with map-side partial
+    counts — but every window is PARTITIONED BY class, so the rank scan
+    parallelizes across classes instead of serializing on one global
+    ordering. Single-class degenerate inputs yield NULL auc (same
+    guard). Returns (class, auc, n_pos, n_neg) — one row per class.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col)
+    if precision is not None:
+        s = F.round(s, precision)
+    is_pos = (F.col(truth_col) == F.col(class_col)).cast("long")
+    h = (
+        df.where(
+            s.isNotNull()
+            & F.col(truth_col).isNotNull()
+            & F.col(class_col).isNotNull()
+        )
+        .groupBy(F.col(class_col).alias("__k"), s.alias("__s"))
+        .agg(
+            F.sum(is_pos).alias("__cp"),
+            F.sum(1 - is_pos).alias("__cn"),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = h.select(
+        "__k",
+        "__cp",
+        "__cn",
+        (
+            F.sum(F.col("__cp") + F.col("__cn")).over(w)
+            - (F.col("__cp") + F.col("__cn"))
+        ).alias("__before"),
+        (F.col("__cp") + F.col("__cn")).alias("__c"),
+    )
+    agg = ranked.groupBy("__k").agg(
+        F.sum(
+            F.col("__cp") * (F.col("__before") + (F.col("__c") + 1) / 2.0)
+        ).alias("rpos"),
+        F.sum("__cp").alias("np"),
+        F.sum("__cn").alias("nn"),
+    )
+    return agg.select(
+        F.col("__k").alias(class_col),
+        F.when(
+            (F.col("np") > 0) & (F.col("nn") > 0),
+            (F.col("rpos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+        ).alias("auc"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+    )

@@ -279,3 +279,64 @@ def test_isotonic_improves_ece(spark):
     ece_raw = calibration_report(df, "raw", "y").collect()[0]["ece"]
     ece_cal = calibration_report(cal, "p_cal", "y").collect()[0]["ece"]
     assert ece_cal < ece_raw / 3
+
+
+def test_ovr_roc_auc_matches_sklearn_style_twin(spark):
+    """Per-class OvR AUC == the binary tie-corrected twin run per class;
+    macro average == average of the per-class values."""
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import ovr_roc_auc, roc_auc
+
+    rng = np.random.default_rng(17)
+    n, k = 600, 4
+    truth = rng.integers(0, k, n)
+    scores = rng.random((n, k)).round(2)  # heavy ties
+    scores[np.arange(n), truth] += 0.15   # some signal
+    long = pd.DataFrame(
+        {
+            "i": np.repeat(np.arange(n), k),
+            "cls": np.tile(np.arange(k), n),
+            "score": scores.ravel(),
+            "truth": np.repeat(truth, k),
+        }
+    )
+    df = spark.createDataFrame(long)
+    got = {
+        r["cls"]: (r["auc"], r["n_pos"], r["n_neg"])
+        for r in ovr_roc_auc(df, "cls", "score", "truth").collect()
+    }
+    assert set(got) == set(range(k))
+    for c in range(k):
+        sub = spark.createDataFrame(
+            pd.DataFrame(
+                {"score": scores[:, c], "y": (truth == c).astype(int)}
+            )
+        )
+        want = roc_auc(sub, "score", "y").collect()[0]
+        assert got[c][0] == pytest.approx(want["auc"], abs=1e-12)
+        assert got[c][1] == want["n_pos"] and got[c][2] == want["n_neg"]
+        assert got[c][0] > 0.5  # the planted signal is visible
+
+
+def test_ovr_roc_auc_degenerate_class_null(spark):
+    import pandas as pd
+
+    from modlyn_spark.scoring.metrics import ovr_roc_auc
+
+    # class 1 has no positives anywhere -> NULL auc for it
+    long = pd.DataFrame(
+        {
+            "cls": [0, 1, 0, 1],
+            "score": [0.9, 0.1, 0.2, 0.8],
+            "truth": [0, 0, 0, 0],
+        }
+    )
+    got = {
+        r["cls"]: r["auc"]
+        for r in ovr_roc_auc(
+            spark.createDataFrame(long), "cls", "score", "truth"
+        ).collect()
+    }
+    assert got[1] is None and got[0] is None  # 0 has no negatives either
