@@ -1682,6 +1682,22 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_augmentation_plan(spark, sf_dir):
+    """Deterministic per-epoch augmentation parameters
+    (functions/augment.py augmentation_plan): flip + crop window as a
+    pure md5 column function of (image_id, epoch, seed) — resumes,
+    retries and cluster resizes see identical pixels; the plan is a
+    narrow no-shuffle map. Oracle: duckdb_plan_sql GENERATED from the
+    same parameters over the same fixture input."""
+    from modlyn_spark.functions.augment import augmentation_plan
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    rows = images.select("image_id", "w", "h").where(
+        F.col("w").isNotNull()
+    ).distinct()
+    return augmentation_plan(rows, epoch=4, seed=1)
+
+
 def q_ovr_auc(spark, sf_dir):
     """Per-class one-vs-rest ROC-AUC (scoring/metrics.py ovr_roc_auc):
     long-form (class 0-9, score = embedding[class]) over the embeddings
@@ -2792,6 +2808,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_rollup": q_source_lang_rollup,
         "contrastive_pairs": q_contrastive_pairs,
         "ovr_auc": q_ovr_auc,
+        "augmentation_plan": q_augmentation_plan,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3686,6 +3703,17 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def duckdb_plan_sql_for_driver() -> str:
+    """The augmentation_plan oracle, generated from the SAME parameters
+    as q_augmentation_plan (epoch 4, seed 1) over the same fixture."""
+    from modlyn_spark.functions.augment import duckdb_plan_sql
+
+    sub = (f"(SELECT DISTINCT image_id, w, h "
+           f"FROM read_parquet('{_FIXTURES}/images_curation_input.parquet') "
+           f"WHERE w IS NOT NULL)")
+    return duckdb_plan_sql(sub, epoch=4, seed=1)
+
+
 def retired_oracle_sql() -> dict[str, str]:
     """Oracles for retired_queries() — kept green by the pytest contract
     and ``scripts/driver_mirror.py --retired`` even though the entries no
@@ -4142,6 +4170,7 @@ def retired_oracle_sql() -> dict[str, str]:
                    CAST(nn AS BIGINT) AS n_neg
             FROM a
         """,
+        "augmentation_plan": duckdb_plan_sql_for_driver(),
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,
                    round(score_hi, 6) AS score_hi,
