@@ -178,6 +178,10 @@ def main() -> None:
           lambda: run(all_qs["heavy_hitters"](spark, sf_dir)))
     bench("pagerank_hosts",
           lambda: run(all_qs["pagerank_hosts"](spark, sf_dir)))
+    bench("incremental_agg",
+          lambda: run(all_qs["incremental_agg"](spark, sf_dir)))
+    bench("source_lang_rollup",
+          lambda: run(all_qs["source_lang_rollup"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
