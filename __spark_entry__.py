@@ -1682,6 +1682,19 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap percentile CI for per-event-type metric means
+    (scoring/abtest.py bootstrap_ci): every row's b resample weights are
+    a pure md5 function of (event_id, replicate, seed) — the
+    embarrassingly-distributable bootstrap, no global sampling step,
+    identical on any cluster/engine. Oracle: duckdb_bootstrap_sql
+    GENERATED from the same Poisson(1) CDF constants."""
+    from modlyn_spark.scoring.abtest import bootstrap_ci
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bootstrap_ci(ev, "value", "event_type", "event_id", b=50, seed=2)
+
+
 def q_augmentation_plan(spark, sf_dir):
     """Deterministic per-epoch augmentation parameters
     (functions/augment.py augmentation_plan): flip + crop window as a
@@ -2809,6 +2822,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,
         "ovr_auc": q_ovr_auc,
         "augmentation_plan": q_augmentation_plan,
+        "bootstrap_ci": q_bootstrap_ci,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -4171,6 +4185,12 @@ def retired_oracle_sql() -> dict[str, str]:
             FROM a
         """,
         "augmentation_plan": duckdb_plan_sql_for_driver(),
+        "bootstrap_ci": __import__(
+            "modlyn_spark.scoring.abtest", fromlist=["duckdb_bootstrap_sql"]
+        ).duckdb_bootstrap_sql(
+            "events", "value", ["event_type"],
+            "CAST(event_id AS VARCHAR)", b=50, seed=2,
+        ),
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,
                    round(score_hi, 6) AS score_hi,

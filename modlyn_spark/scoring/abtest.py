@@ -105,3 +105,152 @@ def welch_ab_test(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# exact double CDF of Poisson(1) at k = 0..8 (repr round-trips; DuckDB
+# parses the identical literals to the identical doubles — the pii.py
+# shared-constant contract). Draws beyond 8 (p ~ 1.1e-6) cap at 9.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+_U32 = float(1 << 32)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    metric_col: str,
+    group_cols: list[str] | str,
+    key_cols: list[str] | str,
+    *,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for each group's metric
+    mean — the scipy-free uncertainty companion to
+    :func:`welch_ab_test` (which reports t without a p-value).
+
+    The Poisson bootstrap: resample ``b`` times by giving every row an
+    independent Poisson(1) WEIGHT instead of drawing with replacement —
+    the classic trick that makes the bootstrap embarrassingly
+    distributable (each row's weights are a pure function of
+    ``md5(key|replicate|seed)``, no global sampling step, identical on
+    any cluster/partitioning/engine). Per replicate the weighted mean
+    aggregates map-side; the only shuffle is groups x b partial rows.
+    The [alpha/2, 1-alpha/2] percentiles of the b replicate means are
+    the CI (exact ``F.percentile``; type-7 interpolation in both
+    engines).
+
+    ``key_cols`` must identify rows uniquely (the repo-wide draw-key
+    contract); NULL metric values are excluded. Cost is honest: the
+    explode puts every row through the aggregate b times (map-side
+    combined) — size ``b`` to the budget; 100-500 is the usual range.
+    Returns (group..., mean, ci_lo, ci_hi, b).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if b < 2:
+        raise ValueError("b must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+
+    x = F.col(metric_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *groups, x.alias("__x"),
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("__k"),
+    )
+    rep = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("__k"), F.col("__r").cast("string"),
+                    F.lit(str(int(seed))),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") / F.lit(_U32)
+    chain = F.when(u < F.lit(_POISSON1_CDF[0]), F.lit(0))
+    for k in range(1, len(_POISSON1_CDF)):
+        chain = chain.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k))
+    w = chain.otherwise(F.lit(len(_POISSON1_CDF))).cast("double")
+
+    means = (
+        rep.select(*groups, "__r", F.col("__x"), w.alias("__w"))
+        .groupBy(*groups, "__r")
+        .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+             F.sum("__w").alias("__sw"))
+        .select(
+            *groups, "__r",
+            F.when(F.col("__sw") > 0, F.col("__swx") / F.col("__sw"))
+            .alias("__mb"),
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = means.groupBy(*groups).agg(
+        F.percentile("__mb", F.lit(lo)).alias("__lo"),
+        F.percentile("__mb", F.lit(hi)).alias("__hi"),
+    )
+    point = base.groupBy(*groups).agg(F.avg("__x").alias("__mean"))
+    return point.join(ci, groups).select(
+        *groups,
+        F.round("__mean", 6).alias("mean"),
+        F.round("__lo", 6).alias("ci_lo"),
+        F.round("__hi", 6).alias("ci_hi"),
+        F.lit(b).alias("b"),
+    )
+
+
+def duckdb_bootstrap_sql(
+    table: str,
+    metric_col: str,
+    group_cols: list[str],
+    key_expr: str,
+    *,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_ci`, generated from the SAME
+    Poisson CDF constants (single source of truth)."""
+    g = ", ".join(group_cols)
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    return f"""
+        WITH base AS (
+          SELECT {g}, CAST({metric_col} AS DOUBLE) AS x, {key_expr} AS k
+          FROM {table} WHERE {metric_col} IS NOT NULL),
+        rep AS (SELECT base.*, unnest(range(0, {int(b)})) AS r FROM base),
+        d AS (SELECT *, CAST(('0x' || substr(md5(
+                  k || '|' || r || '|{int(seed)}'), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS u
+              FROM rep),
+        wt AS (SELECT *, CAST({case} AS DOUBLE) AS w FROM d),
+        m AS (SELECT {g}, r,
+                     CASE WHEN sum(w) > 0 THEN sum(w * x) / sum(w) END AS mb
+              FROM wt GROUP BY {g}, r),
+        ci AS (SELECT {g}, quantile_cont(mb, {lo!r}) AS lo,
+                      quantile_cont(mb, {hi!r}) AS hi
+               FROM m GROUP BY {g}),
+        pt AS (SELECT {g}, avg(x) AS mean FROM base GROUP BY {g})
+        SELECT pt.{group_cols[0]}{"".join(", pt." + c for c in group_cols[1:])},
+               round(pt.mean, 6) AS mean,
+               round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
+               {int(b)} AS b
+        FROM pt JOIN ci USING ({g})
+    """

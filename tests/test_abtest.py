@@ -116,3 +116,123 @@ def test_duckdb_parity_on_real_events(spark):
         for r in exp.itertuples(index=False)
     )
     assert got == exp_rows and len(got) == 4
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+
+def _u_hash(key: str) -> float:
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 2 ** 32
+
+
+def _poisson_w(u: float) -> int:
+    from modlyn_spark.scoring.abtest import _POISSON1_CDF
+
+    for k, c in enumerate(_POISSON1_CDF):
+        if u < c:
+            return k
+    return len(_POISSON1_CDF)
+
+
+def test_bootstrap_ci_matches_hash_twin(spark):
+    """Replicate means (hence the CI endpoints) equal the single-node
+    hashlib twin exactly — the draw is a pure function, not an RNG."""
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.abtest import bootstrap_ci
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "g": np.where(np.arange(500) % 2 == 0, "a", "b"),
+            "v": rng.normal(10, 2, 500).round(3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    B = 64
+    got = {
+        r["g"]: (r["mean"], r["ci_lo"], r["ci_hi"])
+        for r in bootstrap_ci(df, "v", "g", "id", b=B, seed=1).collect()
+    }
+
+    for g, sub in pdf.groupby("g"):
+        mbs = []
+        for r in range(B):
+            ws = np.array(
+                [_poisson_w(_u_hash(f"{i}|{r}|1")) for i in sub["id"]],
+                dtype=float,
+            )
+            mbs.append(
+                (ws * sub["v"].to_numpy()).sum() / ws.sum()
+                if ws.sum() > 0 else np.nan
+            )
+        mbs = np.array(mbs)
+        lo, hi = np.quantile(mbs, [0.025, 0.975])  # type-7, like both engines
+        assert got[g][0] == pytest.approx(round(sub["v"].mean(), 6), abs=1e-9)
+        assert got[g][1] == pytest.approx(lo, abs=1e-6)
+        assert got[g][2] == pytest.approx(hi, abs=1e-6)
+        # sanity: the CI brackets the point estimate
+        assert got[g][1] <= got[g][0] <= got[g][2]
+
+
+def test_bootstrap_ci_duckdb_parity_on_real_events(spark):
+    import duckdb
+
+    from modlyn_spark.scoring.abtest import bootstrap_ci, duckdb_bootstrap_sql
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        bootstrap_ci(ev, "value", "event_type", "event_id", b=50, seed=2)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    want = (
+        con.sql(
+            duckdb_bootstrap_sql(
+                "events", "value", ["event_type"],
+                "CAST(event_id AS VARCHAR)", b=50, seed=2,
+            )
+        )
+        .df()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for c in ("mean", "ci_lo", "ci_hi"):
+        assert got[c].to_numpy() == pytest.approx(
+            want[c].to_numpy(), abs=1e-9
+        ), c
+
+
+def test_bootstrap_ci_partitioning_invariant_and_validation(spark):
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.abtest import bootstrap_ci
+
+    pdf = pd.DataFrame(
+        {"id": np.arange(100), "g": "x", "v": np.arange(100, dtype=float)}
+    )
+    a = sorted(map(tuple, bootstrap_ci(
+        spark.createDataFrame(pdf).repartition(1), "v", "g", "id", b=32
+    ).collect()))
+    c = sorted(map(tuple, bootstrap_ci(
+        spark.createDataFrame(pdf).repartition(11), "v", "g", "id", b=32
+    ).collect()))
+    assert a == c
+    with pytest.raises(ValueError):
+        bootstrap_ci(spark.createDataFrame(pdf), "v", "g", "id", b=1)
+    with pytest.raises(ValueError):
+        bootstrap_ci(spark.createDataFrame(pdf), "v", "g", "id", alpha=0.0)
