@@ -182,6 +182,8 @@ def main() -> None:
           lambda: run(all_qs["incremental_agg"](spark, sf_dir)))
     bench("source_lang_rollup",
           lambda: run(all_qs["source_lang_rollup"](spark, sf_dir)))
+    bench("bootstrap_ci",
+          lambda: run(all_qs["bootstrap_ci"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(
