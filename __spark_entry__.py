@@ -1682,6 +1682,21 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_bootstrap_lift(spark, sf_dir):
+    """Poisson-bootstrap LIFT CI (scoring/abtest.py bootstrap_lift_ci):
+    per replicate the SAME row weights drive treatment and control means,
+    so the differenced statistic handles between-side correlation by
+    construction — the interval an experiment readout actually needs
+    (welch_ab reports t, this reports the CI). Control = 'view' events.
+    Oracle: duckdb_lift_sql GENERATED from the same constants."""
+    from modlyn_spark.scoring.abtest import bootstrap_lift_ci
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bootstrap_lift_ci(
+        ev, "value", "event_type", "event_id", control="view", b=50, seed=3
+    )
+
+
 def q_bootstrap_ci(spark, sf_dir):
     """Poisson-bootstrap percentile CI for per-event-type metric means
     (scoring/abtest.py bootstrap_ci): every row's b resample weights are
@@ -2823,6 +2838,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ovr_auc": q_ovr_auc,
         "augmentation_plan": q_augmentation_plan,
         "bootstrap_ci": q_bootstrap_ci,
+        "bootstrap_lift": q_bootstrap_lift,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -4190,6 +4206,12 @@ def retired_oracle_sql() -> dict[str, str]:
         ).duckdb_bootstrap_sql(
             "events", "value", ["event_type"],
             "CAST(event_id AS VARCHAR)", b=50, seed=2,
+        ),
+        "bootstrap_lift": __import__(
+            "modlyn_spark.scoring.abtest", fromlist=["duckdb_lift_sql"]
+        ).duckdb_lift_sql(
+            "events", "value", "event_type",
+            "CAST(event_id AS VARCHAR)", control="view", b=50, seed=3,
         ),
         "isotonic_fit": f"""
             SELECT block, round(score_lo, 6) AS score_lo,

@@ -125,6 +125,54 @@ _POISSON1_CDF = (
 _U32 = float(1 << 32)
 
 
+
+
+def _replicate_means(df, metric_col, groups, keys, *, b, alpha, seed):
+    """(base, means): the NULL-filtered keyed base and the per-(group,
+    replicate) Poisson-weighted means — shared by bootstrap_ci and
+    bootstrap_lift_ci so both draw the SAME weights per row."""
+    if b < 2:
+        raise ValueError("b must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    x = F.col(metric_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        *groups, x.alias("__x"),
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("__k"),
+    )
+    rep = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("__k"), F.col("__r").cast("string"),
+                    F.lit(str(int(seed))),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") / F.lit(_U32)
+    chain = F.when(u < F.lit(_POISSON1_CDF[0]), F.lit(0))
+    for k in range(1, len(_POISSON1_CDF)):
+        chain = chain.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k))
+    w = chain.otherwise(F.lit(len(_POISSON1_CDF))).cast("double")
+    means = (
+        rep.select(*groups, "__r", F.col("__x"), w.alias("__w"))
+        .groupBy(*groups, "__r")
+        .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
+             F.sum("__w").alias("__sw"))
+        .select(
+            *groups, "__r",
+            F.when(F.col("__sw") > 0, F.col("__swx") / F.col("__sw"))
+            .alias("__mb"),
+        )
+    )
+    return base, means
+
+
 def bootstrap_ci(
     df: DataFrame,
     metric_col: str,
@@ -158,46 +206,8 @@ def bootstrap_ci(
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    if b < 2:
-        raise ValueError("b must be >= 2")
-    if not 0.0 < alpha < 1.0:
-        raise ValueError("alpha must be in (0, 1)")
-
-    x = F.col(metric_col).cast("double")
-    base = df.where(x.isNotNull()).select(
-        *groups, x.alias("__x"),
-        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("__k"),
-    )
-    rep = base.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
-    )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.col("__k"), F.col("__r").cast("string"),
-                    F.lit(str(int(seed))),
-                )
-            ),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long") / F.lit(_U32)
-    chain = F.when(u < F.lit(_POISSON1_CDF[0]), F.lit(0))
-    for k in range(1, len(_POISSON1_CDF)):
-        chain = chain.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k))
-    w = chain.otherwise(F.lit(len(_POISSON1_CDF))).cast("double")
-
-    means = (
-        rep.select(*groups, "__r", F.col("__x"), w.alias("__w"))
-        .groupBy(*groups, "__r")
-        .agg(F.sum(F.col("__w") * F.col("__x")).alias("__swx"),
-             F.sum("__w").alias("__sw"))
-        .select(
-            *groups, "__r",
-            F.when(F.col("__sw") > 0, F.col("__swx") / F.col("__sw"))
-            .alias("__mb"),
-        )
+    base, means = _replicate_means(
+        df, metric_col, groups, keys, b=b, alpha=alpha, seed=seed
     )
     lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
     ci = means.groupBy(*groups).agg(
@@ -253,4 +263,135 @@ def duckdb_bootstrap_sql(
                round(ci.lo, 6) AS ci_lo, round(ci.hi, 6) AS ci_hi,
                {int(b)} AS b
         FROM pt JOIN ci USING ({g})
+    """
+
+
+def bootstrap_lift_ci(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    key_cols: list[str] | str,
+    *,
+    control,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> DataFrame:
+    """Percentile-bootstrap CI for the LIFT (treatment mean − control
+    mean, absolute and relative) of every group against ``control`` —
+    the interval an experiment readout actually needs. Within each
+    replicate the SAME Poisson weights drive both sides (the difference
+    of per-replicate means is the bootstrapped statistic, so
+    between-replicate correlation is handled by construction, unlike
+    differencing two marginal CIs). Shares :func:`bootstrap_ci`'s draw:
+    same (key, replicate, seed) → same weight, either output is
+    reproducible against the other. Returns one row per non-control
+    group: (group, lift, lift_lo, lift_hi, rel_lift, rel_lo, rel_hi, b);
+    relative columns are NULL when a replicate's control mean is 0.
+    """
+    groups = [group_col]
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    base, means = _replicate_means(
+        df, metric_col, groups, keys, b=b, alpha=alpha, seed=seed
+    )
+    ctrl = means.where(F.col(group_col) == F.lit(control)).select(
+        F.col("__r"), F.col("__mb").alias("__mc")
+    )
+    diffs = (
+        means.where(F.col(group_col) != F.lit(control))
+        .join(F.broadcast(ctrl), "__r")
+        .select(
+            group_col,
+            "__r",
+            (F.col("__mb") - F.col("__mc")).alias("__d"),
+            F.when(
+                F.col("__mc") != 0,
+                (F.col("__mb") - F.col("__mc")) / F.col("__mc"),
+            ).alias("__rl"),
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ci = diffs.groupBy(group_col).agg(
+        F.percentile("__d", F.lit(lo)).alias("__dlo"),
+        F.percentile("__d", F.lit(hi)).alias("__dhi"),
+        F.percentile("__rl", F.lit(lo)).alias("__rlo"),
+        F.percentile("__rl", F.lit(hi)).alias("__rhi"),
+    )
+    pt = base.groupBy(group_col).agg(F.avg("__x").alias("__m"))
+    pc = pt.where(F.col(group_col) == F.lit(control)).select(
+        F.col("__m").alias("__pmc")
+    )
+    point = pt.where(F.col(group_col) != F.lit(control)).crossJoin(
+        F.broadcast(pc)
+    )
+    return point.join(ci, group_col).select(
+        group_col,
+        F.round(F.col("__m") - F.col("__pmc"), 6).alias("lift"),
+        F.round("__dlo", 6).alias("lift_lo"),
+        F.round("__dhi", 6).alias("lift_hi"),
+        F.round(
+            F.when(
+                F.col("__pmc") != 0,
+                (F.col("__m") - F.col("__pmc")) / F.col("__pmc"),
+            ),
+            6,
+        ).alias("rel_lift"),
+        F.round("__rlo", 6).alias("rel_lo"),
+        F.round("__rhi", 6).alias("rel_hi"),
+        F.lit(b).alias("b"),
+    )
+
+
+def duckdb_lift_sql(
+    table: str,
+    metric_col: str,
+    group_col: str,
+    key_expr: str,
+    *,
+    control,
+    b: int = 200,
+    alpha: float = 0.05,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_lift_ci` (same constants)."""
+    case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    ctl = f"'{control}'" if isinstance(control, str) else repr(control)
+    return f"""
+        WITH base AS (
+          SELECT {group_col} AS g, CAST({metric_col} AS DOUBLE) AS x,
+                 {key_expr} AS k
+          FROM {table} WHERE {metric_col} IS NOT NULL),
+        rep AS (SELECT base.*, unnest(range(0, {int(b)})) AS r FROM base),
+        d AS (SELECT *, CAST(('0x' || substr(md5(
+                  k || '|' || r || '|{int(seed)}'), 1, 8)) AS BIGINT)
+                  / 4294967296.0 AS u
+              FROM rep),
+        wt AS (SELECT *, CAST({case} AS DOUBLE) AS w FROM d),
+        m AS (SELECT g, r,
+                     CASE WHEN sum(w) > 0 THEN sum(w * x) / sum(w) END AS mb
+              FROM wt GROUP BY g, r),
+        diffs AS (SELECT t.g, t.r, t.mb - c.mb AS dd,
+                         CASE WHEN c.mb <> 0 THEN (t.mb - c.mb) / c.mb END
+                             AS rl
+                  FROM m t JOIN m c ON t.r = c.r AND c.g = {ctl}
+                  WHERE t.g <> {ctl}),
+        ci AS (SELECT g, quantile_cont(dd, {lo!r}) AS dlo,
+                      quantile_cont(dd, {hi!r}) AS dhi,
+                      quantile_cont(rl, {lo!r}) AS rlo,
+                      quantile_cont(rl, {hi!r}) AS rhi
+               FROM diffs GROUP BY g),
+        pt AS (SELECT g, avg(x) AS m FROM base GROUP BY g),
+        pc AS (SELECT m AS mc FROM pt WHERE g = {ctl})
+        SELECT pt.g AS {group_col},
+               round(pt.m - pc.mc, 6) AS lift,
+               round(ci.dlo, 6) AS lift_lo, round(ci.dhi, 6) AS lift_hi,
+               round(CASE WHEN pc.mc <> 0
+                          THEN (pt.m - pc.mc) / pc.mc END, 6) AS rel_lift,
+               round(ci.rlo, 6) AS rel_lo, round(ci.rhi, 6) AS rel_hi,
+               {int(b)} AS b
+        FROM pt CROSS JOIN pc JOIN ci ON ci.g = pt.g
+        WHERE pt.g <> {ctl}
     """

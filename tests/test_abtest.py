@@ -236,3 +236,52 @@ def test_bootstrap_ci_partitioning_invariant_and_validation(spark):
         bootstrap_ci(spark.createDataFrame(pdf), "v", "g", "id", b=1)
     with pytest.raises(ValueError):
         bootstrap_ci(spark.createDataFrame(pdf), "v", "g", "id", alpha=0.0)
+
+
+def test_bootstrap_lift_ci_duckdb_parity_and_semantics(spark):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from modlyn_spark.scoring.abtest import (
+        bootstrap_lift_ci,
+        duckdb_lift_sql,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 900
+    g = rng.choice(["control", "t1", "t2"], n)
+    v = rng.normal(10, 2, n)
+    v[g == "t1"] += 1.0   # real lift
+    pdf = pd.DataFrame({"id": np.arange(n), "g": g, "v": v.round(3)})
+    df = spark.createDataFrame(pdf)
+    got = (
+        bootstrap_lift_ci(df, "v", "g", "id", control="control", b=64,
+                          seed=4)
+        .toPandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (
+        con.sql(
+            duckdb_lift_sql("t", "v", "g", "CAST(id AS VARCHAR)",
+                            control="control", b=64, seed=4)
+        )
+        .df()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got["g"]) == list(want["g"]) == ["t1", "t2"]
+    for c in ("lift", "lift_lo", "lift_hi", "rel_lift", "rel_lo", "rel_hi"):
+        assert got[c].to_numpy() == pytest.approx(
+            want[c].to_numpy(), abs=1e-9
+        ), c
+    # semantics: the planted +1 lift is detected (CI excludes 0), the
+    # null group's CI straddles 0, and intervals bracket the point
+    r = got.set_index("g")
+    assert r.loc["t1", "lift_lo"] > 0
+    assert r.loc["t2", "lift_lo"] < 0 < r.loc["t2", "lift_hi"]
+    for gg in ("t1", "t2"):
+        assert r.loc[gg, "lift_lo"] <= r.loc[gg, "lift"] <= r.loc[gg, "lift_hi"]
