@@ -1682,6 +1682,26 @@ _DOC_EXPECTATIONS = [
 ]
 
 
+def q_dataset_report(spark, sf_dir):
+    """The dataset "data card" (plans/dataset_report.py): per-column
+    profile + contract verdicts + source x lang rollup + dominant
+    sources, normalized into one tall (section, entity, metric, value)
+    frame — the artifact attached to every corpus release. Every section
+    is an already-audited primitive; the oracle chains their SQL shapes
+    (generated profile/expectations twins + ROLLUP + GROUP BY HAVING)
+    with the same normalization."""
+    from modlyn_spark.plans.dataset_report import dataset_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dataset_report(
+        docs,
+        expectations=_DOC_EXPECTATIONS,
+        rollup_dims=["source", "lang"],
+        heavy_hitter_col="source",
+        heavy_hitter_threshold=0.03125,
+    )
+
+
 def q_bootstrap_lift(spark, sf_dir):
     """Poisson-bootstrap LIFT CI (scoring/abtest.py bootstrap_lift_ci):
     per replicate the SAME row weights drive treatment and control means,
@@ -2839,6 +2859,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augmentation_plan": q_augmentation_plan,
         "bootstrap_ci": q_bootstrap_ci,
         "bootstrap_lift": q_bootstrap_lift,
+        "dataset_report": q_dataset_report,
         "ann_lsh_topk": q_ann_lsh_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -3733,6 +3754,69 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def duckdb_dataset_report_sql() -> str:
+    """The dataset_report oracle: the generated profile/expectations
+    twins plus inline ROLLUP and heavy-hitter shapes, normalized into
+    the same tall (section, entity, metric, value) frame."""
+    from modlyn_spark.operators.profile import (
+        duckdb_expectations_sql,
+        duckdb_profile_sql,
+    )
+
+    psql = duckdb_profile_sql(
+        "documents",
+        columns=["doc_id", "lang", "n_chars", "source", "text"],
+        numeric=["doc_id", "n_chars"],
+        strings=["text", "lang", "source"],
+    )
+    esql = duckdb_expectations_sql("documents", _DOC_EXPECTATIONS)
+    prof_metrics = [
+        "n_rows", "n_null", "n_distinct", "min_num", "max_num",
+        "mean", "stddev", "min_len", "max_len",
+    ]
+    prof_union = " UNION ALL ".join(
+        f'SELECT "column" AS entity, \'{m}\' AS metric, '
+        f"CAST({m} AS DOUBLE) AS value FROM p"
+        for m in prof_metrics
+    )
+    return f"""
+        WITH p AS ({psql}), e AS ({esql})
+        SELECT 'profile' AS section, entity, metric, value
+        FROM ({prof_union}) WHERE value IS NOT NULL
+        UNION ALL
+        SELECT 'expectation',
+               idx || ':' || expectation || ':' || "column", m,
+               CAST(v AS DOUBLE)
+        FROM (
+          SELECT idx, expectation, "column", 'observed' AS m,
+                 observed AS v FROM e
+          UNION ALL SELECT idx, expectation, "column", 'threshold',
+                 threshold FROM e
+          UNION ALL SELECT idx, expectation, "column", 'passed',
+                 CASE WHEN passed THEN 1.0 ELSE 0.0 END FROM e)
+        UNION ALL
+        SELECT 'rollup',
+               (CASE WHEN GROUPING(source) = 1 THEN '*'
+                     ELSE coalesce(source, '<null>') END) || '|' ||
+               (CASE WHEN GROUPING(lang) = 1 THEN '*'
+                     ELSE coalesce(lang, '<null>') END),
+               'n', CAST(count(*) AS DOUBLE)
+        FROM documents GROUP BY ROLLUP(source, lang)
+        UNION ALL
+        SELECT 'heavy_hitter', source, m, CAST(v AS DOUBLE)
+        FROM (
+          WITH tot AS (SELECT count(*) AS total FROM documents
+                       WHERE source IS NOT NULL),
+          h AS (SELECT source, count(*) AS cnt,
+                       round(count(*) * 1.0 / (SELECT total FROM tot), 6)
+                           AS frac
+                FROM documents WHERE source IS NOT NULL GROUP BY source
+                HAVING count(*) * 1.0 >= 0.03125 * (SELECT total FROM tot))
+          SELECT source, 'count' AS m, cnt AS v FROM h
+          UNION ALL SELECT source, 'frac', frac FROM h)
+    """
+
+
 def duckdb_plan_sql_for_driver() -> str:
     """The augmentation_plan oracle, generated from the SAME parameters
     as q_augmentation_plan (epoch 4, seed 1) over the same fixture."""
@@ -4207,6 +4291,7 @@ def retired_oracle_sql() -> dict[str, str]:
             "events", "value", ["event_type"],
             "CAST(event_id AS VARCHAR)", b=50, seed=2,
         ),
+        "dataset_report": duckdb_dataset_report_sql(),
         "bootstrap_lift": __import__(
             "modlyn_spark.scoring.abtest", fromlist=["duckdb_lift_sql"]
         ).duckdb_lift_sql(
