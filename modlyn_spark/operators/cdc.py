@@ -67,10 +67,19 @@ def apply_changes(
     ranked = changes.withColumn("__rn", F.row_number().over(w))
     if strict:
         # a tie on every order column between the top-2 changes of a key
-        # means the winner is arbitrary — fail loudly instead
+        # means the winner is arbitrary — fail loudly instead. Only
+        # RANK-1 ties matter: rank() (unlike row_number) assigns 1 to
+        # every row tied at the top, so a key is ambiguous iff it has
+        # >1 rank-1 row; ties among already-superseded changes (ranks
+        # 3/4) never pick the winner and must not abort the merge.
         dup = (
-            changes.groupBy(*keys, *order)
-            .agg(F.count(F.lit(1)).alias("__c"))
+            changes.withColumn("__rk", F.rank().over(w))
+            .where(F.col("__rk") == 1)
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                *[F.first(F.col(c)).alias(c) for c in order],
+            )
             .where(F.col("__c") > 1)
             .limit(1)
             .collect()
@@ -78,9 +87,10 @@ def apply_changes(
         if dup:
             vals = {c: dup[0][c] for c in keys + order}
             raise ValueError(
-                "changelog has order-column ties (arbitrary winner would "
-                f"corrupt the snapshot), e.g. {vals}; add a sequence "
-                "column to order_cols or pass strict=False"
+                "changelog has order-column ties on a key's LATEST "
+                "change (arbitrary winner would corrupt the snapshot), "
+                f"e.g. {vals}; add a sequence column to order_cols or "
+                "pass strict=False"
             )
     latest = ranked.where(F.col("__rn") == 1).drop("__rn")
     upserts = latest.where(F.col(op_col) != F.lit(delete_op)).select(
@@ -197,6 +207,7 @@ def incremental_agg(
     *,
     count_col: str = "n",
     op_col: str = "op",
+    key_cols: list[str] | str | None = None,
 ) -> DataFrame:
     """Maintain a count/sum aggregate from a changelog — never rescan the
     base snapshot.
@@ -221,12 +232,25 @@ def incremental_agg(
     reassociation). min/max are NOT maintainable from a changelog
     without the full value multiset and are deliberately absent.
 
+    A group/sum column with no ``old_<c>`` in ``changes`` is assumed to
+    be one of the diff's KEY columns (keys never change, so the current
+    value is its own retraction). Declare ``key_cols`` to have that
+    assumption enforced — any non-key column lacking ``old_<c>`` then
+    raises instead of silently retracting at the new value; without
+    ``key_cols`` the fallback is accepted for GROUP columns only (sum
+    columns are payload by construction and always raise).
+
     The 100 TB story: a daily 0.1% churn changelog updates a 10^12-row
     rollup with work proportional to the CHURN; the state table is the
     only other input and it is group-cardinality-sized.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     sums = [sum_cols] if isinstance(sum_cols, str) else list(sum_cols)
+    keys = (
+        None
+        if key_cols is None
+        else ([key_cols] if isinstance(key_cols, str) else list(key_cols))
+    )
 
     has_old = any(c.startswith("old_") for c in changes.columns)
 
@@ -238,12 +262,32 @@ def incremental_agg(
         # subtracting the new value.
         if f"old_{c}" in changes.columns:
             return F.col(f"old_{c}")
-        if has_old and c in changes.columns:
-            return F.col(c)
-        raise ValueError(
-            f"changes lacks old_{c}: build them with "
-            "snapshot_diff(..., include_old=True)"
-        )
+        if not has_old or c not in changes.columns:
+            raise ValueError(
+                f"changes lacks old_{c}: build them with "
+                "snapshot_diff(..., include_old=True)"
+            )
+        # the current value is a valid retraction ONLY when c is a diff
+        # key (keys never change between snapshots). With key_cols
+        # declared, enforce that exactly; without it, keep the documented
+        # fallback for GROUP columns but refuse SUM columns — a sum
+        # column is payload by construction (its value changes on
+        # updates), so retracting the NEW value would corrupt the state.
+        if keys is not None:
+            if c in keys:
+                return F.col(c)
+            raise ValueError(
+                f"changes lacks old_{c} and {c!r} is not in key_cols: a "
+                "hand-built changelog must carry old_* for every payload "
+                "column it groups or sums on"
+            )
+        if c in sums:
+            raise ValueError(
+                f"changes lacks old_{c} for sum column {c!r}: build the "
+                "changelog with snapshot_diff(..., include_old=True), or "
+                f"declare key_cols=[...] if {c!r} is a diff-key column"
+            )
+        return F.col(c)
 
     minus = changes.where(F.col(op_col).isin("update", "delete")).select(
         *[old_side(g).alias(g) for g in groups],

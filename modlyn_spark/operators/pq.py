@@ -98,14 +98,19 @@ def pq_train(
     # md5(id) (clustering._init_centroids semantics — unbiased under any
     # storage order, stable under any partitioning); falls back to
     # limit() without an id column
+    # NULL vectors are excluded from training (the Lloyd's pass below
+    # filters them) — exclude them from the init pool too, or a NULL in
+    # the first ``sample`` rows makes np.asarray build a ragged object
+    # array and pool.shape[1] fails opaquely
+    nn = df.where(F.col(vec_col).isNotNull())
     if id_col is not None:
         sel = (
-            df.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+            nn.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
             .limit(sample)
             .select(vec_col)
         )
     else:
-        sel = df.select(vec_col).limit(sample)
+        sel = nn.select(vec_col).limit(sample)
     pool = np.asarray([r[0] for r in sel.collect()], dtype=np.float64)
     if len(pool) == 0:
         raise ValueError(
@@ -249,6 +254,14 @@ def pq_topk(
     size. Output: (probe_id, corpus_id, dist, rank), dist =
     round(ADC approximate squared L2, ``round_digits``), ranked
     (dist ASC, corpus_id ASC)."""
+    if len(probes) > 100_000:
+        raise ValueError(
+            f"pq_topk got {len(probes)} probes: the per-probe LUT tensor "
+            "ships in the task closure, so the probe side must stay "
+            "query-sized (<= 100k). Batch the probes, or index them as a "
+            "second corpus and use a bucketed join (hash_hamming_pairs / "
+            "embedding near-dup) for the corpus-x-corpus shape."
+        )
     C = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, kcent, dsub = C.shape
     pids = np.asarray([p[0] for p in probes], dtype=np.int64)

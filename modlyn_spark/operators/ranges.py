@@ -137,10 +137,23 @@ def interval_join(
         stats = iv.agg(
             F.percentile_approx(hi_num - lo_num, 0.5).alias("med"),
             F.max(hi_num - lo_num).alias("mx"),
+            F.min(lo_num).alias("lo_min"),
+            F.max(hi_num).alias("hi_max"),
         ).collect()[0]
         med = stats["med"] or 0.0
         mx = stats["mx"] or 0.0
-        w = max(float(med), float(mx) / float(max_replication), 1e-9)
+        w = max(float(med), float(mx) / float(max_replication))
+        if w <= 0.0:
+            # every interval is zero-length (instantaneous states): no
+            # length to derive a width from. A fixed epsilon here would
+            # make bucket ids floor(t/1e-9) ~ 1e18 for epoch-seconds data
+            # (long-overflow territory under ANSI, and degenerate
+            # single-row buckets) — scale to the DATA instead: the whole
+            # [min(lo), max(hi)] span sliced into max_replication buckets,
+            # floored at 1.0 so ids stay small integers.
+            lo_min = float(stats["lo_min"] or 0.0)
+            hi_max = float(stats["hi_max"] or 0.0)
+            w = max(1.0, (hi_max - lo_min) / float(max_replication))
     else:
         w = float(bucket_width)
         if w <= 0:

@@ -46,12 +46,22 @@ def resample(
     every_s: float,
     fill: dict[str, str] | str = "none",
     bucket_col: str = "bucket_ts",
+    max_buckets_per_key: int | None = 1_000_000,
 ) -> DataFrame:
     """One row per (keys, bucket) over each key's dense activity span:
     (keys..., ``bucket_col`` = bucket-start epoch seconds (double),
     *aggs). ``aggs`` maps output names to aggregate Columns (e.g.
     ``{"v": F.avg("value"), "n": F.count(F.lit(1))}``). ``fill`` is one
-    policy for all columns or a per-column dict."""
+    policy for all columns or a per-column dict.
+
+    ``max_buckets_per_key`` guards the dense grid: ONE long-lived sparse
+    entity (a decade of span at ``every_s=1`` is ~3*10^8 buckets) would
+    otherwise build its whole span as a single in-row ``sequence`` array
+    before exploding — an executor OOM no partitioning can prevent. The
+    span check rides the existing key-count-sized aggregate (no extra
+    pass) and raises with the widest key's span so the caller can widen
+    ``every_s``, pre-filter the key, or consciously opt out with
+    ``max_buckets_per_key=None``."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not aggs:
         raise ValueError("aggs must be non-empty")
@@ -79,9 +89,36 @@ def resample(
     span = per.groupBy(*keys).agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
     )
+    grid_lo = F.col("__lo")
+    if max_buckets_per_key is not None:
+        # enforced INSIDE the plan (F.raise_error in the sequence's lo
+        # argument) so the guard costs no extra job and runs wherever the
+        # span rows land — the span frame is key-count sized, never
+        # data-sized
+        span_n = F.col("__hi") - F.col("__lo") + F.lit(1)
+        grid_lo = F.when(
+            span_n > int(max_buckets_per_key),
+            F.raise_error(
+                F.concat(
+                    F.lit("resample: key ("),
+                    F.concat_ws(
+                        ", ", *[F.col(k).cast("string") for k in keys]
+                    ),
+                    F.lit(") spans "),
+                    span_n.cast("string"),
+                    F.lit(
+                        f" buckets at every_s={every_s} (> "
+                        f"max_buckets_per_key={int(max_buckets_per_key)}): "
+                        "the dense grid would materialize that span as one "
+                        "in-row array; widen every_s, pre-filter the key, "
+                        "or pass max_buckets_per_key=None"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__lo"))
     grid = span.select(
         *keys,
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b"),
+        F.explode(F.sequence(grid_lo, F.col("__hi"))).alias("__b"),
     )
     out = grid.join(per, on=keys + ["__b"], how="left")
     w = (

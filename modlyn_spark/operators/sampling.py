@@ -32,9 +32,23 @@ _U32 = float(1 << 32)
 
 def _hash_unit(key_cols: list[str], salt: str) -> Column:
     """Uniform [0, 1) draw as a pure function of (key, salt): first 8 hex
-    digits of md5 -> int -> / 2^32. Portable to any SQL engine."""
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols],
-                      F.lit(salt))
+    digits of md5 -> int -> / 2^32. Portable to any SQL engine.
+
+    NULL key components are encoded explicitly (``concat_ws`` SKIPS
+    nulls, so composite keys (NULL,'a') and ('a',NULL) — and NULL vs ''
+    — would otherwise build the same key string and correlate their
+    draws/folds/splits). The NUL-delimited sentinel is not a value any
+    real key column produces, and non-null keys build the exact same
+    string as plain concat_ws — every existing oracle's
+    ``md5('<key>|<salt>')`` replication still matches bit-for-bit."""
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
+            for c in key_cols
+        ],
+        F.lit(salt),
+    )
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_U32)
 
 

@@ -117,22 +117,48 @@ def spherical_assign(
 def semdedup_prune(
     df: DataFrame,
     vec_col: str,
-    centroids: np.ndarray,
+    centroids: np.ndarray | None = None,
     *,
     id_col: str = "vec_id",
     threshold: float = 0.95,
     keep: str = "min_id",
     block: int = 2048,
     shard_fan: int = 1,
+    target_cluster_size: int = 4096,
+    kmeans_iter: int = 10,
+    seed: int = 42,
 ) -> DataFrame:
     """Returns (id, cluster, centroid_sim, kept) — one row per input row.
 
     ``kept`` is False for rows pruned as semantic duplicates under the
     chosen keep rule. Downstream: ``.where("kept")`` joins back to the
     corpus as a semi-join on ``id_col``.
+
+    ``centroids=None`` auto-sizes the clustering to the CORPUS:
+    ``k = max(8, n // target_cluster_size)`` and one kmeans_fit pass. The
+    within-cluster pairwise work is O(n^2 / k) = O(n * target_cluster_size)
+    — linear in n at a fixed target size — so a caller who doesn't pick k
+    inherits the paper's regime (k ~ 100k at web scale ≈ n/target for
+    n ~ 10^8-10^9) instead of whatever tiny k a benchmark happened to use.
+    Passing explicit ``centroids`` (a precomputed index) skips both jobs.
     """
     if keep not in ("min_id", "far_from_centroid"):
         raise ValueError(f"unknown keep rule: {keep!r}")
+    if centroids is None:
+        from modlyn_spark.operators.clustering import kmeans_fit
+
+        n = df.count()
+        if n == 0:
+            raise ValueError("semdedup_prune: empty input")
+        k = max(8, int(n) // int(target_cluster_size))
+        centroids, _ = kmeans_fit(
+            df.select(id_col, vec_col),
+            vec_col,
+            k,
+            max_iter=kmeans_iter,
+            seed=seed,
+            id_col=id_col,
+        )
 
     assigned = spherical_assign(df, vec_col, centroids, id_col=id_col)
     group_cols = ["cluster"]

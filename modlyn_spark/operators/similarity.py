@@ -76,10 +76,27 @@ def cosine_topk(
     query_vec: str = "qvec",
     corpus_vec: str = "cvec",
     k: int = 10,
+    max_probes: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k by cosine for each query. Returns
     (query_id, corpus_id, cosine, rank) with rank 1..k, ties broken by
-    ascending corpus id (deterministic)."""
+    ascending corpus id (deterministic).
+
+    The query side BROADCASTS into the corpus scan by contract — that is
+    what keeps the plan linear in the corpus. ``max_probes`` enforces the
+    contract with one query-sized count (raises with guidance instead of
+    letting an oversized broadcast OOM the driver mid-join); pass None to
+    opt out when the caller already bounds the probe side."""
+    if max_probes is not None:
+        n_q = queries.count()
+        if n_q > max_probes:
+            raise ValueError(
+                f"cosine_topk got {n_q} queries (> max_probes="
+                f"{max_probes}): the query side broadcasts by contract. "
+                "Batch the queries, or for a corpus-x-corpus shape use "
+                "the bucketed embedding near-dup join "
+                "(operators/dedup.embedding_dup_pairs)."
+            )
     q = queries.select(
         F.col(query_id),
         F.transform(query_vec, lambda x: x.cast("double")).alias("__qv"),
@@ -355,6 +372,7 @@ def hamming_topk(
     probe_hash: str = "phash",
     corpus_hash: str = "chash",
     k: int = 10,
+    max_probes: int | None = 100_000,
 ) -> DataFrame:
     """Exact top-k nearest 64-bit hashes by hamming distance per probe —
     the image-retrieval analogue of bm25_topk/cosine_topk: given probe
@@ -369,7 +387,19 @@ def hamming_topk(
     within r) use operators/dedup.hash_hamming_pairs instead: banding
     beats a full scan when both sides are corpus-sized.
 
-    Ranking is deterministic: (distance ASC, corpus_id ASC)."""
+    Ranking is deterministic: (distance ASC, corpus_id ASC).
+    ``max_probes`` enforces the query-sized-probe contract (one cheap
+    count; raise beats a driver OOM); None opts out."""
+    if max_probes is not None:
+        n_p = probes.count()
+        if n_p > max_probes:
+            raise ValueError(
+                f"hamming_topk got {n_p} probes (> max_probes="
+                f"{max_probes}): the probe side broadcasts by contract. "
+                "Batch the probes, or for all-pairs-within-radius use "
+                "operators/dedup.hash_hamming_pairs (banded, both sides "
+                "corpus-sized)."
+            )
     p = probes.select(probe_id, probe_hash)
     c = corpus.select(corpus_id, corpus_hash)
     scored = c.join(F.broadcast(p)).select(

@@ -90,7 +90,9 @@ def test_matches_twin_and_properties(spark):
 
 def test_tie_detection_and_validation(spark):
     base, changes = _mk(seed=9)
-    tied = pd.concat([changes, changes.iloc[[0]]])  # duplicate (k, seq)
+    # duplicate the LAST change (max seq overall -> rank-1 for its key):
+    # the winner for that key is ambiguous and strict mode must raise
+    tied = pd.concat([changes, changes.iloc[[-1]]])
     with pytest.raises(ValueError, match="ties"):
         apply_changes(
             spark.createDataFrame(base),
@@ -98,6 +100,26 @@ def test_tie_detection_and_validation(spark):
             "k",
             "seq",
         )
+    # a tie among SUPERSEDED changes (not the key's latest) leaves the
+    # winner unambiguous — strict mode must NOT abort that merge
+    multi = changes["k"].value_counts()
+    k_multi = multi[multi >= 2].index[0]
+    oldest = changes[changes["k"] == k_multi].nsmallest(1, "seq")
+    assert int(oldest["seq"].iloc[0]) < int(
+        changes[changes["k"] == k_multi]["seq"].max()
+    )
+    benign = pd.concat([changes, oldest])
+    got = _collect(
+        apply_changes(
+            spark.createDataFrame(base),
+            spark.createDataFrame(benign),
+            "k",
+            "seq",
+        )
+    )
+    pd.testing.assert_frame_equal(
+        got, _twin(base, changes), check_dtype=False
+    )
     with pytest.raises(ValueError, match="missing base columns"):
         apply_changes(
             spark.createDataFrame(base),
@@ -414,6 +436,58 @@ def test_incremental_agg_requires_old_columns(spark):
     diff = snapshot_diff(old, new, "k")  # include_old=False
     with pytest.raises(ValueError, match="old_g"):
         incremental_agg(full_agg(old, "g", "v"), diff, "g", "v")
+
+
+def test_incremental_agg_hand_built_changelog_guards(spark):
+    """A hand-built changelog that carries SOME old_* columns but not one
+    for a payload column it groups/sums on must raise, not silently
+    retract at the new value: (a) a sum column always needs old_<c>;
+    (b) with key_cols declared, a non-key group column needs old_<c>;
+    (c) key_cols declared and the fallback column IS a key -> allowed."""
+    from modlyn_spark.operators.cdc import full_agg, incremental_agg
+
+    old = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2], "g": ["x", "y"], "v": [1.0, 2.0]})
+    )
+    # hand-built changelog: op + old_g present, old_v MISSING
+    ch_no_old_v = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "g": ["x"],
+                "old_g": ["x"],
+                "v": [5.0],
+                "op": ["update"],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="old_v"):
+        incremental_agg(full_agg(old, "g", "v"), ch_no_old_v, "g", "v")
+    # old_v present, old_g MISSING, g declared non-key -> raise
+    ch_no_old_g = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1],
+                "g": ["y"],  # the row MOVED groups; old group unknowable
+                "old_v": [1.0],
+                "v": [5.0],
+                "op": ["update"],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="not in key_cols"):
+        incremental_agg(
+            full_agg(old, "g", "v"), ch_no_old_g, "g", "v", key_cols=["k"]
+        )
+    # grouping by the declared key itself falls back fine
+    got = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in incremental_agg(
+            full_agg(old, "k", "v"), ch_no_old_g.drop("g"), "k", "v",
+            key_cols=["k"],
+        ).collect()
+    }
+    assert got == {1: (1, 5.0), 2: (1, 2.0)}
 
 
 def test_incremental_agg_group_by_key_column(spark):

@@ -211,6 +211,43 @@ def test_codebook_roundtrip():
     np.testing.assert_array_equal(df_to_codebooks(codebooks_to_df(C)), C)
 
 
+def test_pq_train_null_vectors_skipped_in_init_pool(spark):
+    """A NULL vector among the smallest-md5 init rows must be skipped
+    (not turn the pool into a ragged object array): training on a frame
+    whose nulls are planted everywhere matches training on the same
+    frame pre-filtered."""
+    pdf = _data(n=120)
+    rows = pdf.to_dict("records")
+    for i in range(0, 120, 3):  # a third of ids are NULL vectors
+        rows[i] = {"vec_id": rows[i]["vec_id"], "v": None}
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    C, hist = pq_train(
+        df, "v", m=4, codebook_size=4, max_iter=3, id_col="vec_id"
+    )
+    C2, hist2 = pq_train(
+        df.where("v IS NOT NULL"),
+        "v",
+        m=4,
+        codebook_size=4,
+        max_iter=3,
+        id_col="vec_id",
+    )
+    np.testing.assert_allclose(C, C2, rtol=1e-12)
+    np.testing.assert_allclose(hist, hist2, rtol=1e-12)
+
+
+def test_pq_topk_probe_contract_guard(spark):
+    """The probe list ships in the closure by contract; >100k probes
+    raises with guidance instead of building a giant LUT tensor."""
+    C = np.zeros((2, 2, 2))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "pq_code": [[0, 0]]})
+    )
+    probes = [(i, [0.0] * 4) for i in range(100_001)]
+    with pytest.raises(ValueError, match="query-sized"):
+        pq_topk(corpus, probes, C)
+
+
 def test_pq_train_dim_mismatch(spark):
     pdf = _data(n=50, dim=15)
     with pytest.raises(ValueError, match="not divisible"):

@@ -167,6 +167,37 @@ def test_intervalize_equals_asof_on_real_events(spark):
     assert only_exp["state_value_exp"].isna().all()
 
 
+def test_zero_length_intervals_epoch_scale_width(spark):
+    """All-zero-length intervals (instantaneous states) at epoch-seconds
+    magnitude: the auto bucket width must scale to the DATA span, not a
+    1e-9 epsilon (whose floor(t/1e-9) ids are ~1e18 — long-overflow
+    territory and degenerate bucketing). Exact point-on-point matches
+    still join."""
+    base = 1_755_000_000.0  # epoch-seconds magnitude
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "iid": [0, 1, 2],
+                "lo": [base, base + 1000.0, base + 5000.0],
+                "hi": [base, base + 1000.0, base + 5000.0],
+            }
+        )
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pid": [10, 11, 12],
+                "x": [base, base + 1000.0, base + 999.0],
+            }
+        )
+    )
+    out = interval_join(
+        pts, iv, point_col="x", lo_col="lo", hi_col="hi"
+    ).select("pid", "iid")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(10, 0), (11, 1)]
+
+
 def test_no_nested_loop_in_plan(spark):
     pts, iv = _mk(spark)
     out = interval_join(

@@ -102,6 +102,34 @@ def test_fill_modes_and_validation(spark):
         resample(df, "k", "t", {"a": F.avg("v")}, every_s=0)
 
 
+def test_grid_guard_raises_on_wide_span_key(spark):
+    """One long-lived sparse key (two events 5000 buckets apart) trips
+    the dense-grid guard with the offending key in the message; the
+    explicit None opt-out and a sufficient cap both still compute."""
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "t": [0.0, 5000.0, 10.0],
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    aggs = {"a": F.avg("v")}
+    with pytest.raises(Exception, match="max_buckets_per_key"):
+        resample(
+            df, "k", "t", aggs, every_s=1.0, max_buckets_per_key=1000
+        ).collect()
+    # the guard message names the widest key
+    with pytest.raises(Exception, match=r"key \(1\) spans 5001 buckets"):
+        resample(
+            df, "k", "t", aggs, every_s=1.0, max_buckets_per_key=1000
+        ).collect()
+    for kwargs in ({"max_buckets_per_key": None},
+                   {"max_buckets_per_key": 6000}, {}):
+        n = resample(df, "k", "t", aggs, every_s=1.0, **kwargs).count()
+        assert n == 5001 + 1  # key 1 dense span + key 2 single bucket
+
+
 def test_duckdb_parity_on_real_events(spark):
     import duckdb
 

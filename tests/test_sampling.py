@@ -216,6 +216,34 @@ def test_split_column_partition_function_and_no_leakage(spark):
         split_column(ev, ["user_id"], {"a": 0.5, "b": 0.4})
 
 
+def test_null_key_components_draw_independently(spark):
+    """concat_ws SKIPS nulls, so without explicit encoding the composite
+    keys (NULL,'a') and ('a',NULL) — and NULL vs '' — would build the
+    same key string and share one draw. The sentinel encoding keeps
+    distinct composite keys on distinct draws, while non-null keys hash
+    exactly as before (oracle strings unchanged)."""
+    import hashlib
+
+    from modlyn_spark.operators.sampling import _hash_unit
+
+    pdf = pd.DataFrame(
+        {
+            "a": [None, "a", None, "", "x"],
+            "b": ["a", None, "", None, "y"],
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "a", "b", _hash_unit(["a", "b"], "s").alias("u")
+    )
+    rows = {(r["a"], r["b"]): r["u"] for r in df.collect()}
+    # the four null/empty composites are four DISTINCT draws
+    assert len(set(rows.values())) == 5
+    # non-null keys still hash as the plain '<a>|<b>|<salt>' string —
+    # bit-compatibility with every existing md5 oracle
+    exp = int(hashlib.md5(b"x|y|s").hexdigest()[:8], 16) / float(2**32)
+    assert abs(rows[("x", "y")] - exp) < 1e-15
+
+
 def test_hash_sample_pandas_twin(spark):
     """The same decision rule reproduced in pandas/hashlib — the oracle
     pattern any external system can implement."""

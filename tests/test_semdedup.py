@@ -63,6 +63,30 @@ def test_min_id_matches_bruteforce(spark, emb_pdf, centroids):
     assert out["cluster"].tolist() == [int(a[i]) for i in order]
 
 
+def test_auto_k_centroids_none(spark, emb_pdf):
+    """centroids=None auto-sizes k = max(8, n // target_cluster_size) and
+    fits kmeans internally: exact-direction planted copies still prune
+    (scale-invariance holds whatever the fitted centroids are), and the
+    empty-input case raises instead of fitting k-means on nothing."""
+    df = spark.createDataFrame(emb_pdf)
+    out = semdedup_prune(df, "v", threshold=0.999).toPandas()
+    assert len(out) == len(emb_pdf)
+    planted = out[(out.vec_id >= 1000) & (out.vec_id < 2000)]
+    assert not planted["kept"].any()
+    # n=80, target 4096 -> k floors at 8
+    assert out["cluster"].nunique() <= 8
+    # a small target raises k (n=80, target 10 -> k=8 exactly); with
+    # target 5 -> k=16
+    out16 = semdedup_prune(
+        df, "v", threshold=0.999, target_cluster_size=5
+    ).toPandas()
+    assert not out16[(out16.vec_id >= 1000) & (out16.vec_id < 2000)][
+        "kept"
+    ].any()
+    with pytest.raises(ValueError, match="empty input"):
+        semdedup_prune(df.where("vec_id < 0"), "v")
+
+
 def test_planted_copies_are_pruned(spark, emb_pdf, centroids):
     df = spark.createDataFrame(emb_pdf)
     out = semdedup_prune(df, "v", centroids, threshold=0.999).toPandas()

@@ -107,3 +107,37 @@ def test_hamming_topk_matches_bruteforce_and_broadcasts(spark):
     assert got[(got.probe_id == 2) & (got["rank"] == 1)]["hamming"].iloc[0] == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_probe_contract_guards(spark):
+    """cosine_topk / hamming_topk broadcast their probe side BY CONTRACT;
+    the max_probes guard enforces it with a clear raise (and None opts
+    out) instead of an oversized broadcast OOMing the driver."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from modlyn_spark.operators.similarity import cosine_topk, hamming_topk
+
+    corpus_h = spark.createDataFrame(
+        pd.DataFrame({"corpus_id": [1, 2], "chash": [3, 5]})
+    )
+    probes_h = spark.range(10).select(
+        F.col("id").alias("probe_id"), F.col("id").alias("phash")
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        hamming_topk(probes_h, corpus_h, max_probes=5)
+    assert hamming_topk(probes_h, corpus_h, max_probes=None).count() > 0
+    assert hamming_topk(probes_h, corpus_h, k=1).count() == 10
+
+    corpus_v = spark.createDataFrame(
+        pd.DataFrame({"corpus_id": [1, 2], "cvec": [[1.0, 0.0], [0.0, 1.0]]})
+    )
+    probes_v = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": range(8), "qvec": [[1.0, float(i)] for i in range(8)]}
+        )
+    )
+    with pytest.raises(ValueError, match="max_probes"):
+        cosine_topk(probes_v, corpus_v, max_probes=4)
+    assert cosine_topk(probes_v, corpus_v, k=1).count() == 8
