@@ -2842,8 +2842,163 @@ def q_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(merges.astype({"rank": "int64"}))
 
 
+def q_history_features(spark, sf_dir):
+    """Point-in-time last-N history features (operators/history.py): for
+    every 10th event as a probe, the user's 5 most recent event values at
+    or before the probe timestamp, most-recent-first — built as ONE
+    rolling window over the event stream + the engine's bucketed as-of
+    join (never a probe x event join), then exploded to (probe, pos,
+    value) rows so the driver's value hash sees scalars. Oracle: the
+    brute-force rank in DuckDB — equality proves both the window frame
+    and the zero-leakage cutoff on every probe."""
+    from modlyn_spark.operators.history import (
+        explode_history,
+        history_features,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.where("event_id % 10 = 3").select(
+        "event_id", "user_id", F.col("ts").alias("fts")
+    )
+    out = history_features(
+        probes,
+        ev.select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        probe_ts="fts",
+        event_ts="ts",
+        value_cols=["value"],
+        n=5,
+        seq_col="event_id",
+    )
+    return explode_history(
+        out, ["hist_value"], keep_cols=["event_id"]
+    ).select(
+        "event_id",
+        "pos",
+        F.round(F.col("hist_value"), 6).alias("value"),
+    )
+
+
+def q_golden_records(spark, sf_dir):
+    """Survivorship golden records (operators/survivorship.py): collapse
+    each user's event history to one canonical row — latest non-null
+    value (by ts, event_id), modal event_type (count desc, value asc),
+    min event_id as the canonical identity — all but the mode inside ONE
+    map-side-combinable groupBy. Oracle: deterministic window twins of
+    each rule in DuckDB."""
+    from modlyn_spark.operators.survivorship import golden_records
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = golden_records(
+        ev,
+        "user_id",
+        "event_id",
+        {"value": "latest", "event_type": "most_common"},
+        order_col="ts",
+    )
+    return out.select(
+        "user_id",
+        "canonical_id",
+        "n_records",
+        F.round(F.col("value"), 6).alias("value"),
+        "event_type",
+    )
+
+
+def q_attribution(spark, sf_dir):
+    """U-shaped multi-touch attribution (operators/attribution.py):
+    every purchase distributes credit 1.0 over the user's click/view
+    touches in the preceding 24h — pairing via the bucketized interval
+    join (each lookback interval lands in <= 2 buckets), credit via one
+    window per conversion. Oracle: the same pairing + credit CASE in
+    DuckDB; equality also machine-checks the [lo, hi) boundary on every
+    pair."""
+    from modlyn_spark.operators.attribution import attribute_conversions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    touches = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("tid"), "ts"
+    )
+    convs = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    out = attribute_conversions(
+        touches,
+        convs,
+        "user_id",
+        touch_id="tid",
+        conv_id="cid",
+        touch_ts="ts",
+        conv_ts="cts",
+        lookback_s=86400.0,
+        model="position_based",
+    )
+    return out.select(
+        "cid", "tid", "pos", "n_touches",
+        F.round(F.col("credit"), 6).alias("credit"),
+    )
+
+
+def q_agg_maintainer(spark, sf_dir):
+    """Streaming aggregate maintenance (streaming/aggregates.py): replay
+    three snapshot generations of an orders-derived table through the
+    versioned foreachBatch maintainer (batch i = snapshot_diff(S_{i-1},
+    S_i, include_old=True); batch 0 bootstraps from empty) and return the
+    final maintained state. Each S_i is a pure function of orders
+    (membership rotates by o_orderkey % 3, every 5th key's value steps by
+    11 per generation), so the oracle is a plain GROUP BY over S_2 —
+    equality proves three rounds of retraction algebra INCLUDING the
+    exactly-once versioned-state read/write path. State dir is derived
+    from sf_dir (per-SF isolation); batch N overwrites its own output, so
+    reruns are idempotent by construction."""
+    import hashlib
+
+    from modlyn_spark.operators.cdc import snapshot_diff
+    from modlyn_spark.streaming.aggregates import (
+        agg_maintainer,
+        read_agg_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+
+    def snap(i: int):
+        v = (k % 100).cast("long") + F.when(
+            k % 5 == 0, F.lit(11 * i)
+        ).otherwise(F.lit(0)).cast("long")
+        return orders.where(k % 3 != i).select(
+            k.alias("k"),
+            F.col("o_orderpriority").alias("g"),
+            F.when(k % 17 == 0, F.lit(None).cast("long")).otherwise(v).alias("v"),
+        )
+
+    state_dir = (
+        "/tmp/modlyn_agg_state/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    import shutil
+
+    # fresh replay: stale versions from an interrupted earlier run must
+    # not be readable as "the latest below 3"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    step = agg_maintainer(state_dir, "g", "v")
+    prev = snap(0).where("1 = 0")
+    for i in range(3):
+        cur = snap(i)
+        step(snapshot_diff(prev, cur, "k", include_old=True), i)
+        prev = cur
+    state = read_agg_state(spark, state_dir, before=3)
+    return state.select(
+        "g", "n", "nn_v", F.col("sum_v").cast("long").alias("sum_v")
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "history_features": q_history_features,
+        "golden_records": q_golden_records,
+        "attribution": q_attribution,
+        "agg_maintainer": q_agg_maintainer,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "tpch_q12_shipmode": q_tpch_q12_shipmode,
         "asof_join_broadcast": q_asof_join_broadcast,
@@ -3911,6 +4066,74 @@ def _retired_oracle_sql_base() -> dict[str, str]:
     )
 
     return {
+        "history_features": """
+            WITH pr AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 10 = 3),
+            m AS (SELECT p.event_id, e.value,
+                         row_number() OVER (
+                             PARTITION BY p.event_id
+                             ORDER BY e.ts DESC, e.event_id DESC) AS pos
+                  FROM pr p JOIN events e
+                    ON p.user_id = e.user_id AND e.ts <= p.ts)
+            SELECT event_id, CAST(pos AS BIGINT) AS pos,
+                   round(value, 6) AS value
+            FROM m WHERE pos <= 5
+        """,
+        "agg_maintainer": """
+            WITH s2 AS (
+              SELECT o_orderpriority AS g,
+                     CASE WHEN o_orderkey % 17 = 0 THEN NULL
+                          ELSE CAST(o_orderkey % 100 AS BIGINT)
+                               + CASE WHEN o_orderkey % 5 = 0 THEN 22
+                                      ELSE 0 END
+                     END AS v
+              FROM orders WHERE o_orderkey % 3 <> 2)
+            SELECT g, count(*) AS n, count(v) AS nn_v,
+                   CAST(sum(v) AS BIGINT) AS sum_v
+            FROM s2 GROUP BY g
+        """,
+        "attribution": """
+            WITH t AS (SELECT user_id, event_id AS tid,
+                              epoch(ts) AS tt FROM events
+                       WHERE event_type IN ('click', 'view')),
+            c AS (SELECT user_id, event_id AS cid, epoch(ts) AS ct
+                  FROM events WHERE event_type = 'purchase'),
+            p AS (SELECT c.cid, t.tid,
+                         row_number() OVER (PARTITION BY c.cid
+                             ORDER BY t.tt DESC, t.tid DESC) AS pos,
+                         row_number() OVER (PARTITION BY c.cid
+                             ORDER BY t.tt ASC, t.tid ASC) AS pa,
+                         count(*) OVER (PARTITION BY c.cid) AS n
+                  FROM c JOIN t ON c.user_id = t.user_id
+                     AND t.tt >= c.ct - 86400 AND t.tt < c.ct)
+            SELECT cid, tid, CAST(pos AS BIGINT) AS pos,
+                   CAST(n AS BIGINT) AS n_touches,
+                   round(CASE WHEN n = 1 THEN 1.0
+                              WHEN n = 2 THEN 0.5
+                              WHEN pa = 1 THEN 0.4
+                              WHEN pos = 1 THEN 0.4
+                              ELSE 0.2 / (n - 2) END, 6) AS credit
+            FROM p
+        """,
+        "golden_records": """
+            WITH agg AS (SELECT user_id, min(event_id) AS canonical_id,
+                                count(*) AS n_records FROM events GROUP BY 1),
+            lat AS (SELECT user_id, value FROM (
+                SELECT user_id, value, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY (value IS NULL) ASC, ts DESC, event_id DESC
+                ) AS rn FROM events) WHERE rn = 1),
+            md AS (SELECT user_id, event_type FROM (
+                SELECT user_id, event_type, row_number() OVER (
+                    PARTITION BY user_id ORDER BY c DESC, event_type ASC
+                ) AS rn FROM (
+                    SELECT user_id, event_type, count(*) AS c FROM events
+                    WHERE event_type IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1)
+            SELECT agg.user_id, canonical_id, n_records,
+                   round(lat.value, 6) AS value, md.event_type
+            FROM agg LEFT JOIN lat USING (user_id)
+                     LEFT JOIN md USING (user_id)
+        """,
         "table_profile": duckdb_profile_sql(
             "documents",
             columns=["doc_id", "lang", "n_chars", "source", "text"],

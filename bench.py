@@ -184,6 +184,19 @@ def main() -> None:
           lambda: run(all_qs["source_lang_rollup"](spark, sf_dir)))
     bench("bootstrap_ci",
           lambda: run(all_qs["bootstrap_ci"](spark, sf_dir)))
+    # round-5 additions: last-N point-in-time history arrays (window over
+    # events + bucketed as-of), survivorship golden records (one fused
+    # groupBy + mode histogram), U-shaped multi-touch attribution
+    # (bucketized interval join + per-conversion window), and the 3-batch
+    # versioned streaming-aggregate replay
+    bench("history_features",
+          lambda: run(all_qs["history_features"](spark, sf_dir)))
+    bench("golden_records",
+          lambda: run(all_qs["golden_records"](spark, sf_dir)))
+    bench("attribution",
+          lambda: run(all_qs["attribution"](spark, sf_dir)))
+    bench("agg_maintainer",
+          lambda: run(all_qs["agg_maintainer"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -81,6 +82,23 @@ def _merged_schema(
             StructField(matched_ts_col, right_fields[right_ts].dataType, nullable=True)
         )
     return StructType(fields)
+
+
+def _denanify(pdf: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    """pd.merge_asof fills unmatched payload cells with float NaN. For
+    scalar payloads Arrow maps NaN -> NULL, but for NESTED payload types
+    (array/struct columns — e.g. a rolling-history array riding through
+    the as-of) Arrow refuses to coerce a float into a list ("'float'
+    object is not iterable"). Normalize NaN to None on object-dtype
+    payload columns so unmatched rows serialize as NULL for any type."""
+    for c in cols:
+        if c in pdf.columns and pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda x: None
+                if x is None or (isinstance(x, float) and np.isnan(x))
+                else x
+            )
+    return pdf
 
 
 def _check_no_clash(left: DataFrame, payload: list[str], matched_ts_col: str | None):
@@ -466,7 +484,10 @@ def _asof_merge(
         merged = merged.sort_values("__ord").drop(columns=["__ord"] + (
             [rname] if rname != left_ts else []
         ))
-        return merged[out_names]
+        return _denanify(
+            merged,
+            payload + ([matched_ts_col] if matched_ts_col else []),
+        )[out_names]
 
     grouped = lsel.groupBy(_BUCKET).cogroup(rsel.groupBy(_BUCKET))
     result = grouped.applyInPandas(merge, schema=out_schema)
@@ -551,7 +572,10 @@ def _asof_broadcast(
             merged = merged.sort_values("__ord").drop(
                 columns=["__ord"] + ([rname] if rname != left_ts else [])
             )
-            yield merged[out_names]
+            yield _denanify(
+                merged,
+                payload + ([matched_ts_col] if matched_ts_col else []),
+            )[out_names]
 
     result = left.mapInPandas(merge_iter, schema=out_schema)
     if tolerance is not None:

@@ -114,3 +114,43 @@ def test_asof_column_clash_raises(spark, events_pdf, probes_pdf):
     right = spark.createDataFrame(events_pdf)
     with pytest.raises(ValueError, match="clash"):
         asof_join(left, right, on="key", left_ts="feature_ts", right_ts="ts")
+
+
+@pytest.mark.parametrize("strategy", ["merge", "broadcast", "union"])
+def test_asof_nested_array_payload_with_unmatched(spark, strategy):
+    """Array/struct payloads must survive every strategy INCLUDING
+    unmatched left rows: pd.merge_asof fills misses with float NaN, which
+    Arrow cannot coerce to a list type — the pandas paths normalize it to
+    None (regression for the history-features composition)."""
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "a"],
+                "ts": pd.to_datetime(["2024-01-01 00:00:05",
+                                      "2024-01-01 00:00:09"]),
+                "hist": [[1.0, 2.0], [3.0]],
+            }
+        )
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": ["a", "a", "b"],
+                "feature_ts": pd.to_datetime(
+                    ["2024-01-01 00:00:04",   # BEFORE any state: unmatched
+                     "2024-01-01 00:00:07",
+                     "2024-01-01 00:00:07"]  # key with no state at all
+                ),
+            }
+        )
+    )
+    got = {
+        (r["key"], str(r["feature_ts"])): r["hist"]
+        for r in asof_join(
+            left, right, on="key", left_ts="feature_ts", right_ts="ts",
+            strategy=strategy,
+        ).collect()
+    }
+    assert got[("a", "2024-01-01 00:00:04")] is None
+    assert got[("b", "2024-01-01 00:00:07")] is None
+    assert got[("a", "2024-01-01 00:00:07")] == [1.0, 2.0]
