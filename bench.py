@@ -184,6 +184,8 @@ def main() -> None:
           lambda: run(all_qs["source_lang_rollup"](spark, sf_dir)))
     bench("bootstrap_ci",
           lambda: run(all_qs["bootstrap_ci"](spark, sf_dir)))
+    bench("welch_ab",
+          lambda: run(all_qs["welch_ab"](spark, sf_dir)))
     # round-5 additions: last-N point-in-time history arrays (window over
     # events + bucketed as-of), survivorship golden records (one fused
     # groupBy + mode histogram), U-shaped multi-touch attribution
