@@ -1962,6 +1962,86 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_image_patches(spark, sf_dir):
+    """ViT-style patch extraction (functions/patches.py): decode each
+    fixture image inside the Arrow map stage and emit one row per 16x16
+    tile with exact-integer-luma stats — grid crops to the largest patch
+    multiple, undecodable / sub-patch payloads emit zero rows. Oracle:
+    the INDEPENDENT numpy twin (oracle_patch_features — explicit slicing
+    loops + two-pass moments vs the engine's reshape grid)."""
+    from modlyn_spark.functions.patches import extract_patches
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    out = extract_patches(
+        images, id_cols=["image_id", "version"], patch=16
+    )
+    return out.select(
+        "image_id",
+        "version",
+        "patch_row",
+        "patch_col",
+        # round at 8: exact multiples of 2^-8 (integer-luma patch stats)
+        # have <= 8 decimal digits, so boundary values round as identity
+        # in BOTH engines (round(4) hit banker's-vs-HALF_UP on p_mean =
+        # k + u/32 values)
+        F.round("p_mean", 8).alias("p_mean"),
+        F.round("p_std", 8).alias("p_std"),
+        F.round("p_min", 8).alias("p_min"),
+        F.round("p_max", 8).alias("p_max"),
+    )
+
+
+def q_weighted_take(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_take): per language, the 40 documents drawn with
+    probability proportional to n_chars via the Efraimidis-Spirakis
+    hash race (-ln(u)/w, u = portable md5 unit). Selection is a pure
+    function of (doc_id, salt), so the oracle is the SAME arithmetic as
+    one DuckDB window."""
+    from modlyn_spark.operators.sampling import weighted_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_take(
+        docs.select(
+            "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+        ),
+        "w",
+        40,
+        ["doc_id"],
+        by="lang",
+        salt="wt5",
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_frequent_pairs(spark, sf_dir):
+    """Association rules over document tokens (operators/assoc.py
+    frequent_pairs): baskets = documents, items = \\s+ tokens, apriori
+    item prune at support 0.25 then basket self-join pair counts with
+    confidence/lift. Oracle: the identical counting arithmetic in
+    DuckDB (0.25 is an exact binary fraction — the threshold compare
+    cannot drift)."""
+    from modlyn_spark.operators.assoc import frequent_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    out = frequent_pairs(toks, "doc_id", "token", min_support=0.25)
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round("support", 6).alias("support"),
+        F.round("conf_a_to_b", 6).alias("conf_a_to_b"),
+        F.round("conf_b_to_a", 6).alias("conf_b_to_a"),
+        F.round("lift", 6).alias("lift"),
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -2996,6 +3076,9 @@ def q_agg_maintainer(spark, sf_dir):
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
+        "image_patches": q_image_patches,
+        "weighted_take": q_weighted_take,
+        "frequent_pairs": q_frequent_pairs,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4066,6 +4149,55 @@ def _retired_oracle_sql_base() -> dict[str, str]:
     )
 
     return {
+        "image_patches": f"""
+            SELECT image_id, version, patch_row, patch_col,
+                   p_mean, p_std, p_min, p_max
+            FROM read_parquet('{_FIXTURES}/patch_features_expected.parquet')
+        """,
+        "weighted_take": """
+            WITH d AS (
+                SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+                       CAST(doc_id AS VARCHAR) || '|wt5' AS k
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0),
+            r AS (
+                SELECT doc_id, lang, row_number() OVER (
+                    PARTITION BY lang ORDER BY
+                        -ln((CAST('0x' || substr(md5(k), 1, 8) AS BIGINT)
+                             + 0.5) / 4294967296.0) / w,
+                        k) AS rn
+                FROM d)
+            SELECT doc_id, lang FROM r WHERE rn <= 40
+        """,
+        "frequent_pairs": """
+            WITH tok AS (
+                SELECT doc_id AS b,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS i
+                FROM documents),
+            tk AS (SELECT DISTINCT b, i FROM tok WHERE i <> ''),
+            nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM tk),
+            ic AS (SELECT i, count(*) AS n_item FROM tk GROUP BY 1),
+            freq AS (SELECT ic.i, ic.n_item FROM ic, nb
+                     WHERE ic.n_item >= 0.25 * nb.n),
+            kept AS (SELECT tk.b, tk.i FROM tk
+                     JOIN freq ON tk.i = freq.i),
+            co AS (SELECT a.i AS item_a, c.i AS item_b,
+                          count(*) AS n_ab
+                   FROM kept a JOIN kept c
+                     ON a.b = c.b AND a.i < c.i
+                   GROUP BY 1, 2)
+            SELECT item_a, item_b, fa.n_item AS n_a, fb.n_item AS n_b,
+                   n_ab,
+                   round(n_ab / nb.n, 6) AS support,
+                   round(n_ab / fa.n_item, 6) AS conf_a_to_b,
+                   round(n_ab / fb.n_item, 6) AS conf_b_to_a,
+                   round((n_ab * nb.n) / (fa.n_item * fb.n_item), 6)
+                       AS lift
+            FROM co
+            JOIN freq fa ON co.item_a = fa.i
+            JOIN freq fb ON co.item_b = fb.i, nb
+            WHERE n_ab >= 0.25 * nb.n
+        """,
         "history_features": """
             WITH pr AS (SELECT event_id, user_id, ts FROM events
                         WHERE event_id % 10 = 3),

@@ -199,6 +199,16 @@ def main() -> None:
           lambda: run(all_qs["attribution"](spark, sf_dir)))
     bench("agg_maintainer",
           lambda: run(all_qs["agg_maintainer"](spark, sf_dir)))
+    # round-5 second wave: ViT patch extraction (Arrow map, zero
+    # shuffle), Efraimidis-Spirakis weighted sampling (shard-pruned
+    # windows), and apriori pair mining (basket self-join after the
+    # broadcast-semi frequent-item cut)
+    bench("image_patches",
+          lambda: run(all_qs["image_patches"](spark, sf_dir)))
+    bench("weighted_take",
+          lambda: run(all_qs["weighted_take"](spark, sf_dir)))
+    bench("frequent_pairs",
+          lambda: run(all_qs["frequent_pairs"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

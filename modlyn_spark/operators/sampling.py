@@ -41,7 +41,14 @@ def _hash_unit(key_cols: list[str], salt: str) -> Column:
     real key column produces, and non-null keys build the exact same
     string as plain concat_ws — every existing oracle's
     ``md5('<key>|<salt>')`` replication still matches bit-for-bit."""
-    key = F.concat_ws(
+    key = _key_string(key_cols, salt)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_U32)
+
+
+def _key_string(key_cols: list[str], salt: str) -> Column:
+    """The canonical '<k1>|<k2>|<salt>' draw-key string (NULL components
+    encoded with the NUL sentinel — see _hash_unit)."""
+    return F.concat_ws(
         "|",
         *[
             F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00"))
@@ -49,7 +56,6 @@ def _hash_unit(key_cols: list[str], salt: str) -> Column:
         ],
         F.lit(salt),
     )
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(_U32)
 
 
 def hash_sample(
@@ -283,3 +289,89 @@ def time_split(
             .otherwise("test")
         )
     return df.withColumn(out_col, expr)
+
+
+def weighted_take(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_cols: list[str],
+    *,
+    by: str | list[str] | None = None,
+    salt: str = "",
+    shards: int = 64,
+) -> DataFrame:
+    """EXACTLY ``n`` rows drawn without replacement with probability
+    proportional to ``weight_col`` — per group when ``by`` is given,
+    globally otherwise — as a PURE FUNCTION of (key, salt).
+
+    Efraimidis–Spirakis A-ES (Inf. Proc. Letters 97(5), 2006,
+    implemented from the paper's statement): give every row the key
+    ``k = -ln(u) / w`` with ``u`` the portable md5 unit draw, keep the
+    ``n`` smallest keys. ``k`` is an Exp(w) variate, so the first
+    arrival of the exponential race wins with probability w_i / W —
+    the weighted-reservoir classic, here with the RNG replaced by the
+    hash draw so the selected row SET is identical on any cluster,
+    partitioning, or engine. ``u`` is offset to ``(h + 0.5) / 2^32`` so
+    it can never be exactly 0 (ln(0)). Rows with NULL or non-positive
+    weight are never selected.
+
+    Physical plan: the global form is one ``orderBy(key).limit(n)`` —
+    Catalyst's TakeOrderedAndProject (per-partition partial top-n +
+    one driver merge), never a full sort. The per-group form would
+    serialize each group through one window task, so it first takes the
+    per-(group, md5-shard) top-n — bounding every task at shard size —
+    and only the surviving ``<= n * shards`` rows per group meet the
+    exact per-group window. The final row set is IDENTICAL to the plain
+    per-group window for ANY weights (each group's true top-n survives
+    its shard cut by construction — rank within a subset can only
+    shrink), unconditionally — unlike a draw-threshold prefilter, this
+    needs no balance assumption on the weights.
+
+    Equivalent SQL (the oracle form)::
+
+        row_number() OVER (PARTITION BY <by> ORDER BY
+            -ln((CAST('0x' || substr(md5(key||'|'||salt), 1, 8) AS BIGINT)
+                 + 0.5) / 4294967296.0) / w,
+            key) <= n
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if shards < 1:
+        raise ValueError("shards must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(
+            F.substring(F.md5(_key_string(key_cols, salt)), 1, 8), 16, 10
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    key = -F.log(u) / w
+    tie = _key_string(key_cols, salt)
+    cand = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__es_key", key
+    ).withColumn("__es_tie", tie)
+
+    group = [by] if isinstance(by, str) else list(by or [])
+    if not group:
+        out = (
+            cand.orderBy("__es_key", "__es_tie")
+            .limit(n)
+            .drop("__es_key", "__es_tie")
+        )
+        return out
+    shard = F.conv(
+        F.substring(F.md5(F.concat(tie, F.lit("\x00shard"))), 1, 8), 16, 10
+    ).cast("long") % shards
+    pre = Window.partitionBy(*group, "__es_shard").orderBy(
+        "__es_key", "__es_tie"
+    )
+    exact = Window.partitionBy(*group).orderBy("__es_key", "__es_tie")
+    return (
+        cand.withColumn("__es_shard", shard)
+        .withColumn("__es_pr", F.row_number().over(pre))
+        .where(F.col("__es_pr") <= n)
+        .withColumn("__es_rn", F.row_number().over(exact))
+        .where(F.col("__es_rn") <= n)
+        .drop("__es_key", "__es_tie", "__es_shard", "__es_pr", "__es_rn")
+    )

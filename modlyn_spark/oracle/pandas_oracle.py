@@ -684,3 +684,37 @@ def oracle_image_features(px: "np.ndarray") -> dict:
     else:
         out["colorfulness"] = 0.0
     return out
+
+
+def oracle_patch_features(px: "np.ndarray", patch: int) -> list[dict]:
+    """Independent twin of functions.patches.extract_patches
+    (mode='features'): per-tile luma stats via EXPLICIT slicing loops and
+    two-pass moments — no reshape/transpose tricks shared with the
+    engine. Luma is the same exact-integer contract
+    (299R + 587G + 114B) // 1000 (the one piece that MUST be shared for
+    bit-identical binning). Returns [] when the image is smaller than
+    one patch."""
+    a = np.asarray(px, dtype=np.int64)
+    if a.ndim == 3:
+        luma = (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+    else:
+        luma = a
+    h, w = luma.shape
+    out: list[dict] = []
+    for r in range(h // patch):
+        for c in range(w // patch):
+            tile = luma[
+                r * patch : (r + 1) * patch, c * patch : (c + 1) * patch
+            ].astype(np.float64)
+            mu = float(tile.mean())
+            out.append(
+                {
+                    "patch_row": r,
+                    "patch_col": c,
+                    "p_mean": mu,
+                    "p_std": float(np.sqrt(((tile - mu) ** 2).mean())),
+                    "p_min": float(tile.min()),
+                    "p_max": float(tile.max()),
+                }
+            )
+    return out

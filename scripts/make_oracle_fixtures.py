@@ -394,6 +394,53 @@ def make_image_features_fixture() -> str:
     return out
 
 
+def make_patch_features_fixture() -> str:
+    """Expected per-patch rows for the image_patches query: the
+    INDEPENDENT twin (oracle_patch_features — explicit slicing loops +
+    two-pass moments) at patch=16 over every decodable row of the
+    images_curation_input fixture. Undecodable / sub-patch payloads
+    contribute zero rows, mirroring the engine contract."""
+    from modlyn_spark.functions.image import decode_bytes
+    from modlyn_spark.oracle.pandas_oracle import oracle_patch_features
+
+    src = pd.read_parquet(
+        os.path.join(FIXTURE_DIR, "images_curation_input.parquet")
+    )
+    recs = []
+    for _, r in src.iterrows():
+        if r["bytes"] is None or r["fmt"] is None:
+            continue
+        try:
+            px = decode_bytes(bytes(r["bytes"]), r["fmt"])
+        except Exception:  # noqa: BLE001
+            continue
+        for rec in oracle_patch_features(px, 16):
+            recs.append(
+                {
+                    "image_id": r["image_id"],
+                    "version": int(r["version"]),
+                    "patch_row": rec["patch_row"],
+                    "patch_col": rec["patch_col"],
+                    # round at 8: every exact multiple of 2^-8 (patch
+                    # means/stds over integer luma) has <= 8 decimal
+                    # digits, so the boundary cases round as identity in
+                    # BOTH python (banker's) and Spark (HALF_UP)
+                    **{
+                        k: round(rec[k], 8)
+                        for k in ("p_mean", "p_std", "p_min", "p_max")
+                    },
+                }
+            )
+    out_df = pd.DataFrame(recs)
+    for k in ("patch_row", "patch_col"):
+        out_df[k] = out_df[k].astype("int64")
+    for k in ("p_mean", "p_std", "p_min", "p_max"):
+        out_df[k] = out_df[k].astype("float64")
+    out = os.path.join(FIXTURE_DIR, "patch_features_expected.parquet")
+    out_df.to_parquet(out, index=False)
+    return out
+
+
 def make_pagerank_fixture() -> str:
     """Expected (node, rank) for the retired pagerank_hosts query at the
     gate SF: dense float64 power iteration (independent of every Spark
@@ -460,6 +507,8 @@ def main() -> int:
     print(f"wrote {p11} ({len(pd.read_parquet(p11))} rows)")
     p12 = make_pagerank_fixture()
     print(f"wrote {p12} ({len(pd.read_parquet(p12))} rows)")
+    p13 = make_patch_features_fixture()
+    print(f"wrote {p13} ({len(pd.read_parquet(p13))} rows)")
     return 0
 
 
