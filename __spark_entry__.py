@@ -2042,6 +2042,59 @@ def q_frequent_pairs(spark, sf_dir):
     )
 
 
+def q_recurring_tiles(spark, sf_dir):
+    """Recurring-tile detection (functions/patches.py tile_fingerprints
+    + recurring_tiles): md5 over each 8x8 exact-integer-luma tile of the
+    latest image versions, grouped by fingerprint, kept where >= 3
+    DISTINCT images share the content — the image analog of C4 line
+    dedup (watermarks / letterbox / template chrome). Oracle: hashlib +
+    pandas twin fixture, fully independent of the Spark operators."""
+    from modlyn_spark.functions.patches import (
+        recurring_tiles,
+        tile_fingerprints,
+    )
+
+    images = spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    w = Window.partitionBy("image_id").orderBy(F.col("version").desc())
+    latest = (
+        images.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    tiles = tile_fingerprints(latest, patch=8)
+    return recurring_tiles(tiles, min_images=3).select(
+        "tile_fp", "n_images", "n_tiles"
+    )
+
+
+def q_path_transitions(spark, sf_dir):
+    """First-order Markov transition matrix (operators/paths.py
+    transition_counts): per user, each event's next event by (ts,
+    event_id), terminals absorbed into __END__, p = n / out-degree.
+    Oracle: the identical lead-window + count arithmetic in DuckDB."""
+    from modlyn_spark.operators.paths import transition_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = transition_counts(
+        ev, "user_id", "ts", "event_type", seq_col="event_id"
+    )
+    return out.select(
+        "event", "next_event", "n", F.round("p", 6).alias("p")
+    )
+
+
+def q_top_paths(spark, sf_dir):
+    """Opening-path counts (operators/paths.py top_paths): each user's
+    first 3 events by (ts, event_id) joined with '>', counted across
+    users. Oracle: row_number cutoff + ordered string_agg in DuckDB."""
+    from modlyn_spark.operators.paths import top_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return top_paths(
+        ev, "user_id", "ts", "event_type", depth=3, seq_col="event_id"
+    ).select("path", "path_len", "n_entities")
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3079,6 +3132,9 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "image_patches": q_image_patches,
         "weighted_take": q_weighted_take,
         "frequent_pairs": q_frequent_pairs,
+        "recurring_tiles": q_recurring_tiles,
+        "path_transitions": q_path_transitions,
+        "top_paths": q_top_paths,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4153,6 +4209,38 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             SELECT image_id, version, patch_row, patch_col,
                    p_mean, p_std, p_min, p_max
             FROM read_parquet('{_FIXTURES}/patch_features_expected.parquet')
+        """,
+        "recurring_tiles": f"""
+            SELECT tile_fp, n_images, n_tiles
+            FROM read_parquet('{_FIXTURES}/recurring_tiles_expected.parquet')
+        """,
+        "path_transitions": """
+            WITH s AS (
+                SELECT event_type AS event,
+                       coalesce(lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id), '__END__') AS next_event
+                FROM events WHERE event_type IS NOT NULL),
+            c AS (SELECT event, next_event, count(*) AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT event, next_event, n,
+                   round(n / sum(n) OVER (PARTITION BY event), 6) AS p
+            FROM c
+        """,
+        "top_paths": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type IS NOT NULL),
+            pp AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path,
+                       count(*) AS path_len
+                FROM r WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, path_len, count(*) AS n_entities
+            FROM pp GROUP BY 1, 2
         """,
         "weighted_take": """
             WITH d AS (

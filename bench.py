@@ -209,6 +209,8 @@ def main() -> None:
           lambda: run(all_qs["weighted_take"](spark, sf_dir)))
     bench("frequent_pairs",
           lambda: run(all_qs["frequent_pairs"](spark, sf_dir)))
+    bench("path_transitions",
+          lambda: run(all_qs["path_transitions"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

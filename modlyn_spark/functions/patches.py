@@ -43,6 +43,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -151,4 +152,115 @@ def extract_patches(
 
     return images.select(*ids, bytes_col, fmt_col).mapInPandas(
         run, schema=out_schema
+    )
+
+
+def tile_fingerprints(
+    images: DataFrame,
+    *,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_cols: list[str] | None = None,
+    patch: int = 8,
+) -> DataFrame:
+    """One row per tile with an md5 fingerprint of its EXACT luma bytes —
+    the join key for recurring-tile detection (see ``recurring_tiles``).
+
+    The fingerprint is ``md5`` over the tile's integer luma values
+    serialized as ``P*P`` big-endian uint16 (luma of a uint8 image is
+    bounded by 255, uint16 keeps the contract if deeper sources appear)
+    in row-major order: a pure function of pixel content, so the same
+    tile content hashes identically on any engine or partitioning —
+    the image analog of the corpus line fingerprint
+    (``operators.dedup.corpus_line_dedup``).
+    """
+    if patch < 1:
+        raise ValueError(f"patch must be >= 1, got {patch}")
+    ids = list(id_cols) if id_cols else ["image_id"]
+    missing = [c for c in ids + [bytes_col, fmt_col] if c not in images.columns]
+    if missing:
+        raise ValueError(f"missing columns: {missing}")
+    import hashlib
+
+    id_fields = [images.schema[c] for c in ids]
+    out_schema = StructType(
+        id_fields
+        + [
+            StructField("patch_row", LongType()),
+            StructField("patch_col", LongType()),
+            StructField("tile_fp", StringType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+    p = int(patch)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs: list[tuple] = []
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                raw, fmt = d[bytes_col], d[fmt_col]
+                if raw is None or fmt is None:
+                    continue
+                try:
+                    px = decode_bytes(bytes(raw), str(fmt))
+                except Exception:  # noqa: BLE001
+                    continue
+                grid = _patch_grid(_luma_plane(px), p)
+                if grid is None:
+                    continue
+                gr, gc = grid.shape[:2]
+                idv = tuple(d[c] for c in ids)
+                for r in range(gr):
+                    for c in range(gc):
+                        blob = (
+                            grid[r, c].astype(">u2").tobytes()
+                        )
+                        recs.append(
+                            idv + (r, c, hashlib.md5(blob).hexdigest())
+                        )
+            yield pd.DataFrame(recs, columns=names)
+
+    return images.select(*ids, bytes_col, fmt_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def recurring_tiles(
+    tiles: DataFrame,
+    *,
+    id_cols: list[str] | None = None,
+    min_images: int = 3,
+    position_sensitive: bool = False,
+) -> DataFrame:
+    """Tiles whose exact content recurs across >= ``min_images`` distinct
+    images — watermarks, letterbox bars, UI chrome, template borders:
+    the boilerplate that image curation strips the way C4 strips
+    recurring lines from text corpora.
+
+    Input is a ``tile_fingerprints`` frame. Counts are DISTINCT images
+    per fingerprint (a flat region repeating inside ONE image is
+    composition, not boilerplate). ``position_sensitive=True`` keys on
+    (fingerprint, patch_row, patch_col) — anchored chrome like a
+    bottom-right watermark — while the default catches the content
+    anywhere in the grid.
+
+    One map-side-combinable groupBy; output is fingerprint-vocabulary
+    sized. Downstream: broadcast-semi join back onto the tile stream to
+    mask or excise the recurring regions.
+    """
+    if min_images < 2:
+        raise ValueError("min_images must be >= 2")
+    ids = list(id_cols) if id_cols else ["image_id"]
+    keys = ["tile_fp"] + (
+        ["patch_row", "patch_col"] if position_sensitive else []
+    )
+    img = F.concat_ws("\x00", *[F.col(c).cast("string") for c in ids])
+    return (
+        tiles.groupBy(*keys)
+        .agg(
+            F.countDistinct(img).alias("n_images"),
+            F.count("*").alias("n_tiles"),
+        )
+        .where(F.col("n_images") >= min_images)
     )

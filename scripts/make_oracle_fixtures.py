@@ -441,6 +441,63 @@ def make_patch_features_fixture() -> str:
     return out
 
 
+def make_recurring_tiles_fixture() -> str:
+    """Expected recurring-tile rows for the recurring_tiles query:
+    hashlib md5 over each 8x8 exact-integer-luma tile (big-endian uint16
+    serialization), counted per DISTINCT image in plain pandas — fully
+    independent of the Spark operators. Latest image version only
+    (matching the query), min_images=3."""
+    import hashlib
+
+    from modlyn_spark.functions.image import decode_bytes
+
+    src = pd.read_parquet(
+        os.path.join(FIXTURE_DIR, "images_curation_input.parquet")
+    )
+    src = src.sort_values("version").groupby("image_id", as_index=False).last()
+    rows = []
+    for _, r in src.iterrows():
+        if r["bytes"] is None or r["fmt"] is None:
+            continue
+        try:
+            px = decode_bytes(bytes(r["bytes"]), r["fmt"])
+        except Exception:  # noqa: BLE001
+            continue
+        a = np.asarray(px, dtype=np.int64)
+        lum = (
+            (299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]) // 1000
+            if a.ndim == 3
+            else a
+        )
+        h, w = lum.shape
+        for pr in range(h // 8):
+            for pc in range(w // 8):
+                tile = lum[pr * 8:(pr + 1) * 8, pc * 8:(pc + 1) * 8]
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "tile_fp": hashlib.md5(
+                            tile.astype(">u2").tobytes()
+                        ).hexdigest(),
+                    }
+                )
+    t = pd.DataFrame(rows)
+    agg = (
+        t.groupby("tile_fp")
+        .agg(
+            n_images=("image_id", "nunique"),
+            n_tiles=("image_id", "size"),
+        )
+        .reset_index()
+    )
+    agg = agg[agg["n_images"] >= 3].reset_index(drop=True)
+    agg["n_images"] = agg["n_images"].astype("int64")
+    agg["n_tiles"] = agg["n_tiles"].astype("int64")
+    out = os.path.join(FIXTURE_DIR, "recurring_tiles_expected.parquet")
+    agg.to_parquet(out, index=False)
+    return out
+
+
 def make_pagerank_fixture() -> str:
     """Expected (node, rank) for the retired pagerank_hosts query at the
     gate SF: dense float64 power iteration (independent of every Spark
@@ -509,6 +566,8 @@ def main() -> int:
     print(f"wrote {p12} ({len(pd.read_parquet(p12))} rows)")
     p13 = make_patch_features_fixture()
     print(f"wrote {p13} ({len(pd.read_parquet(p13))} rows)")
+    p14 = make_recurring_tiles_fixture()
+    print(f"wrote {p14} ({len(pd.read_parquet(p14))} rows)")
     return 0
 
 
