@@ -2095,6 +2095,58 @@ def q_top_paths(spark, sf_dir):
     ).select("path", "path_len", "n_entities")
 
 
+def q_trend_features(spark, sf_dir):
+    """Per-entity OLS trend features (operators/trends.py): slope /
+    intercept / R² of value vs time per user, via one window (per-entity
+    min-ts rebase BEFORE squaring — epoch-scale Σt² loses 10 significant
+    digits otherwise) + one classed-sums aggregate on the same key.
+    Oracle: the identical window + explicit-sum arithmetic in DuckDB."""
+    from modlyn_spark.operators.trends import trend_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = trend_features(ev, "user_id", "ts", "value")
+    return out.select(
+        "user_id",
+        "n",
+        F.round("t_span_s", 6).alias("t_span_s"),
+        F.round("v_mean", 6).alias("v_mean"),
+        F.round("v_std", 6).alias("v_std"),
+        F.round("slope_per_s", 9).alias("slope_per_s"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+def q_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.py triangle_counts)
+    over the deterministic slot-hash link graph (the pagerank graph):
+    degree-ordered wedge join — O(m^1.5) candidates independent of the
+    max degree, each triangle found exactly once at its lowest-rank
+    corner. Oracle: the brute-force canonical three-way self-join in
+    DuckDB; equality proves the orientation logic end to end."""
+    from modlyn_spark.operators.graph import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    slots = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j"),
+    )
+    edges = slots.select(
+        "src",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("src"), F.col("j"), F.lit("pr"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % n
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return triangle_counts(edges)
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3135,6 +3187,8 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "recurring_tiles": q_recurring_tiles,
         "path_transitions": q_path_transitions,
         "top_paths": q_top_paths,
+        "trend_features": q_trend_features,
+        "triangle_counts": q_triangle_counts,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4213,6 +4267,60 @@ def _retired_oracle_sql_base() -> dict[str, str]:
         "recurring_tiles": f"""
             SELECT tile_fp, n_images, n_tiles
             FROM read_parquet('{_FIXTURES}/recurring_tiles_expected.parquet')
+        """,
+        "trend_features": """
+            WITH d AS (
+                SELECT user_id, epoch(ts) AS t, CAST(value AS DOUBLE) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+            r AS (SELECT user_id,
+                         t - min(t) OVER (PARTITION BY user_id) AS x, v
+                  FROM d),
+            a AS (SELECT user_id, count(*) AS n, max(x) AS span,
+                         sum(x) AS sx, sum(x * x) AS sxx_raw,
+                         sum(v) AS sv, sum(v * v) AS svv,
+                         sum(x * v) AS sxv
+                  FROM r GROUP BY 1),
+            m AS (SELECT user_id, n, span, sv,
+                         sxx_raw - sx * sx / n AS sxx,
+                         sxv - sx * sv / n AS sxy,
+                         svv - sv * sv / n AS syy,
+                         sx
+                  FROM a)
+            SELECT user_id, n,
+                   round(span, 6) AS t_span_s,
+                   round(sv / n, 6) AS v_mean,
+                   round(sqrt(greatest(syy / n, 0.0)), 6) AS v_std,
+                   round(CASE WHEN sxx > 0 THEN sxy / sxx END, 9)
+                       AS slope_per_s,
+                   round(CASE WHEN sxx > 0
+                              THEN (sv - (sxy / sxx) * sx) / n END, 6)
+                       AS intercept,
+                   round(CASE WHEN sxx > 0 AND syy > 0
+                              THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2
+            FROM m
+        """,
+        "triangle_counts": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            g AS (
+                SELECT doc_id AS src,
+                       CAST('0x' || substr(md5(
+                           CAST(doc_id AS VARCHAR) || '|'
+                           || CAST(j AS VARCHAR) || '|pr'), 1, 15)
+                           AS BIGINT) % nn.n AS dst
+                FROM documents, unnest(range(0, 3)) AS u(j), nn),
+            e AS (SELECT DISTINCT least(src, dst) AS x,
+                                  greatest(src, dst) AS y
+                  FROM g WHERE src <> dst),
+            t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                  FROM e e1
+                  JOIN e e2 ON e2.x = e1.y
+                  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+            corners AS (
+                SELECT a AS node FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT c FROM t)
+            SELECT node, count(*) AS n_triangles
+            FROM corners GROUP BY 1
         """,
         "path_transitions": """
             WITH s AS (

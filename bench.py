@@ -211,6 +211,10 @@ def main() -> None:
           lambda: run(all_qs["frequent_pairs"](spark, sf_dir)))
     bench("path_transitions",
           lambda: run(all_qs["path_transitions"](spark, sf_dir)))
+    bench("trend_features",
+          lambda: run(all_qs["trend_features"](spark, sf_dir)))
+    bench("triangle_counts",
+          lambda: run(all_qs["triangle_counts"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

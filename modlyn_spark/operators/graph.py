@@ -133,3 +133,79 @@ def pagerank(
     finally:
         links.unpersist()
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced
+    by ``edges`` (direction, multiplicity, and self-loops are dropped) —
+    the clustering/community density signal (spam-farm link blocks and
+    template cliques are triangle-dense; organic link graphs are not).
+
+    Physical plan — degree-ordered wedge join (the Cohen / Suri-Vassilvitskii
+    MapReduce formulation, implemented from the algorithm statement):
+
+    1. canonicalize + distinct: (lo, hi) pairs, one shuffle;
+    2. degrees: one map-side-combinable count;
+    3. ORIENT each edge from its lower-(degree, id) endpoint to the
+       higher one. Every node's out-degree in the oriented graph is
+       bounded by O(sqrt(m)), so the wedge self-join below emits
+       O(m^1.5) candidate wedges worst-case INDEPENDENT of the max
+       degree — a star node (every web graph has one) produces ZERO
+       wedges at its center instead of deg^2;
+    4. wedges (u->v, u->w) join the oriented edge (v->w): every triangle
+       is found exactly once (its lowest-rank corner is the wedge
+       center);
+    5. explode each found triangle to its 3 corners and count per node
+       (map-side combinable).
+
+    Output: (node, n_triangles) for every node WITH at least one
+    triangle; left-join back for zero-filled coverage. Node dtype
+    follows the input column.
+    """
+    a, b = F.col(src), F.col(dst)
+    # three consumers (degrees, orientation, closing-edge probe): cache
+    und = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    ranked = und.join(dx, "x").join(dy, "y")
+    lower_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+        F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "u").where(F.col("w1") < F.col("w2"))
+    # the closing edge between w1 < w2 (by value) sits in the CANONICAL
+    # set as exactly (x=w1, y=w2) — a plain two-key equi-join (an
+    # orientation-insensitive OR condition here would force a
+    # nested-loop join)
+    tri = wedges.join(
+        und.select(F.col("x").alias("w1"), F.col("y").alias("w2")),
+        ["w1", "w2"],
+    ).select("u", "w1", "w2")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("w1").alias("node")))
+        .unionAll(tri.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
