@@ -100,3 +100,22 @@ def test_partition_invariance(spark):
         mask = ~np.isnan(av)
         assert (mask == ~np.isnan(bv)).all()
         np.testing.assert_allclose(av[mask], bv[mask], rtol=1e-9, err_msg=c)
+
+
+def test_single_exchange_plan(spark):
+    # the min window and the classed-sums groupBy share the entity key:
+    # the optimized plan must carry ONE hash exchange on it (AQE may
+    # add none beyond that), proving the groupBy reuses the window's
+    # partitioning
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        trend_features(ev, "user_id", "ts", "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, f"expected 1 hash exchange, got {n_exchange}"
+    assert "Join" not in plan

@@ -147,3 +147,17 @@ def test_validation(spark):
         weighted_take(df, "w", 0, ["id"])
     with pytest.raises(ValueError, match="shards"):
         weighted_take(df, "w", 1, ["id"], shards=0)
+
+
+def test_global_plan_is_take_ordered(spark):
+    # the global form must compile to TakeOrderedAndProject (partial
+    # per-partition top-n + driver merge), never a full sort exchange
+    pdf = _base_pdf()
+    plan = (
+        weighted_take(spark.createDataFrame(pdf), "w", 5, ["id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
