@@ -2147,6 +2147,56 @@ def q_triangle_counts(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def _hash_point(key_col, lat0, lat_span, lon0, lon_span):
+    """Deterministic (lat, lon) from the portable md5 unit draw — the
+    synthetic geo corpus (testdata has no coordinates), identical in any
+    engine."""
+    def unit(tag):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col(key_col).cast("string"),
+                                      F.lit(tag))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    return (
+        (unit("lat") * lat_span + lat0).alias("lat"),
+        (unit("lon") * lon_span + lon0).alias("lon"),
+    )
+
+
+def q_radius_join(spark, sf_dir):
+    """Spatial radius join (operators/spatial.py): every (customer,
+    supplier) point pair within 600 m over hash-synthesized coordinates
+    in a ~22x25 km band — grid-cell bucketing (left in its own cell,
+    right exploded to the 3x3 neighborhood, one equi-join) + exact JVM
+    haversine verify; no cartesian product (plan-asserted in pytest).
+    Oracle: the brute-force cross join with the identical haversine
+    arithmetic in DuckDB — equality proves the formula AND that the
+    neighborhood loses no pair."""
+    from modlyn_spark.operators.spatial import radius_join
+
+    lat, lon = _hash_point("c_custkey", 40.0, 0.2, -75.0, 0.3)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cust"), lat, lon
+    )
+    lat, lon = _hash_point("s_suppkey", 40.0, 0.2, -75.0, 0.3)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("supp"), lat, lon
+    )
+    out = radius_join(cust, supp, 600.0)
+    return out.select(
+        "cust_l",
+        "supp_r",
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3189,6 +3239,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "top_paths": q_top_paths,
         "trend_features": q_trend_features,
         "triangle_counts": q_triangle_counts,
+        "radius_join": q_radius_join,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4298,6 +4349,38 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                    round(CASE WHEN sxx > 0 AND syy > 0
                               THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2
             FROM m
+        """,
+        "radius_join": """
+            WITH c AS (
+                SELECT c_custkey AS cust,
+                       (CAST('0x' || substr(md5(
+                            CAST(c_custkey AS VARCHAR) || '|lat'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 0.2 + 40.0 AS lat,
+                       (CAST('0x' || substr(md5(
+                            CAST(c_custkey AS VARCHAR) || '|lon'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 0.3 - 75.0 AS lon
+                FROM customer),
+            s AS (
+                SELECT s_suppkey AS supp,
+                       (CAST('0x' || substr(md5(
+                            CAST(s_suppkey AS VARCHAR) || '|lat'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 0.2 + 40.0 AS lat,
+                       (CAST('0x' || substr(md5(
+                            CAST(s_suppkey AS VARCHAR) || '|lon'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 0.3 - 75.0 AS lon
+                FROM supplier),
+            p AS (
+                SELECT c.cust AS cust_l, s.supp AS supp_r,
+                       2.0 * 6371000.0 * asin(sqrt(least(
+                           sin(radians(s.lat - c.lat) / 2.0)
+                             * sin(radians(s.lat - c.lat) / 2.0)
+                           + cos(radians(c.lat)) * cos(radians(s.lat))
+                             * sin(radians(s.lon - c.lon) / 2.0)
+                             * sin(radians(s.lon - c.lon) / 2.0),
+                           1.0))) AS dist_m
+                FROM c CROSS JOIN s)
+            SELECT cust_l, supp_r, round(dist_m, 3) AS dist_m
+            FROM p WHERE dist_m <= 600.0
         """,
         "triangle_counts": """
             WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -215,6 +215,8 @@ def main() -> None:
           lambda: run(all_qs["trend_features"](spark, sf_dir)))
     bench("triangle_counts",
           lambda: run(all_qs["triangle_counts"](spark, sf_dir)))
+    bench("radius_join",
+          lambda: run(all_qs["radius_join"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
