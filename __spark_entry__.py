@@ -2197,6 +2197,48 @@ def q_radius_join(spark, sf_dir):
     )
 
 
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outliers (operators/robust.py): Hampel
+    identifier over event values per event_type — exact medians via
+    F.percentile (type-7, quantile_cont parity pinned by the
+    bootstrap-CI oracle), MAD-rescaled score, k=3.5. Oracle: identical
+    two-median arithmetic in DuckDB."""
+    from modlyn_spark.operators.robust import mad_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = mad_outliers(
+        ev.select("event_id", "event_type", "value"), "event_type", "value"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )
+
+
+def q_concentration(spark, sf_dir):
+    """Per-group concentration report (operators/concentration.py):
+    Gini / top-1 / top-10 share / effective count of document sizes per
+    source — one rank window + one aggregate on the same key (single
+    exchange). Oracle: the identical rank-sum arithmetic in DuckDB
+    (both Σi·x and the top-k sums are invariant under tie order, so the
+    two engines' row_number choices cannot diverge)."""
+    from modlyn_spark.operators.concentration import concentration_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = concentration_report(docs, "source", "n_chars", top_k=10)
+    return out.select(
+        "source",
+        "n",
+        F.round("total", 6).alias("total"),
+        F.round("gini", 6).alias("gini"),
+        F.round("top1_share", 6).alias("top1_share"),
+        F.round("topk_share", 6).alias("topk_share"),
+        F.round("n_effective", 6).alias("n_effective"),
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3240,6 +3282,8 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "trend_features": q_trend_features,
         "triangle_counts": q_triangle_counts,
         "radius_join": q_radius_join,
+        "mad_outliers": q_mad_outliers,
+        "concentration": q_concentration,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4349,6 +4393,59 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                    round(CASE WHEN sxx > 0 AND syy > 0
                               THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2
             FROM m
+        """,
+        "mad_outliers": """
+            WITH d AS (SELECT event_id, event_type,
+                              CAST(value AS DOUBLE) AS v
+                       FROM events),
+            med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+                    FROM d WHERE v IS NOT NULL GROUP BY 1),
+            mad AS (SELECT d.event_type,
+                           quantile_cont(abs(v - m), 0.5) AS dd
+                    FROM d JOIN med USING (event_type)
+                    WHERE v IS NOT NULL GROUP BY 1),
+            s AS (SELECT d.event_id, d.event_type, d.v,
+                         CASE WHEN v IS NOT NULL
+                                   AND dd * 1.4826022185056018 > 0
+                              THEN (v - m) / (dd * 1.4826022185056018)
+                         END AS z,
+                         m, dd
+                  FROM d LEFT JOIN med USING (event_type)
+                         LEFT JOIN mad USING (event_type))
+            SELECT event_id, event_type, round(z, 6) AS robust_z,
+                   CASE WHEN v IS NULL THEN FALSE
+                        WHEN dd * 1.4826022185056018 > 0
+                             THEN abs(z) > 3.5
+                        ELSE v <> m END AS is_outlier
+            FROM s
+        """,
+        "concentration": """
+            WITH d AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v
+                       FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT g, v,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY v ASC) AS i,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY v DESC) AS rd
+                  FROM d),
+            a AS (SELECT g, count(*) AS n, sum(v) AS total,
+                         sum(i * v) AS swx, sum(v * v) AS sxx,
+                         max(CASE WHEN rd = 1 THEN v END) AS top1,
+                         sum(CASE WHEN rd <= 10 THEN v END) AS topk
+                  FROM r GROUP BY 1)
+            SELECT g AS source, n,
+                   round(total, 6) AS total,
+                   round(CASE WHEN total > 0
+                              THEN 2.0 * swx / (n * total)
+                                   - (n + 1.0) / n
+                              ELSE 0.0 END, 6) AS gini,
+                   round(CASE WHEN total > 0 THEN top1 / total END, 6)
+                       AS top1_share,
+                   round(CASE WHEN total > 0 THEN topk / total END, 6)
+                       AS topk_share,
+                   round(CASE WHEN sxx > 0 THEN total * total / sxx END, 6)
+                       AS n_effective
+            FROM a
         """,
         "radius_join": """
             WITH c AS (

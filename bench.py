@@ -217,6 +217,10 @@ def main() -> None:
           lambda: run(all_qs["triangle_counts"](spark, sf_dir)))
     bench("radius_join",
           lambda: run(all_qs["radius_join"](spark, sf_dir)))
+    bench("mad_outliers",
+          lambda: run(all_qs["mad_outliers"](spark, sf_dir)))
+    bench("concentration",
+          lambda: run(all_qs["concentration"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

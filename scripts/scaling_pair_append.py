@@ -29,9 +29,14 @@ OUT = f"{REPO}/BENCH/scaling_pairs_r04.json"
 def main() -> int:
     steady = "--steady-state" in sys.argv[1:]
     force = "--force" in sys.argv[1:]
-    load1 = os.getloadavg()[0]
-    if load1 > 0.5 and not force:
-        print(f"box busy (load1={load1:.2f} > 0.5) — refusing; --force to override")
+    load1, load5, _ = os.getloadavg()
+    if (load1 > 0.5 or load5 > 1.0) and not force:
+        # r5-c5 lesson: a quiet 1-min average with a busy 5-min average
+        # means the burst pattern is merely between pulses
+        print(
+            f"box busy (load1={load1:.2f}, load5={load5:.2f}) — refusing; "
+            "--force to override"
+        )
         return 2
 
     img, req = generate_input(12_000_000)
