@@ -2239,6 +2239,30 @@ def q_concentration(spark, sf_dir):
     )
 
 
+def q_quantile_norm(spark, sf_dir):
+    """Quantile normalization (operators/quantile_norm.py): every
+    language's document-length distribution mapped onto the cross-
+    language average distribution (Bolstad 2003 semantics: rank within
+    group, mean per rank across groups, tie averaging; unequal group
+    sizes via normalized-rank linear interpolation). Oracle: the
+    IDENTICAL window + interpolation arithmetic in DuckDB, term for
+    term — both engines walk the same IEEE expressions."""
+    from modlyn_spark.operators.quantile_norm import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("n_chars").isNotNull()
+    )
+    out = quantile_normalize(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "n_chars",
+        tiebreak="doc_id",
+    )
+    return out.select(
+        "doc_id", "lang", F.round("qnorm", 6).alias("qnorm")
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3284,6 +3308,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "radius_join": q_radius_join,
         "mad_outliers": q_mad_outliers,
         "concentration": q_concentration,
+        "quantile_norm": q_quantile_norm,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4393,6 +4418,60 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                    round(CASE WHEN sxx > 0 AND syy > 0
                               THEN (sxy * sxy) / (sxx * syy) END, 6) AS r2
             FROM m
+        """,
+        "quantile_norm": """
+            WITH d AS (SELECT doc_id, lang AS g,
+                              CAST(n_chars AS DOUBLE) AS v
+                       FROM documents WHERE n_chars IS NOT NULL),
+            r AS (SELECT doc_id, g, v,
+                         row_number() OVER (PARTITION BY g
+                                            ORDER BY v, doc_id) AS rk,
+                         count(*) OVER (PARTITION BY g) AS n
+                  FROM d),
+            mx AS (SELECT max(n) AS m FROM r),
+            ks AS (SELECT CAST(unnest(range(0, (SELECT m FROM mx)))
+                               AS BIGINT) AS k),
+            sizes AS (SELECT DISTINCT g, n FROM r),
+            pts AS (SELECT g, n, k,
+                           CASE WHEN (SELECT m FROM mx) > 1
+                                THEN k / ((SELECT m FROM mx) - 1.0)
+                                ELSE 0.5 END AS pk
+                    FROM sizes, ks),
+            br AS (SELECT g, k, pk * (n - 1.0) AS fr FROM pts),
+            br2 AS (SELECT g, k,
+                           CAST(floor(fr) + 1 AS BIGINT) AS rlo,
+                           CAST(ceil(fr) + 1 AS BIGINT) AS rhi,
+                           fr - floor(fr) AS w
+                    FROM br),
+            samp AS (SELECT br2.k,
+                            lo.v + br2.w * (hi.v - lo.v) AS q
+                     FROM br2
+                     JOIN r lo ON lo.g = br2.g AND lo.rk = br2.rlo
+                     JOIN r hi ON hi.g = br2.g AND hi.rk = br2.rhi),
+            ref AS (SELECT k, avg(q) AS refv FROM samp GROUP BY k),
+            pos AS (SELECT doc_id, g, v,
+                           CASE WHEN n > 1 THEN (rk - 1.0) / (n - 1.0)
+                                ELSE 0.5 END AS p
+                    FROM r),
+            gp AS (SELECT doc_id, g, v,
+                          CASE WHEN (SELECT m FROM mx) > 1
+                               THEN p * ((SELECT m FROM mx) - 1)
+                               ELSE 0.0 END AS gg
+                   FROM pos),
+            m2 AS (SELECT doc_id, g, v,
+                          CAST(floor(gg) AS BIGINT) AS lo,
+                          CAST(ceil(gg) AS BIGINT) AS hi,
+                          gg - floor(gg) AS fr
+                   FROM gp),
+            raw AS (SELECT m2.doc_id, m2.g, m2.v,
+                           rl.refv + m2.fr * (rh.refv - rl.refv) AS qr
+                    FROM m2
+                    JOIN ref rl ON rl.k = m2.lo
+                    JOIN ref rh ON rh.k = m2.hi),
+            fin AS (SELECT doc_id, g, v,
+                           avg(qr) OVER (PARTITION BY g, v) AS qn
+                    FROM raw)
+            SELECT doc_id, g AS lang, round(qn, 6) AS qnorm FROM fin
         """,
         "mad_outliers": """
             WITH d AS (SELECT event_id, event_type,

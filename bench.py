@@ -221,6 +221,8 @@ def main() -> None:
           lambda: run(all_qs["mad_outliers"](spark, sf_dir)))
     bench("concentration",
           lambda: run(all_qs["concentration"](spark, sf_dir)))
+    bench("quantile_norm",
+          lambda: run(all_qs["quantile_norm"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
