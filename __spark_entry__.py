@@ -2866,6 +2866,13 @@ _R5_DEMOTED = [
     "asof_join_tolerance",
     "ann_ivf_topk",
     "predictions",
+    # second r5 wave: W-family keeps session_stats + rolling_range_window
+    # live; lag/lead and backfill stay fully mirror-gated. tpch_q5 and
+    # wilcoxon are the third witnesses of J3 / N2 respectively.
+    "lag_lead_delta",
+    "backfill",
+    "tpch_q5_region_revenue",
+    "wilcoxon_scores",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -2874,6 +2881,12 @@ _R5_PROMOTED = [
     "pagerank_hosts",
     "bootstrap_ci",
     "dataset_report",
+    # second r5 wave: the feature-store / analytics operators a platform
+    # user calls weekly, all mirror-green at the gate SF before promotion
+    "history_features",
+    "golden_records",
+    "attribution",
+    "weighted_take",
 ]
 
 
