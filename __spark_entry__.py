@@ -2263,6 +2263,25 @@ def q_quantile_norm(spark, sf_dir):
     )
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash spatial bucketing (functions/geo.py): precision-7 geohash
+    of the hash-synthesized customer coordinates — pure JVM shift/mask/
+    substr codegen, no UDF, NULL/out-of-range -> NULL. Oracle: the
+    generated SQL twin (geohash_sql) over the same synthesis; pytest
+    additionally pins the published geohash.org test vectors and an
+    independent bisection reference."""
+    from modlyn_spark.functions.geo import geohash_col
+
+    lat, lon = _hash_point("c_custkey", -60.0, 120.0, -170.0, 340.0)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cust"), lat, lon
+    )
+    return cust.select(
+        "cust",
+        geohash_col(F.col("lat"), F.col("lon"), 7).alias("gh"),
+    )
+
+
 def q_chi2_scores(spark, sf_dir):
     """Chi-square feature-vs-label scoring (scoring/categorical.py):
     one melted shuffle for all features, margins as window sums over the
@@ -3322,6 +3341,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "mad_outliers": q_mad_outliers,
         "concentration": q_concentration,
         "quantile_norm": q_quantile_norm,
+        "geohash": q_geohash,
         "golden_records": q_golden_records,
         "attribution": q_attribution,
         "agg_maintainer": q_agg_maintainer,
@@ -4386,12 +4406,25 @@ def _retired_oracle_sql_base() -> dict[str, str]:
     """Oracles for retired_queries() — kept green by the pytest contract
     and ``scripts/driver_mirror.py --retired`` even though the entries no
     longer spend one of the driver's 50 slots."""
+    from modlyn_spark.functions.geo import geohash_sql
     from modlyn_spark.operators.profile import (
         duckdb_expectations_sql,
         duckdb_profile_sql,
     )
 
     return {
+        "geohash": f"""
+            WITH c AS (
+                SELECT c_custkey AS cust,
+                       (CAST('0x' || substr(md5(
+                            CAST(c_custkey AS VARCHAR) || '|lat'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 120.0 - 60.0 AS lat,
+                       (CAST('0x' || substr(md5(
+                            CAST(c_custkey AS VARCHAR) || '|lon'), 1, 8)
+                            AS BIGINT) / 4294967296.0) * 340.0 - 170.0 AS lon
+                FROM customer)
+            SELECT cust, {geohash_sql('lat', 'lon', 7)} AS gh FROM c
+        """,
         "image_patches": f"""
             SELECT image_id, version, patch_row, patch_col,
                    p_mean, p_std, p_min, p_max
