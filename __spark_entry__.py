@@ -3326,6 +3326,133 @@ def q_agg_maintainer(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    """PMI/NPMI collocation table (operators/lm.py:collocations): the
+    phrase detector over the corpus's adjacent word pairs, with every
+    probability in the bigram sample space (positional marginals) so
+    npmi is strictly in (-1, 1]. One tokenize + groupBy feeds the pair
+    table; marginals/total derive from it. Oracle: the full formula
+    replicated over DuckDB's list_zip bigrams."""
+    from modlyn_spark.operators.lm import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = collocations(docs, "text", min_count=5)
+    return out.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("npmi", 6).alias("npmi"),
+    )
+
+
+def q_decayed_features(spark, sf_dir):
+    """Exponentially-decayed point-in-time counters
+    (operators/decay.py): every 10th event is a probe that sees its
+    user's PAST events weighted 0.5^(age/1day) over the 20 complete
+    buckets before its own — the engine factorizes that into
+    per-(user, bucket) partials + two equi-joins (O(events + probes));
+    the oracle is the UN-factorized probe x in-window-event join, so
+    equality proves the factorization and the own-bucket exclusion on
+    every probe."""
+    from modlyn_spark.operators.decay import decayed_features
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.where("event_id % 10 = 7").select(
+        "event_id", "user_id", F.col("ts").alias("fts")
+    )
+    out = decayed_features(
+        probes,
+        ev.select("user_id", "ts", "value"),
+        "user_id",
+        probe_ts="fts",
+        event_ts="ts",
+        value_cols=["value"],
+        half_life=86400.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("decay_n", 6).alias("decay_n"),
+        F.round("decay_value", 6).alias("decay_value"),
+    )
+
+
+def q_time_folds(spark, sf_dir):
+    """Purged temporal CV folds with a 12h embargo
+    (operators/folds.py): fold boundaries are exact timestamp quartiles
+    from ONE aggregate (F.percentile == quantile_cont parity), roles are
+    stateless arithmetic on the k-exploded rows. Oracle: the same
+    quartiles + CASE role logic in DuckDB — equality machine-checks the
+    test/purged/train boundary on all 40k (row, fold) pairs."""
+    from modlyn_spark.operators.folds import time_folds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts"
+    )
+    out = time_folds(ev, "ts", n_folds=4, embargo=43200.0)
+    return out.select(
+        "event_id", F.col("fold").cast("long").alias("fold"), "role"
+    )
+
+
+def q_future_labels(spark, sf_dir):
+    """Future-window training labels (operators/targets.py): for every
+    10th event as a probe, the count / value-sum / distinct-type count
+    of the user's events in (t+1h, t+1h+3d] — the label side of the
+    leakage-free training set (gap = deployment delay; the probe's own
+    instant is excluded). Built on the bucketized interval join; the
+    oracle is the direct range join + GROUP BY, so equality proves the
+    window algebra AND both boundary closures per probe."""
+    from modlyn_spark.operators.targets import future_labels
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probes = ev.where("event_id % 10 = 1").select(
+        "event_id", "user_id", F.col("ts").alias("fts")
+    )
+    out = future_labels(
+        probes,
+        ev.select("user_id", "ts", "value", "event_type"),
+        "user_id",
+        probe_ts="fts",
+        event_ts="ts",
+        horizon=259200.0,
+        gap=3600.0,
+        aggs={
+            "label_n": ("count", None),
+            "label_sum": ("sum", "value"),
+            "label_types": ("nunique", "event_type"),
+        },
+    )
+    return out.select(
+        "event_id",
+        "label_n",
+        F.round("label_sum", 6).alias("label_sum"),
+        "label_types",
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift (scoring/drift.py):
+    did the value distribution move between click and purchase events —
+    computed EXACTLY from the distinct-value histogram (one groupBy +
+    one per-feature cumulative window), two features through the melt.
+    Oracle: the same histogram-CDF construction in DuckDB."""
+    from modlyn_spark.scoring.drift import ks_2sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_type", "value", F.abs(F.col("value")).alias("abs_value")
+    )
+    out = ks_2sample(
+        src, ["value", "abs_value"], "event_type", "click", "purchase"
+    )
+    return out.select(
+        "feature", "n_a", "n_b", F.round("d_stat", 6).alias("d_stat")
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -3438,6 +3565,16 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "dedup_exact": q_dedup_exact,
+        # r5 third-session net-new operators (mirror-gated, no free slot):
+        # the leakage-safe training-set family rounds out — decayed
+        # counters + future labels join as-of/history on the feature side,
+        # purged CV folds + KS drift on the evaluation side, collocations
+        # on the tokenizer-prep side
+        "collocations": q_collocations,
+        "decayed_features": q_decayed_features,
+        "time_folds": q_time_folds,
+        "future_labels": q_future_labels,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -5854,5 +5991,131 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                           + greatest(1.0 - punct_ratio * 4.0, 0.0)
                           + least(stopword_ratio * 4.0, 1.0)) / 3.0, 4) AS quality
             FROM r
+        """,
+        "collocations": """
+            WITH w AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+')
+                              AS toks
+                       FROM documents),
+            bg AS (SELECT p[1] AS w1, p[2] AS w2
+                   FROM (SELECT unnest(list_zip(toks[1:len(toks) - 1],
+                                                toks[2:len(toks)])) AS p
+                         FROM w WHERE len(toks) >= 2)),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                   FROM bg GROUP BY 1, 2),
+            l AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_w1
+                  FROM bc GROUP BY 1),
+            r AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_w2
+                  FROM bc GROUP BY 1),
+            t AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM bc)
+            SELECT bc.w1, bc.w2, bc.n_pair, l.n_w1, r.n_w2,
+                   round(ln((bc.n_pair / n)
+                            / ((l.n_w1 / n) * (r.n_w2 / n))), 6) AS pmi,
+                   round(CASE WHEN -ln(bc.n_pair / n) > 0
+                              THEN ln((bc.n_pair / n)
+                                      / ((l.n_w1 / n) * (r.n_w2 / n)))
+                                   / -ln(bc.n_pair / n) END, 6) AS npmi
+            FROM bc JOIN l USING (w1) JOIN r USING (w2), t
+            WHERE bc.n_pair >= 5
+        """,
+        "decayed_features": """
+            WITH p AS (SELECT event_id, user_id, epoch(ts) AS t
+                       FROM events WHERE event_id % 10 = 7),
+            e AS (SELECT user_id, epoch(ts) AS te, value FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            j AS (SELECT p.event_id,
+                         power(0.5, (p.t - e.te) / 86400.0) AS w, e.value
+                  FROM p JOIN e ON p.user_id = e.user_id
+                   AND floor(e.te / 86400.0)
+                       BETWEEN floor(p.t / 86400.0) - 20
+                           AND floor(p.t / 86400.0) - 1),
+            a AS (SELECT event_id, sum(w) AS dn,
+                         sum(CASE WHEN value IS NOT NULL
+                                  THEN value * w END) AS dv
+                  FROM j GROUP BY 1)
+            SELECT p.event_id,
+                   round(coalesce(a.dn, 0), 6) AS decay_n,
+                   round(coalesce(a.dv, 0), 6) AS decay_value
+            FROM p LEFT JOIN a USING (event_id)
+        """,
+        "time_folds": """
+            WITH t AS (SELECT event_id, epoch(ts) AS tt FROM events
+                       WHERE ts IS NOT NULL),
+            q AS (SELECT quantile_cont(tt, 0.25) AS q0,
+                         quantile_cont(tt, 0.50) AS q1,
+                         quantile_cont(tt, 0.75) AS q2 FROM t),
+            f AS (SELECT event_id, tt, fold
+                  FROM t, unnest([0, 1, 2, 3]) AS u(fold)),
+            r AS (SELECT event_id, fold, tt,
+                         CASE fold WHEN 0 THEN tt < q0
+                                   WHEN 1 THEN tt >= q0 AND tt < q1
+                                   WHEN 2 THEN tt >= q1 AND tt < q2
+                                   ELSE tt >= q2 END AS in_test,
+                         CASE fold
+                              WHEN 0 THEN tt < q0 + 43200.0
+                              WHEN 1 THEN tt >= q0 - 43200.0
+                                          AND tt < q1 + 43200.0
+                              WHEN 2 THEN tt >= q1 - 43200.0
+                                          AND tt < q2 + 43200.0
+                              ELSE tt >= q2 - 43200.0 END AS in_purge
+                  FROM f, q)
+            SELECT event_id, CAST(fold AS BIGINT) AS fold,
+                   CASE WHEN in_test THEN 'test'
+                        WHEN in_purge THEN 'purged'
+                        ELSE 'train' END AS role
+            FROM r
+        """,
+        "future_labels": """
+            WITH p AS (SELECT event_id, user_id, epoch(ts) AS t
+                       FROM events WHERE event_id % 10 = 1),
+            e AS (SELECT user_id, epoch(ts) AS te, value, event_type
+                  FROM events),
+            j AS (SELECT p.event_id, e.value, e.event_type
+                  FROM p JOIN e ON p.user_id = e.user_id
+                   AND e.te > p.t + 3600.0
+                   AND e.te <= p.t + 262800.0),
+            a AS (SELECT event_id, CAST(count(*) AS BIGINT) AS label_n,
+                         sum(value) AS label_sum,
+                         CAST(count(DISTINCT event_type) AS BIGINT)
+                             AS label_types
+                  FROM j GROUP BY 1)
+            SELECT p.event_id,
+                   coalesce(a.label_n, 0) AS label_n,
+                   round(a.label_sum, 6) AS label_sum,
+                   coalesce(a.label_types, 0) AS label_types
+            FROM p LEFT JOIN a USING (event_id)
+        """,
+        "ks_drift": """
+            WITH s AS (
+              SELECT 'value' AS feature, value AS v,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+                AND value IS NOT NULL
+              UNION ALL
+              SELECT 'abs_value' AS feature, abs(value) AS v,
+                     CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+              FROM events
+              WHERE event_type IN ('click', 'purchase')
+                AND abs(value) IS NOT NULL),
+            h AS (SELECT feature, v,
+                         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+                         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+                  FROM s GROUP BY 1, 2),
+            c AS (SELECT feature,
+                         sum(ca) OVER (PARTITION BY feature ORDER BY v
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cuma,
+                         sum(cb) OVER (PARTITION BY feature ORDER BY v
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cumb,
+                         sum(ca) OVER (PARTITION BY feature) AS na,
+                         sum(cb) OVER (PARTITION BY feature) AS nb
+                  FROM h)
+            SELECT feature, CAST(max(na) AS BIGINT) AS n_a,
+                   CAST(max(nb) AS BIGINT) AS n_b,
+                   round(max(CASE WHEN na > 0 AND nb > 0
+                             THEN abs(cuma / na - cumb / nb) END), 6)
+                       AS d_stat
+            FROM c GROUP BY 1 ORDER BY 1
         """,
     }

@@ -217,3 +217,61 @@ def bigram_doc_logprob(
             "avg_logprob",
         )
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 5,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Pointwise-mutual-information collocation table over adjacent
+    word pairs — the phrase detector (word2vec/gensim "Phrases") that
+    turns "new york" into a unit before tokenizer training:
+    ``(w1, w2, n_pair, n_w1, n_w2, pmi, npmi)``.
+
+    All probabilities live in the SAME sample space — the corpus's
+    bigram occurrences (the NLTK contingency-table convention, Bouma
+    2009): ``n_w1``/``n_w2`` are the first-/second-POSITION marginals
+    (sum of pair counts with that word on that side), so with
+    N = total bigrams, ``pmi = ln((n_pair/N) / ((n_w1/N)*(n_w2/N)))``
+    and ``npmi = pmi / -ln(n_pair/N)`` is STRICTLY in (-1, 1]
+    (``n_pair <= n_w1, n_w2`` with one shared denominator; NULL when
+    the corpus has a single distinct pair: -ln(1) = 0). Mixing token-
+    count marginals with a pair-count joint — the textbook shortcut —
+    breaks that bound (doc "a b c d" gives npmi 1.52).
+
+    Scale shape: everything derives from the fitted bigram table (one
+    tokenize + map-side-combinable groupBy) — pass a persisted
+    ``counts`` (``bigram_counts`` output, the model artifact) to avoid
+    re-fitting it per consumer (marginals, total, pairs). ``min_count``
+    prunes the pair long-tail BEFORE the two marginal joins (the
+    marginal sides are vocabulary-sized — AQE broadcasts them); the
+    corpus total is a one-row broadcast scalar. No UDFs, exact SQL
+    oracle."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    big = counts if counts is not None else bigram_counts(df, text_col)
+    left = big.groupBy("w1").agg(F.sum("count").alias("n_w1"))
+    right = big.groupBy("w2").agg(F.sum("count").alias("n_w2"))
+    total = big.agg(F.sum("count").alias("__n_pair"))
+    pairs = (
+        big.where(F.col("count") >= min_count)
+        .withColumnRenamed("count", "n_pair")
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    n = F.col("__n_pair")
+    p_pair = F.col("n_pair") / n
+    pmi = F.log(p_pair / ((F.col("n_w1") / n) * (F.col("n_w2") / n)))
+    return pairs.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        pmi.alias("pmi"),
+        F.when(-F.log(p_pair) > 0, pmi / -F.log(p_pair)).alias("npmi"),
+    )
