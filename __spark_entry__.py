@@ -2892,6 +2892,12 @@ _R5_DEMOTED = [
     "backfill",
     "tpch_q5_region_revenue",
     "wilcoxon_scores",
+    # third r5 wave: pq_topk stays as the ANN witness (ann_cosine_topk
+    # is its brute-force sibling); minhash_contamination stays as the
+    # cross-corpus witness (span_contamination is the span-level
+    # sibling). Both demotions remain fully oracle-gated in the mirror.
+    "ann_cosine_topk",
+    "span_contamination",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -2906,6 +2912,9 @@ _R5_PROMOTED = [
     "golden_records",
     "attribution",
     "weighted_take",
+    # third r5 wave: image-batch geometry + per-entity drift monitoring
+    "aspect_buckets",
+    "cusum_changepoints",
 ]
 
 
@@ -3453,6 +3462,136 @@ def q_ks_drift(spark, sf_dir):
     )
 
 
+def q_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing (operators/aspect.py): hash-free synthetic
+    image dims from p_partkey -> SDXL-style ladder assignment (argmin by
+    exact-IEEE cross-ratio via array_min struct ordering — ONE codegen
+    expression, zero joins/shuffles) + cover-resize/center-crop
+    geometry. Oracle: the same ladder as an inline VALUES relation with
+    a row_number argmin — equality proves both the distance arithmetic
+    and the (dist, -area, bw, bh) tie policy."""
+    from modlyn_spark.operators.aspect import assign_aspect_buckets
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("img"),
+        (160 + (F.col("p_partkey") * 7) % 3841).alias("w"),
+        (120 + (F.col("p_partkey") * 13) % 2161).alias("h"),
+    )
+    out = assign_aspect_buckets(part)
+    return out.select(
+        "img", "w", "h",
+        "bucket_w", "bucket_h",
+        F.round("bucket_scale", 8).alias("scale"),
+        F.col("bucket_rw").alias("rw"),
+        F.col("bucket_rh").alias("rh"),
+        F.col("bucket_crop_x").alias("crop_x"),
+        F.col("bucket_crop_y").alias("crop_y"),
+    )
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """Per-user CUSUM drift scores (operators/changepoints.py): the
+    sequential max(0,·) recurrence rewritten as prefix-sum minus
+    running-extremum — pure ordered-window algebra, ONE shuffle.
+    Oracle: the identical closed form in DuckDB with an explicit ROWS
+    frame; prefix sums accumulate in the same total (ts, event_id)
+    order so even the float stream is engine-identical."""
+    from modlyn_spark.operators.changepoints import cusum_scores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = cusum_scores(
+        ev, "user_id", ["ts", "event_id"], "value",
+        target=50.0, slack=10.0, threshold=500.0,
+    )
+    return out.select(
+        "event_id",
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "is_alarm",
+    )
+
+
+def q_oversample_plan(spark, sf_dir):
+    """LVIS repeat-factor oversampling plan (operators/balance.py):
+    per-language repeat factor max(1, sqrt(t/f_lang)), hash-rounded to
+    an exact per-doc copy count, materialized via explode(sequence) —
+    a map-side expansion, no data-sized shuffle. Oracle: the same
+    formulas + the portable md5 draw + generate_series in DuckDB."""
+    from modlyn_spark.operators.balance import oversample_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = oversample_plan(docs, ["doc_id"], "lang", threshold=0.3)
+    return out.select(
+        "doc_id", "lang",
+        F.round("repeat_factor", 8).alias("repeat_factor"),
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+    )
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Inter-annotator agreement (operators/agreement.py): Fleiss'
+    kappa treating each order's lineitems as raters of the order's
+    return outcome — groupBy(item,label) -> same-key re-aggregate, ONE
+    data-sized shuffle, ONE output row. Oracle: the published formulas
+    as plain GROUP BY SQL (round(6) absorbs partial-agg float order)."""
+    from modlyn_spark.operators.agreement import fleiss_kappa
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("item"),
+        F.col("l_returnflag").alias("label"),
+    )
+    return fleiss_kappa(li, "item", "label", ndigits=6)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Per-vector int8 scalar quantization (functions/quantize.py):
+    affine codes + reconstruction MSE as pure JVM array HOFs — zero
+    shuffle, zero Python, explicit floor(u+0.5) rounding so every step
+    is an exactly-rounded IEEE op both engines share. Oracle: the same
+    codec via list_transform/list_aggregate in DuckDB."""
+    from modlyn_spark.functions.quantize import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = quantize_embeddings(emb, "embedding")
+    return out.select(
+        "vec_id",
+        F.col("q_codes").alias("codes"),
+        F.col("q_min").alias("minv"),
+        F.col("q_scale").alias("scale"),
+        F.col("q_mse").alias("mse"),
+    )
+
+
+def q_prototype_margins(spark, sf_dir):
+    """Embedding-space label-error detection (operators/prototypes.py):
+    per-class mean prototypes (ONE melt shuffle, components rounded at
+    1e-9 to re-pin float determinism) collected into literal unit
+    vectors, then cosine-to-own minus best-other margin as a pure
+    column expression — the scoring pass has zero joins/shuffles/Python
+    (plan-asserted in pytest). Oracle: the identical centroid + cosine
+    arithmetic via DuckDB list lambdas; margins rounded at 8 (the dot
+    folds are the one engine-internal reduction)."""
+    from modlyn_spark.operators.prototypes import prototype_margins
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    out = prototype_margins(emb, "label", "embedding")
+    return out.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round("proto_margin", 8).alias("proto_margin"),
+        "nearest_other",
+        "is_mislabel_candidate",
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -3575,6 +3714,14 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "time_folds": q_time_folds,
         "future_labels": q_future_labels,
         "ks_drift": q_ks_drift,
+        # r5 third wave: image-batch geometry, monitoring, balancing,
+        # label quality, embedding compression
+        "aspect_buckets": q_aspect_buckets,
+        "cusum_changepoints": q_cusum_changepoints,
+        "oversample_plan": q_oversample_plan,
+        "fleiss_kappa": q_fleiss_kappa,
+        "quantize_embeddings": q_quantize_embeddings,
+        "prototype_margins": q_prototype_margins,
     }
 
 
@@ -4537,6 +4684,47 @@ def duckdb_plan_sql_for_driver() -> str:
            f"FROM read_parquet('{_FIXTURES}/images_curation_input.parquet') "
            f"WHERE w IS NOT NULL)")
     return duckdb_plan_sql(sub, epoch=4, seed=1)
+
+
+def _aspect_oracle_sql() -> str:
+    """DuckDB twin of q_aspect_buckets: the SAME ladder (generated by
+    the same pure function) inlined as a VALUES relation, argmin via a
+    row_number ordered by the identical (dist, -area, bw, bh) key."""
+    from modlyn_spark.operators.aspect import bucket_ladder
+
+    vals = ", ".join(f"({bw}, {bh})" for bw, bh in bucket_ladder())
+    return f"""
+        WITH dims AS (
+          SELECT p_partkey AS img,
+                 160 + (p_partkey * 7) % 3841 AS w,
+                 120 + (p_partkey * 13) % 2161 AS h
+          FROM part),
+        ladder(bw, bh) AS (VALUES {vals}),
+        cand AS (
+          SELECT img, w, h, bw, bh,
+                 row_number() OVER (PARTITION BY img ORDER BY
+                   CAST(greatest(w * bh, bw * h) AS DOUBLE)
+                     / CAST(least(w * bh, bw * h) AS DOUBLE),
+                   -(bw * bh), bw, bh) AS rn
+          FROM dims CROSS JOIN ladder),
+        geo AS (
+          SELECT img, w, h, bw, bh,
+                 greatest(CAST(bw AS DOUBLE) / w,
+                          CAST(bh AS DOUBLE) / h) AS scale
+          FROM cand WHERE rn = 1),
+        g2 AS (
+          SELECT *,
+                 greatest(CAST(floor(w * scale + 0.5) AS BIGINT),
+                          bw) AS rw,
+                 greatest(CAST(floor(h * scale + 0.5) AS BIGINT),
+                          bh) AS rh
+          FROM geo)
+        SELECT img, w, h, bw AS bucket_w, bh AS bucket_h,
+               round(scale, 8) AS scale, rw, rh,
+               CAST(floor((rw - bw) / 2.0) AS BIGINT) AS crop_x,
+               CAST(floor((rh - bh) / 2.0) AS BIGINT) AS crop_y
+        FROM g2
+    """
 
 
 def _retired_oracle_sql_base() -> dict[str, str]:
@@ -6117,5 +6305,164 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                              THEN abs(cuma / na - cumb / nb) END), 6)
                        AS d_stat
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "aspect_buckets": _aspect_oracle_sql(),
+        "cusum_changepoints": """
+            WITH s AS (
+              SELECT event_id, user_id, ts, value,
+                     sum(coalesce(value - 50.0, 0.0) - 10.0) OVER w AS s_up,
+                     sum(coalesce(value - 50.0, 0.0) + 10.0) OVER w AS s_dn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            c AS (
+              SELECT event_id, value,
+                     s_up - least(min(s_up) OVER w2, 0.0) AS cusum_pos,
+                     greatest(max(s_dn) OVER w2, 0.0) - s_dn AS cusum_neg
+              FROM s
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id, value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+            SELECT event_id,
+                   round(cusum_pos, 6) AS cusum_pos,
+                   round(cusum_neg, 6) AS cusum_neg,
+                   (value IS NOT NULL
+                    AND (cusum_pos > 500.0 OR cusum_neg > 500.0)) AS is_alarm
+            FROM c
+        """,
+        "oversample_plan": """
+            WITH f AS (
+              SELECT lang,
+                     count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                 FROM documents) AS fl
+              FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+            r AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(greatest(1.0, sqrt(0.3 / f.fl)), 1.0) AS rf,
+                     CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                          || '|rfs|0|'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents d LEFT JOIN f ON d.lang = f.lang),
+            c AS (
+              SELECT doc_id, lang, rf,
+                     CAST(floor(rf) AS BIGINT)
+                       + CASE WHEN u < rf - floor(rf) THEN 1 ELSE 0 END
+                       AS n_rep
+              FROM r)
+            SELECT doc_id, lang, round(rf, 8) AS repeat_factor,
+                   CAST(unnest(range(0, n_rep)) AS BIGINT) AS copy_idx
+            FROM c
+        """,
+        "fleiss_kappa": """
+            WITH clean AS (
+              SELECT l_orderkey AS item, l_returnflag AS label
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+            eligible AS (
+              SELECT item FROM clean GROUP BY item HAVING count(*) >= 2),
+            cells AS (
+              SELECT c.item, c.label, count(*) AS nij
+              FROM clean c JOIN eligible e USING (item)
+              GROUP BY 1, 2),
+            items AS (
+              SELECT item, sum(nij) AS ni,
+                     sum(nij * (nij - 1)) AS agree
+              FROM cells GROUP BY 1),
+            tot AS (
+              SELECT avg(agree / (ni * (ni - 1.0))) AS p_bar,
+                     count(*) AS n_items,
+                     CAST(sum(ni) AS BIGINT) AS n_ratings
+              FROM items),
+            marg AS (
+              SELECT sum(nj) AS mtot, sum(nj * nj) AS msq,
+                     count(*) AS n_categories
+              FROM (SELECT label, sum(nij) AS nj FROM cells GROUP BY 1))
+            SELECT round(CASE WHEN n_items > 0
+                              AND msq / (mtot * mtot) < 1.0
+                         THEN (p_bar - msq / (mtot * mtot))
+                              / (1.0 - msq / (mtot * mtot)) END, 6) AS kappa,
+                   round(p_bar, 6) AS p_bar,
+                   round(msq / (mtot * mtot), 6) AS p_e,
+                   n_items, n_ratings, n_categories
+            FROM tot, marg
+        """,
+        "quantize_embeddings": """
+            WITH q AS (
+              SELECT vec_id, embedding,
+                     list_min(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE))) AS mn,
+                     list_max(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE))) AS mx
+              FROM embeddings),
+            q2 AS (SELECT *, (mx - mn) / 255.0 AS scale FROM q),
+            q3 AS (
+              SELECT vec_id, embedding, mn, scale,
+                     list_transform(embedding, x ->
+                       CAST(least(greatest(
+                         CASE WHEN scale > 0
+                              THEN CAST(floor((CAST(x AS DOUBLE) - mn)
+                                              / scale + 0.5) AS BIGINT)
+                              ELSE 0 END, 0), 255) AS INTEGER)) AS codes
+              FROM q2)
+            SELECT vec_id, codes, mn AS minv, scale,
+                   round(CASE WHEN len(embedding) > 0 THEN
+                     list_sum(list_transform(
+                       list_transform(embedding, x ->
+                         CAST(x AS DOUBLE) - (mn +
+                           CAST(least(greatest(
+                             CASE WHEN scale > 0
+                                  THEN CAST(floor((CAST(x AS DOUBLE) - mn)
+                                                  / scale + 0.5) AS BIGINT)
+                                  ELSE 0 END, 0), 255) AS DOUBLE) * scale)),
+                       d -> d * d)) / len(embedding) END, 10) AS mse
+            FROM q3
+        """,
+        "prototype_margins": """
+            WITH clean AS (
+              SELECT vec_id, CAST(label AS VARCHAR) AS lab, embedding
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+            mel AS (
+              SELECT lab,
+                     unnest(list_transform(embedding,
+                       (x, i) -> {'pos': i, 'x': CAST(x AS DOUBLE)})) AS u
+              FROM clean),
+            comp AS (
+              SELECT lab, u.pos AS pos, round(avg(u.x), 9) AS c
+              FROM mel GROUP BY 1, 2),
+            proto AS (
+              SELECT lab, list(c ORDER BY pos) AS p FROM comp GROUP BY 1),
+            unitp AS (
+              SELECT lab,
+                     CASE WHEN sqrt(list_sum(list_transform(p, y -> y*y))) > 0
+                          THEN list_transform(p, x ->
+                            x / sqrt(list_sum(list_transform(p, y -> y*y))))
+                          ELSE p END AS up
+              FROM proto),
+            sims AS (
+              SELECT e.vec_id, e.lab, u.lab AS other,
+                     CASE WHEN sqrt(list_sum(list_transform(e.embedding,
+                            y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0
+                       THEN list_sum(list_transform(e.embedding,
+                              (x, i) -> CAST(x AS DOUBLE) * u.up[i]))
+                            / sqrt(list_sum(list_transform(e.embedding,
+                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+                     END AS sim
+              FROM clean e CROSS JOIN unitp u),
+            own AS (
+              SELECT vec_id, sim AS own_sim FROM sims WHERE lab = other),
+            best AS (
+              SELECT vec_id, other, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, other DESC) AS rn
+              FROM sims WHERE lab != other)
+            SELECT e.vec_id, CAST(e.lab AS INTEGER) AS label,
+                   round(o.own_sim - b.sim, 8) AS proto_margin,
+                   b.other AS nearest_other,
+                   (o.own_sim - b.sim) < 0 AS is_mislabel_candidate
+            FROM clean e
+            JOIN own o USING (vec_id)
+            JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
         """,
     }

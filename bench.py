@@ -223,6 +223,13 @@ def main() -> None:
           lambda: run(all_qs["concentration"](spark, sf_dir)))
     bench("quantile_norm",
           lambda: run(all_qs["quantile_norm"](spark, sf_dir)))
+    # round-5 third wave: aspect-ratio bucket assignment (one codegen
+    # argmin expression, zero shuffle) and per-user CUSUM drift (one
+    # entity-keyed window shuffle)
+    bench("aspect_buckets",
+          lambda: run(all_qs["aspect_buckets"](spark, sf_dir)))
+    bench("cusum_changepoints",
+          lambda: run(all_qs["cusum_changepoints"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

@@ -1,0 +1,210 @@
+"""Aspect-ratio bucketing for image training batches.
+
+Diffusion / vision training pipelines can't batch images of mixed
+shapes: resizing everything to one square destroys composition, padding
+to the widest wastes compute. The public fix (NovelAI's aspect-ratio
+bucketing write-up, adopted by SDXL: generate a ladder of (w, h)
+resolutions of roughly constant AREA, assign each image to the
+closest-ratio bucket, batch only within a bucket) is a pure
+feature-engineering problem: the assignment, the resize/crop geometry
+and the batch index are all deterministic columns of (w, h, image_id).
+
+The reference has no image-batching surface — modlyn batches dense
+count-matrix rows where every row already has the same width
+(`/root/reference/modlyn/models/_simple_logreg_datamodule.py:174-202`);
+this operator is the image-modality analogue of that DataLoader step,
+mandated by the engine's image axis.
+
+Physical plan — zero joins, zero Python:
+
+- The ladder is a driver-side constant (~tens of buckets). Assignment
+  is an ``array_min`` over a literal array of structs
+  ``(ratio_dist, -area, bw, bh)`` — struct ordering picks the argmin —
+  so the whole thing is ONE codegen'd column expression per row: no
+  broadcast join, no shuffle, no UDF.
+- ``ratio_dist`` is the scale-symmetric cross-ratio
+  ``max(w*bh, bw*h) / min(w*bh, bw*h)`` (≥ 1, equals exp(|log-ratio
+  gap|)). It is computed with integer products and ONE division —
+  every step is an exactly-rounded IEEE-754 op, so Spark and any SQL
+  oracle produce bit-identical distances (unlike log(), which differs
+  by ULPs across libm implementations and can flip near-ties).
+  Ties break toward the LARGER bucket area, then lexicographic (bw).
+- Resize geometry is cover-scale + center-crop: ``scale =
+  max(bw/w, bh/h)``; resized dims round half-up; crop offsets are the
+  centered excess. Pure arithmetic columns.
+- Batch packing is a ``row_number`` window per (bucket, shard) where
+  ``shard = pmod(hash, n_shards)`` — batches never cross shards, so no
+  bucket ever becomes one global sort. At 100 TB each (bucket, shard)
+  cell is |data| / (buckets * n_shards): size n_shards so a cell fits
+  an executor. The row order inside a shard is the md5 of the id —
+  deterministic under any partitioning, and a free shuffle of the
+  training order (the same trick as the reference's
+  ``shuffle=True`` DataLoader, `_simple_logreg_datamodule.py:182`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bucket_ladder(
+    target_area: int = 1024 * 1024,
+    step: int = 64,
+    min_side: int = 256,
+    max_side: int = 2048,
+    max_ratio: float = 4.0,
+) -> list[tuple[int, int]]:
+    """Deterministic (w, h) ladder: for every width that is a multiple
+    of ``step`` in [min_side, max_side], the tallest height multiple of
+    ``step`` with ``w*h <= target_area`` — plus every transpose. Ratios
+    beyond ``max_ratio`` are dropped. Sorted by (w, h)."""
+    if step <= 0 or min_side <= 0 or min_side > max_side:
+        raise ValueError("need 0 < step, 0 < min_side <= max_side")
+    if min_side % step or max_side % step:
+        raise ValueError("min_side and max_side must be multiples of step")
+    buckets: set[tuple[int, int]] = set()
+    for w in range(min_side, max_side + 1, step):
+        h = min(max_side, (target_area // w) // step * step)
+        if h < min_side:
+            continue
+        if max(w / h, h / w) > max_ratio:
+            continue
+        buckets.add((w, h))
+        buckets.add((h, w))
+    if not buckets:
+        raise ValueError("ladder is empty — loosen the constraints")
+    return sorted(buckets)
+
+
+def _assign_expr(
+    w: Column, h: Column, ladder: list[tuple[int, int]]
+) -> Column:
+    """struct(ratio_dist, -area, bw, bh) of the best bucket — argmin via
+    array_min's struct ordering over a literal array; pure codegen."""
+    wd = w.cast("long")
+    hd = h.cast("long")
+    cands = []
+    for bw, bh in ladder:
+        a = wd * F.lit(int(bh))  # w*bh and bw*h: exact integer products
+        b = F.lit(int(bw)) * hd
+        dist = (
+            F.greatest(a, b).cast("double") / F.least(a, b).cast("double")
+        )
+        cands.append(
+            F.struct(
+                dist.alias("dist"),
+                F.lit(-int(bw * bh)).alias("neg_area"),
+                F.lit(int(bw)).alias("bw"),
+                F.lit(int(bh)).alias("bh"),
+            )
+        )
+    return F.array_min(F.array(*cands))
+
+
+def assign_aspect_buckets(
+    df: DataFrame,
+    *,
+    width_col: str = "w",
+    height_col: str = "h",
+    ladder: list[tuple[int, int]] | None = None,
+    out_prefix: str = "bucket_",
+) -> DataFrame:
+    """Input rows + ``{prefix}w/{prefix}h`` (the assigned bucket),
+    ``{prefix}scale`` (cover scale), ``{prefix}rw/{prefix}rh`` (resized
+    dims, round-half-up), ``{prefix}crop_x/{prefix}crop_y`` (centered
+    crop offsets into the resized image). Rows with NULL or non-positive
+    dims get NULL bucket columns (they can't be batched)."""
+    ladder = bucket_ladder() if ladder is None else list(ladder)
+    if not ladder:
+        raise ValueError("empty ladder")
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    ok = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    best = F.when(ok, _assign_expr(w, h, ladder))
+    bw = best["bw"]
+    bh = best["bh"]
+    # cover: the resized image fully covers the bucket in both axes
+    scale = F.greatest(
+        bw.cast("double") / w.cast("double"),
+        bh.cast("double") / h.cast("double"),
+    )
+    rw = F.floor(w.cast("double") * scale + F.lit(0.5)).cast("long")
+    rh = F.floor(h.cast("double") * scale + F.lit(0.5)).cast("long")
+    # rounding can land one pixel short of the covered axis; clamp so the
+    # crop never exceeds the resized frame
+    rw = F.greatest(rw, bw)
+    rh = F.greatest(rh, bh)
+    p = out_prefix
+    return (
+        df.withColumn(f"{p}w", bw)
+        .withColumn(f"{p}h", bh)
+        .withColumn(f"{p}scale", scale)
+        .withColumn(f"{p}rw", rw)
+        .withColumn(f"{p}rh", rh)
+        .withColumn(f"{p}crop_x", ((rw - bw) / F.lit(2)).cast("long"))
+        .withColumn(f"{p}crop_y", ((rh - bh) / F.lit(2)).cast("long"))
+    )
+
+
+def pack_bucket_batches(
+    df: DataFrame,
+    id_cols: list[str],
+    *,
+    batch_size: int,
+    bucket_cols: tuple[str, str] = ("bucket_w", "bucket_h"),
+    n_shards: int = 1,
+    drop_last: bool = True,
+    salt: str = "",
+    batch_col: str = "batch_id",
+    pos_col: str = "batch_pos",
+) -> DataFrame:
+    """Assign a deterministic (shard-local) batch index within each
+    aspect bucket: ``batch_id = '<bw>x<bh>/<shard>/<k>'``, ``batch_pos``
+    in [0, batch_size). Order inside a shard is md5(id) — a seeded
+    shuffle that is identical under any partitioning. ``drop_last``
+    removes the trailing partial batch per (bucket, shard), mirroring
+    DataLoader ``drop_last`` semantics. Rows with NULL bucket dims are
+    dropped (unassignable)."""
+    if batch_size <= 0 or n_shards <= 0:
+        raise ValueError("batch_size and n_shards must be positive")
+    bwc, bhc = bucket_cols
+    from modlyn_spark.operators.sampling import _key_string
+
+    key = _key_string(id_cols, salt)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(key, F.lit("#shard"))), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(int(n_shards)),
+    )
+    out = (
+        df.where(F.col(bwc).isNotNull() & F.col(bhc).isNotNull())
+        .withColumn("__shard", shard)
+        .withColumn("__ord", F.md5(key))
+    )
+    win = Window.partitionBy(bwc, bhc, "__shard").orderBy("__ord", *id_cols)
+    out = out.withColumn("__rn", F.row_number().over(win) - F.lit(1))
+    if drop_last:
+        # rows past the last full batch boundary per (bucket, shard);
+        # same partitioning as the row_number window — Catalyst plans
+        # both in ONE Window stage, no extra shuffle
+        out = out.withColumn(
+            "__cnt",
+            F.count(F.lit(1)).over(Window.partitionBy(bwc, bhc, "__shard")),
+        )
+        out = out.where(
+            F.col("__rn")
+            < F.col("__cnt") - F.col("__cnt") % F.lit(int(batch_size))
+        ).drop("__cnt")
+    rn = F.col("__rn")
+    out = out.withColumn(
+        batch_col,
+        F.concat_ws(
+            "/",
+            F.concat_ws("x", F.col(bwc), F.col(bhc)),
+            F.col("__shard"),
+            (rn / F.lit(int(batch_size))).cast("long"),
+        ),
+    ).withColumn(pos_col, rn % F.lit(int(batch_size)))
+    return out.drop("__shard", "__ord", "__rn")
