@@ -3592,6 +3592,48 @@ def q_prototype_margins(spark, sf_dir):
     )
 
 
+def q_stream_cusum(spark, sf_dir):
+    """STREAMING CUSUM (streaming/changepoints.py): replay the events
+    table through a real availableNow stream into the stateful
+    applyInPandasWithState detector and return the memory-sink table.
+    The oracle is the BATCH closed form as SQL — equality proves the
+    incremental (S, min S, max S') state fold IS the window algebra,
+    through the actual streaming runtime. Source is coalesced to one
+    file (in-order arrival per the operator's ordering contract)."""
+    import hashlib
+    import shutil
+
+    from modlyn_spark.streaming.changepoints import stream_cusum
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/modlyn_cusum_src/{tag}"
+    shutil.rmtree(src_dir, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    out = stream_cusum(
+        stream, "user_id", "event_id", "value",
+        target=50.0, slack=10.0, threshold=500.0,
+    )
+    name = f"cusum_stream_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("order_val").alias("event_id"),
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "is_alarm",
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -3722,6 +3764,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "fleiss_kappa": q_fleiss_kappa,
         "quantize_embeddings": q_quantize_embeddings,
         "prototype_margins": q_prototype_margins,
+        "stream_cusum": q_stream_cusum,
     }
 
 
@@ -6417,6 +6460,30 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                                   ELSE 0 END, 0), 255) AS DOUBLE) * scale)),
                        d -> d * d)) / len(embedding) END, 10) AS mse
             FROM q3
+        """,
+        "stream_cusum": """
+            WITH s AS (
+              SELECT event_id, user_id, value,
+                     sum(coalesce(value - 50.0, 0.0) - 10.0) OVER w AS s_up,
+                     sum(coalesce(value - 50.0, 0.0) + 10.0) OVER w AS s_dn
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id, value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            c AS (
+              SELECT event_id, value,
+                     s_up - least(min(s_up) OVER w2, 0.0) AS cusum_pos,
+                     greatest(max(s_dn) OVER w2, 0.0) - s_dn AS cusum_neg
+              FROM s
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY event_id, value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))
+            SELECT event_id,
+                   round(cusum_pos, 6) AS cusum_pos,
+                   round(cusum_neg, 6) AS cusum_neg,
+                   (value IS NOT NULL
+                    AND (cusum_pos > 500.0 OR cusum_neg > 500.0)) AS is_alarm
+            FROM c
         """,
         "prototype_margins": """
             WITH clean AS (
