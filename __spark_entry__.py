@@ -2898,6 +2898,14 @@ _R5_DEMOTED = [
     # sibling). Both demotions remain fully oracle-gated in the mirror.
     "ann_cosine_topk",
     "span_contamination",
+    # fourth r5 wave: N2 per-feature scoring stays witnessed by the live
+    # class_feature_stats row (wilcoxon already mirror); the exact
+    # n-gram-Jaccard pair index stays exercised inside the live
+    # curation_pipeline row's full DuckDB oracle; the as-of merge kernel
+    # stays live inside training_set + history_features.
+    "f_statistic",
+    "ngram_jaccard_pairs",
+    "asof_join_merge",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -2915,6 +2923,12 @@ _R5_PROMOTED = [
     # third r5 wave: image-batch geometry + per-entity drift monitoring
     "aspect_buckets",
     "cusum_changepoints",
+    # fourth r5 wave: the training-dynamics curation tier — cartography
+    # map, confident-learning label audit, webdataset shard layout
+    # (acquisition_scores and class_weights stay mirror-gated)
+    "dataset_cartography",
+    "label_errors",
+    "shard_plan",
 ]
 
 
@@ -3634,6 +3648,185 @@ def q_stream_cusum(spark, sf_dir):
     )
 
 
+def _synthetic_training_log(spark, sf_dir):
+    """Per-(example, epoch) training log derived deterministically from
+    the embeddings table: p_true = (md5-unit(vec_id, epoch) + 0.15 *
+    epoch) / 1.75 over epochs 1..5 — every step is exact hash / literal
+    arithmetic both engines reproduce bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    log = emb.withColumn("epoch", F.explode(F.sequence(F.lit(1), F.lit(5))))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("vec_id").cast("string"),
+                        F.col("epoch").cast("string"),
+                        F.lit("carto"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return log.withColumn(
+        "p_true", (u + F.col("epoch") * F.lit(0.15)) / F.lit(1.75)
+    ).withColumn("correct", F.col("p_true") > F.lit(0.5))
+
+
+def q_dataset_cartography(spark, sf_dir):
+    """Dataset cartography (scoring/dynamics.py, Swayamdipta 2020):
+    confidence / variability / correctness per example over a 5-epoch
+    synthetic training log — ONE map-side-combinable groupBy carrying 4
+    partial sums per (partition, id); variability from the exact
+    E[x^2]-E[x]^2 identity, no second pass. Oracle: the same sums as
+    plain GROUP BY SQL."""
+    from modlyn_spark.scoring.dynamics import dataset_cartography
+
+    out = dataset_cartography(
+        _synthetic_training_log(spark, sf_dir), "vec_id", "p_true", "correct"
+    )
+    return out.select(
+        "vec_id",
+        "n_epochs",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("variability", 6).alias("variability"),
+        F.round("correctness", 6).alias("correctness"),
+        "region",
+    )
+
+
+def _synthetic_probs(spark, sf_dir):
+    """Per-example 10-class probability vectors peaked at the TRUE
+    label (hash noise * 0.05 + 1.5 at the label index, normalized) plus
+    a 5%% hash-flipped GIVEN label — the standard planted-noise setup
+    for label-error detection, as pure md5 / literal arithmetic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("int").alias("label")
+    )
+    vid = F.col("vec_id").cast("string")
+
+    def _unit(key):
+        return (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    a = F.transform(
+        F.sequence(F.lit(0), F.lit(9)),
+        lambda j: _unit(F.concat_ws("|", vid, j.cast("string"), F.lit("le")))
+        * F.lit(0.05)
+        + F.when(j == F.col("label"), F.lit(1.5)).otherwise(F.lit(0.0)),
+    )
+    s = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    probs = F.transform(a, lambda x: x / s)
+    flip = _unit(F.concat_ws("|", vid, F.lit("flip"), F.lit("le"))) < F.lit(
+        0.05
+    )
+    given = F.when(flip, F.pmod(F.col("label") + 1, F.lit(10))).otherwise(
+        F.col("label")
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        given.cast("int").alias("given"),
+        probs.alias("probs"),
+    )
+
+
+def q_label_errors(spark, sf_dir):
+    """Confident-learning label-error candidates (scoring/
+    labelerrors.py, Northcutt 2021): per-class self-confidence
+    thresholds (ONE aggregate, k rows, re-embedded as a literal array)
+    then a join-free shuffle-free restricted-argmax scan; candidates =
+    confident disagreements with the given label. The planted 5%% label
+    flips are what it should recover. Oracle: the same thresholds +
+    restricted argmax via unnest/window SQL."""
+    from modlyn_spark.scoring.labelerrors import label_error_candidates
+
+    cands = label_error_candidates(
+        _synthetic_probs(spark, sf_dir), "vec_id", "given", "probs",
+        n_classes=10,
+    )
+    return cands.select(
+        "vec_id",
+        "given_idx",
+        "predicted_idx",
+        F.round("self_conf", 6).alias("self_conf"),
+        F.round("margin", 6).alias("margin"),
+    )
+
+
+def q_acquisition_scores(spark, sf_dir):
+    """EL2N / acquisition difficulty scores (scoring/dynamics.py, Paul
+    2021): entropy, least-confidence, top-2 margin, EL2N, true-margin
+    and argmax correctness over probability vectors derived from the
+    embedding columns — pure JVM array-HOF algebra, ZERO shuffle / ZERO
+    Python (plan-asserted in tests). Oracle: the identical expressions
+    via DuckDB list lambdas."""
+    from modlyn_spark.scoring.dynamics import acquisition_scores
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("int").alias("label"), "embedding"
+    )
+    a = F.transform(
+        F.slice("embedding", 1, 10),
+        lambda x: F.abs(x.cast("double")) + F.lit(0.01),
+    )
+    s = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    probs = F.transform(a, lambda x: x / s)
+    df = emb.select("vec_id", "label", probs.alias("probs"))
+    out = acquisition_scores(df, "probs", "label")
+    return out.select(
+        "vec_id",
+        F.round("entropy", 6).alias("entropy"),
+        F.round("least_confidence", 6).alias("least_confidence"),
+        F.round("margin_top2", 6).alias("margin_top2"),
+        F.round("p_true", 6).alias("p_true"),
+        F.round("el2n", 6).alias("el2n"),
+        F.round("margin_true", 6).alias("margin_true"),
+        "is_correct",
+    )
+
+
+def q_class_weights(spark, sf_dir):
+    """Effective-number class-balanced weights (operators/balance.py,
+    Cui 2019): ONE count aggregate + a class-cardinality-sized window
+    normalization. Oracle: the published formulas as plain SQL."""
+    from modlyn_spark.operators.balance import effective_number_weights
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("label").cast("int").alias("label")
+    )
+    return effective_number_weights(emb, "label", beta=0.99).select(
+        "label", "n", "weight"
+    )
+
+
+def q_shard_plan(spark, sf_dir):
+    """Webdataset-style shard layout (operators/shards.py): documents
+    hash into 8 independent groups (one exchange), next-fit byte-offset
+    packing per group toward a 200 KB target — deterministic at any
+    parallelism, overshoot bounded by one sample. Oracle: the same md5
+    draw + prefix-sum windows in DuckDB."""
+    from modlyn_spark.operators.shards import shard_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = shard_plan(
+        docs, "doc_id", "n_chars", target_bytes=200_000, groups=8
+    )
+    return out.select(
+        "doc_id", "shard_group", "local_shard", "seq_in_shard", "shard_id"
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -3765,6 +3958,11 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "quantize_embeddings": q_quantize_embeddings,
         "prototype_margins": q_prototype_margins,
         "stream_cusum": q_stream_cusum,
+        "dataset_cartography": q_dataset_cartography,
+        "label_errors": q_label_errors,
+        "acquisition_scores": q_acquisition_scores,
+        "class_weights": q_class_weights,
+        "shard_plan": q_shard_plan,
     }
 
 
@@ -6531,5 +6729,150 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             FROM clean e
             JOIN own o USING (vec_id)
             JOIN best b ON b.vec_id = e.vec_id AND b.rn = 1
+        """,
+        "dataset_cartography": """
+            WITH log AS (
+              SELECT vec_id, e.epoch,
+                     (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                            || '|' || CAST(e.epoch AS VARCHAR) || '|carto'),
+                            1, 8)) AS BIGINT) / 4294967296.0
+                      + e.epoch * 0.15) / 1.75 AS p_true
+              FROM embeddings,
+                   (SELECT unnest(range(1, 6)) AS epoch) e),
+            m AS (
+              SELECT vec_id, count(*) AS n, sum(p_true) AS s,
+                     sum(p_true * p_true) AS ss,
+                     avg(CASE WHEN p_true > 0.5 THEN 1.0 ELSE 0.0 END)
+                       AS corr
+              FROM log GROUP BY 1),
+            sc AS (
+              SELECT vec_id, n, s / n AS conf,
+                     sqrt(greatest(0.0, ss / n - (s / n) * (s / n))) AS var,
+                     corr
+              FROM m)
+            SELECT vec_id, CAST(n AS BIGINT) AS n_epochs,
+                   round(conf, 6) AS confidence,
+                   round(var, 6) AS variability,
+                   round(corr, 6) AS correctness,
+                   CASE WHEN var >= 0.2 THEN 'ambiguous'
+                        WHEN conf >= 0.75 THEN 'easy'
+                        WHEN conf <= 0.25 THEN 'hard'
+                        ELSE 'mid' END AS region
+            FROM sc
+        """,
+        "label_errors": """
+            WITH base AS (
+              SELECT vec_id, CAST(label AS INT) AS label,
+                     CASE WHEN CAST(('0x' || substr(md5(
+                              CAST(vec_id AS VARCHAR) || '|flip|le'), 1, 8))
+                              AS BIGINT) / 4294967296.0 < 0.05
+                          THEN (CAST(label AS INT) + 1) % 10
+                          ELSE CAST(label AS INT) END AS given,
+                     list_transform(range(0, 10), j ->
+                        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                             || '|' || CAST(j AS VARCHAR) || '|le'), 1, 8))
+                             AS BIGINT) / 4294967296.0 * 0.05
+                        + CASE WHEN j = CAST(label AS INT)
+                               THEN 1.5 ELSE 0.0 END) AS a
+              FROM embeddings),
+            pr AS (
+              SELECT vec_id, given,
+                     list_transform(a, x -> x / list_sum(a)) AS p
+              FROM base),
+            t AS (
+              SELECT given AS cls, round(avg(p[given + 1]), 6) AS thr
+              FROM pr GROUP BY 1),
+            ex AS (
+              SELECT vec_id, unnest(p) AS pj,
+                     CAST(unnest(range(0, 10)) AS INT) AS j
+              FROM pr),
+            cand AS (
+              SELECT e.vec_id, e.pj, e.j,
+                     row_number() OVER (PARTITION BY e.vec_id
+                                        ORDER BY e.pj DESC, e.j ASC) AS rn
+              FROM ex e JOIN t ON t.cls = e.j
+              WHERE e.pj >= t.thr),
+            pred AS (
+              SELECT vec_id, j AS predicted_idx FROM cand WHERE rn = 1)
+            SELECT b.vec_id, b.given AS given_idx,
+                   CAST(pred.predicted_idx AS INT) AS predicted_idx,
+                   round(b.p[b.given + 1], 6) AS self_conf,
+                   round(b.p[pred.predicted_idx + 1] - b.p[b.given + 1], 6)
+                     AS margin
+            FROM pr b JOIN pred USING (vec_id)
+            WHERE pred.predicted_idx <> b.given
+        """,
+        "acquisition_scores": """
+            WITH base AS (
+              SELECT vec_id, CAST(label AS INT) AS label,
+                     list_transform(embedding[1:10],
+                        x -> abs(CAST(x AS DOUBLE)) + 0.01) AS a
+              FROM embeddings),
+            pr AS (
+              SELECT vec_id, label,
+                     list_transform(a, x -> x / list_sum(a)) AS p
+              FROM base),
+            sc AS (
+              SELECT vec_id, label, p,
+                     list_reverse_sort(p) AS s,
+                     p[label + 1] AS p_true,
+                     CAST(list_position(p, list_max(p)) - 1 AS INT) AS am
+              FROM pr)
+            SELECT vec_id,
+                   round(-list_sum(list_transform(p, x -> x * ln(x))), 6)
+                     AS entropy,
+                   round(1.0 - list_max(p), 6) AS least_confidence,
+                   round(s[1] - s[2], 6) AS margin_top2,
+                   round(p_true, 6) AS p_true,
+                   round(sqrt(list_sum(list_transform(p, x -> x * x))
+                         - 2 * p_true + 1.0), 6) AS el2n,
+                   round(p_true - (CASE WHEN am = label THEN s[2]
+                                        ELSE s[1] END), 6) AS margin_true,
+                   (am = label) AS is_correct
+            FROM sc
+        """,
+        "class_weights": """
+            WITH c AS (
+              SELECT CAST(label AS INT) AS label, count(*) AS n
+              FROM embeddings WHERE label IS NOT NULL GROUP BY 1),
+            r AS (
+              SELECT label, n,
+                     (1.0 - 0.99) / (1.0 - pow(0.99, n)) AS raw
+              FROM c)
+            SELECT label, n,
+                   round(raw / sum(raw) OVER () * count(*) OVER (), 8)
+                     AS weight
+            FROM r
+        """,
+        "shard_plan": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || '|shards'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars >= 0),
+            g AS (
+              SELECT doc_id, n_chars, u,
+                     CAST(floor(u * 8) AS INT) AS shard_group
+              FROM u),
+            c AS (
+              SELECT doc_id, u, shard_group,
+                     coalesce(sum(n_chars) OVER (
+                        PARTITION BY shard_group ORDER BY u, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cb
+              FROM g),
+            l AS (
+              SELECT doc_id, u, shard_group,
+                     CAST(floor(cb / 200000) AS INT) AS local_shard
+              FROM c)
+            SELECT doc_id, shard_group, local_shard,
+                   CAST(row_number() OVER (
+                        PARTITION BY shard_group, local_shard
+                        ORDER BY u, doc_id) - 1 AS INT) AS seq_in_shard,
+                   CAST(shard_group AS VARCHAR) || '-'
+                     || CAST(local_shard AS VARCHAR) AS shard_id
+            FROM l
         """,
     }

@@ -230,6 +230,17 @@ def main() -> None:
           lambda: run(all_qs["aspect_buckets"](spark, sf_dir)))
     bench("cusum_changepoints",
           lambda: run(all_qs["cusum_changepoints"](spark, sf_dir)))
+    # round-5 fourth wave: the training-dynamics curation tier —
+    # cartography (one groupBy over the 5-epoch log), confident-learning
+    # label audit (k-row threshold aggregate + shuffle-free restricted
+    # argmax), webdataset shard layout (one group exchange + prefix-sum
+    # windows)
+    bench("dataset_cartography",
+          lambda: run(all_qs["dataset_cartography"](spark, sf_dir)))
+    bench("label_errors",
+          lambda: run(all_qs["label_errors"](spark, sf_dir)))
+    bench("shard_plan",
+          lambda: run(all_qs["shard_plan"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

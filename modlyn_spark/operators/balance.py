@@ -151,3 +151,48 @@ def oversample_plan(
         )
         .drop("__n")
     )
+
+
+def effective_number_weights(
+    df: DataFrame,
+    label_col: str,
+    *,
+    beta: float = 0.999,
+    ndigits: int = 8,
+) -> DataFrame:
+    """Class-balanced loss weights by effective number of samples (Cui
+    et al., "Class-Balanced Loss Based on Effective Number of Samples",
+    CVPR 2019 — implemented from the paper's formulas):
+
+        E_c = (1 - beta^n_c) / (1 - beta)      (effective sample count)
+        w_c = (1 - beta) / (1 - beta^n_c)      (inverse), normalized so
+                                               sum_c w_c = n_classes.
+
+    beta -> 0 recovers uniform weights, beta -> 1 recovers inverse
+    frequency; the paper's beta = (N-1)/N interpolates. Output:
+    ``(label, n, weight)``, one row per class, rounded to ``ndigits``
+    (the normalizing sum is class-cardinality-sized, so the rounded
+    result is engine-identical).
+
+    Physical plan: ONE map-side-combinable count aggregate; the
+    normalization is a window over the class-cardinality-sized result
+    (never data-sized). NULL labels are excluded."""
+    if not 0.0 <= beta < 1.0:
+        raise ValueError("beta must be in [0, 1)")
+    counts = (
+        df.where(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    raw = (F.lit(1.0) - F.lit(float(beta))) / (
+        F.lit(1.0) - F.pow(F.lit(float(beta)), F.col("n").cast("double"))
+    )
+    from pyspark.sql import Window as _W
+
+    scored = counts.withColumn("__raw", raw)
+    norm = F.sum("__raw").over(_W.partitionBy())
+    k = F.count(F.lit(1)).over(_W.partitionBy())
+    return scored.withColumn(
+        "weight",
+        F.round(F.col("__raw") / norm * k.cast("double"), ndigits),
+    ).drop("__raw")

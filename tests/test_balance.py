@@ -128,3 +128,55 @@ def test_validation(spark):
         repeat_factors(df, "lab", threshold=1.5)
     with pytest.raises(ValueError):
         oversample_plan(df, ["id"], "lab", threshold=0.5, epoch=-1)
+
+
+# ---------------------------------------------------------------------------
+# effective-number class weights (Cui et al. 2019)
+# ---------------------------------------------------------------------------
+
+
+def test_effective_number_weights_hand_arithmetic(spark):
+    from modlyn_spark.operators.balance import effective_number_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 1 + [(None,)], "label string"
+    )
+    got = {
+        r["label"]: r
+        for r in effective_number_weights(df, "label", beta=0.9).collect()
+    }
+    assert set(got) == {"a", "b"}  # NULL labels excluded
+    raw_a = 0.1 / (1.0 - 0.9**3)
+    raw_b = 0.1 / (1.0 - 0.9)
+    s = raw_a + raw_b
+    assert got["a"]["n"] == 3 and got["b"]["n"] == 1
+    assert got["a"]["weight"] == pytest.approx(raw_a / s * 2, abs=1e-8)
+    assert got["b"]["weight"] == pytest.approx(raw_b / s * 2, abs=1e-8)
+    # weights sum to the number of classes
+    assert sum(r["weight"] for r in got.values()) == pytest.approx(2.0)
+
+
+def test_effective_number_limits(spark):
+    from modlyn_spark.operators.balance import effective_number_weights
+
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [("b",)] * 1, "label string"
+    )
+    # beta -> 0: uniform weights regardless of counts
+    got0 = {
+        r["label"]: r["weight"]
+        for r in effective_number_weights(df, "label", beta=0.0).collect()
+    }
+    assert got0["a"] == pytest.approx(1.0) and got0["b"] == pytest.approx(1.0)
+    # beta close to 1: approaches inverse frequency (9x ratio)
+    got1 = {
+        r["label"]: r["weight"]
+        for r in effective_number_weights(
+            df, "label", beta=0.99999
+        ).collect()
+    }
+    assert got1["b"] / got1["a"] == pytest.approx(9.0, rel=1e-3)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        effective_number_weights(df, "label", beta=1.0)
