@@ -2906,6 +2906,13 @@ _R5_DEMOTED = [
     "f_statistic",
     "ngram_jaccard_pairs",
     "asof_join_merge",
+    # fifth r5 wave: W3 sessionization stays witnessed by the live
+    # stream_session_stats row (pytest asserts stream == batch); the
+    # near-dup family keeps five live witnesses (minhash, simhash,
+    # components, semdedup, incremental_dedup) — the embedding-LSH
+    # variant stays fully mirror-gated.
+    "session_stats",
+    "embedding_dup_pairs",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -2929,6 +2936,11 @@ _R5_PROMOTED = [
     "dataset_cartography",
     "label_errors",
     "shard_plan",
+    # fifth r5 wave: the augmentation-plan + curriculum layer that
+    # consumes the dynamics scores (cutmix_plan and data_diet stay
+    # mirror-gated)
+    "mixup_plan",
+    "curriculum_plan",
 ]
 
 
@@ -3827,6 +3839,85 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_mixup_plan(spark, sf_dir):
+    """Deterministic mixup pairing (operators/mixup.py, Zhang 2018):
+    rows hash into 8 groups, the epoch-keyed modular shift pairs every
+    row with a distinct partner (a bijection — each row is used exactly
+    once per side), lam ~ Kumaraswamy(0.2, 0.2) via its closed-form
+    inverse CDF (the engine-portable stand-in for mixup's Beta). One
+    exchange + one co-keyed self-join; pixels never move. Oracle: the
+    identical md5 windows + shift join in DuckDB."""
+    from modlyn_spark.operators.mixup import mixup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id"
+    )
+    out = mixup_pairs(emb, "vec_id", epoch=1, alpha=0.2, groups=8)
+    return out.select(
+        "vec_id", "b_vec_id", F.round("lam", 6).alias("lam")
+    )
+
+
+def q_cutmix_plan(spark, sf_dir):
+    """CutMix box geometry (operators/mixup.py, Yun 2019): uniform lam
+    + box (w*sqrt(1-lam), h*sqrt(1-lam)) at a hash-uniform center,
+    clipped, with the area-corrected label weight — every step an
+    exactly-rounded IEEE op (hash-exact u, correctly-rounded sqrt/mul/
+    floor), so the INTEGER boxes match any engine bit-for-bit. Zero
+    shuffle, zero Python (plan-asserted in tests). Oracle: the same
+    arithmetic in DuckDB."""
+    from modlyn_spark.operators.mixup import cutmix_boxes
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("img"),
+        (160 + (F.col("p_partkey") * 7) % 3841).alias("w"),
+        (120 + (F.col("p_partkey") * 13) % 2161).alias("h"),
+    )
+    out = cutmix_boxes(part, "img", "w", "h", epoch=2)
+    return out.select(
+        "img", "w", "h",
+        F.round("lam", 6).alias("lam"),
+        "box_x", "box_y", "box_w", "box_h",
+        F.round("lam_adj", 6).alias("lam_adj"),
+    )
+
+
+def q_curriculum_plan(spark, sf_dir):
+    """Competence-based curriculum (operators/curriculum.py, Platanios
+    2019): exact tie-coherent difficulty percentile from the binning
+    histogram machinery (ONE map-side-combinable groupBy(score); rank
+    windows over distinct values, never rows) and the entry epoch as a
+    pure array expression over the 6 sqrt-schedule literals. Oracle:
+    rank()-based percentile + the same literals in DuckDB."""
+    from modlyn_spark.operators.curriculum import curriculum_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    out = curriculum_plan(docs, "n_chars", epochs=6, c0=0.1)
+    return out.select(
+        "doc_id",
+        F.round("difficulty_pct", 8).alias("difficulty_pct"),
+        "entry_epoch",
+    )
+
+
+def q_data_diet(spark, sf_dir):
+    """Per-class data-diet prune (operators/curriculum.py, Paul 2021):
+    keep the hardest 30% of each language by length score — the prune
+    threshold comes from per-class windows over the (class, score)
+    HISTOGRAM (the only data-sized shuffles are the histogram aggregate
+    and the value-keyed join back), tie groups all-in. Oracle: the same
+    histogram windows in DuckDB."""
+    from modlyn_spark.operators.curriculum import data_diet
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = data_diet(docs, "n_chars", keep_fraction=0.3, by="lang")
+    return out.select("doc_id", "lang", "n_chars")
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -3963,6 +4054,10 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "acquisition_scores": q_acquisition_scores,
         "class_weights": q_class_weights,
         "shard_plan": q_shard_plan,
+        "mixup_plan": q_mixup_plan,
+        "cutmix_plan": q_cutmix_plan,
+        "curriculum_plan": q_curriculum_plan,
+        "data_diet": q_data_diet,
     }
 
 
@@ -6874,5 +6969,126 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                    CAST(shard_group AS VARCHAR) || '-'
                      || CAST(local_shard AS VARCHAR) AS shard_id
             FROM l
+        """,
+        "mixup_plan": """
+            WITH base AS (
+              SELECT vec_id,
+                     CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                          || '|mix|1|'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS u
+              FROM embeddings),
+            g AS (
+              SELECT vec_id, u,
+                     CAST(floor(u * 8) AS INT) AS grp
+              FROM base),
+            posed AS (
+              SELECT vec_id, u, grp,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY u, vec_id) - 1 AS pos,
+                     count(*) OVER (PARTITION BY grp) AS n
+              FROM g),
+            shifted AS (
+              SELECT p.*,
+                     CASE WHEN n >= 2 THEN
+                       (pos + 1 + (CAST(('0x' || substr(md5(
+                           CAST(grp AS VARCHAR) || '|mix|1|'), 1, 15))
+                           AS BIGINT) % (n - 1))) % n
+                     ELSE pos END AS ppos,
+                     CASE WHEN n >= 2 THEN
+                       pow(1.0 - pow(1.0 -
+                         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                              || '|lam|1|'), 1, 8)) AS BIGINT)
+                           / 4294967296.0, 5.0), 5.0)
+                     ELSE 1.0 END AS lam
+              FROM posed p)
+            SELECT s.vec_id, b.vec_id AS b_vec_id, round(s.lam, 6) AS lam
+            FROM shifted s
+            JOIN posed b ON b.grp = s.grp AND b.pos = s.ppos
+        """,
+        "cutmix_plan": """
+            WITH img AS (
+              SELECT p_partkey AS img,
+                     160 + (p_partkey * 7) % 3841 AS w,
+                     120 + (p_partkey * 13) % 2161 AS h
+              FROM part),
+            d AS (
+              SELECT img, w, h,
+                     CAST(('0x' || substr(md5(CAST(img AS VARCHAR)
+                          || '|lam|2|'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS lam,
+                     CAST(('0x' || substr(md5(CAST(img AS VARCHAR)
+                          || '|cx|2|'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS ux,
+                     CAST(('0x' || substr(md5(CAST(img AS VARCHAR)
+                          || '|cy|2|'), 1, 8)) AS BIGINT)
+                       / 4294967296.0 AS uy
+              FROM img),
+            geo AS (
+              SELECT img, w, h, lam,
+                     CAST(floor(w * sqrt(1.0 - lam)) AS BIGINT) AS rw,
+                     CAST(floor(h * sqrt(1.0 - lam)) AS BIGINT) AS rh,
+                     CAST(floor(ux * w) AS BIGINT) AS cx,
+                     CAST(floor(uy * h) AS BIGINT) AS cy
+              FROM d),
+            box AS (
+              SELECT img, w, h, lam, rw, rh,
+                     greatest(CAST(0 AS BIGINT),
+                              cx - CAST(floor(rw / 2) AS BIGINT)) AS x1,
+                     greatest(CAST(0 AS BIGINT),
+                              cy - CAST(floor(rh / 2) AS BIGINT)) AS y1
+              FROM geo),
+            clip AS (
+              SELECT img, w, h, lam, x1, y1,
+                     least(CAST(w AS BIGINT), x1 + rw) AS x2,
+                     least(CAST(h AS BIGINT), y1 + rh) AS y2
+              FROM box)
+            SELECT img, w, h, round(lam, 6) AS lam,
+                   x1 AS box_x, y1 AS box_y,
+                   x2 - x1 AS box_w, y2 - y1 AS box_h,
+                   round(1.0 - CAST((x2 - x1) * (y2 - y1) AS DOUBLE)
+                         / CAST(w * h AS DOUBLE), 6) AS lam_adj
+            FROM clip
+        """,
+        "curriculum_plan": """
+            WITH d AS (
+              SELECT doc_id, n_chars FROM documents
+              WHERE n_chars IS NOT NULL),
+            n AS (SELECT count(*) AS n FROM d),
+            r AS (
+              SELECT doc_id,
+                     CAST(rank() OVER (ORDER BY n_chars) - 1 AS DOUBLE)
+                       / (SELECT CAST(n AS DOUBLE) FROM n) AS pct
+              FROM d)
+            SELECT r.doc_id,
+                   round(r.pct, 8) AS difficulty_pct,
+                   CAST(1 + len(list_filter(
+                        [0.4183300132670378, 0.5830951894845301,
+                         0.7106335201775947, 0.8185352771872451,
+                         0.9137833441248533, 0.9999999999999999],
+                        c -> c <= r.pct)) AS INT) AS entry_epoch
+            FROM r
+            UNION ALL
+            SELECT doc_id, NULL AS difficulty_pct, NULL AS entry_epoch
+            FROM documents WHERE n_chars IS NULL
+        """,
+        "data_diet": """
+            WITH d AS (
+              SELECT doc_id, lang, n_chars FROM documents
+              WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+            h AS (
+              SELECT lang, n_chars AS v, count(*) AS c
+              FROM d GROUP BY 1, 2),
+            r AS (
+              SELECT lang, v,
+                     sum(c) OVER (PARTITION BY lang ORDER BY v DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - c AS a,
+                     sum(c) OVER (PARTITION BY lang) AS n
+              FROM h),
+            k AS (
+              SELECT lang, v FROM r
+              WHERE CAST(a AS DOUBLE) < 0.3 * CAST(n AS DOUBLE))
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM d JOIN k ON d.lang = k.lang AND d.n_chars = k.v
         """,
     }

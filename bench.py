@@ -241,6 +241,18 @@ def main() -> None:
           lambda: run(all_qs["label_errors"](spark, sf_dir)))
     bench("shard_plan",
           lambda: run(all_qs["shard_plan"](spark, sf_dir)))
+    # round-5 fifth wave: the augmentation + curriculum layer — mixup
+    # pairing (one exchange + co-keyed self-join), cutmix geometry
+    # (zero shuffle), curriculum entry epochs and per-class data-diet
+    # prune (histogram-sized windows)
+    bench("mixup_plan",
+          lambda: run(all_qs["mixup_plan"](spark, sf_dir)))
+    bench("cutmix_plan",
+          lambda: run(all_qs["cutmix_plan"](spark, sf_dir)))
+    bench("curriculum_plan",
+          lambda: run(all_qs["curriculum_plan"](spark, sf_dir)))
+    bench("data_diet",
+          lambda: run(all_qs["data_diet"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
