@@ -3918,6 +3918,28 @@ def q_data_diet(spark, sf_dir):
     return out.select("doc_id", "lang", "n_chars")
 
 
+def q_random_projection(spark, sf_dir):
+    """JL sign projection 64 -> 16 (operators/projection.py, Achlioptas
+    2003): the ±1 matrix is a pure md5 function of (dims, seed),
+    materialized driver-side and embedded as LITERALS — the projection
+    pass is whole-stage-codegen column algebra, ZERO shuffle / ZERO
+    Python (plan-asserted in tests); 1/sqrt(16) = 0.25 is exact, so the
+    only float freedom is the fold order, absorbed by round(6). Oracle:
+    the same md5 sign rule via nested DuckDB list lambdas."""
+    from modlyn_spark.operators.projection import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = random_projection(emb, "embedding", d_in=64, d_out=16)
+    return out.select(
+        "vec_id",
+        F.transform("embedding_proj", lambda x: F.round(x, 6)).alias(
+            "proj"
+        ),
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4058,6 +4080,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "cutmix_plan": q_cutmix_plan,
         "curriculum_plan": q_curriculum_plan,
         "data_diet": q_data_diet,
+        "random_projection": q_random_projection,
     }
 
 
@@ -7090,5 +7113,18 @@ def _retired_oracle_sql_base() -> dict[str, str]:
               WHERE CAST(a AS DOUBLE) < 0.3 * CAST(n AS DOUBLE))
             SELECT d.doc_id, d.lang, d.n_chars
             FROM d JOIN k ON d.lang = k.lang AND d.n_chars = k.v
+        """,
+        "random_projection": """
+            SELECT vec_id,
+                   list_transform(range(0, 16), k ->
+                     round(list_sum(list_transform(range(0, 64), j ->
+                       CAST(embedding[j + 1] AS DOUBLE) *
+                       (CASE WHEN CAST(('0x' || substr(md5(
+                              CAST(j AS VARCHAR) || '|' ||
+                              CAST(k AS VARCHAR) || '|rp|'), 1, 8))
+                              AS BIGINT) % 2 = 0
+                             THEN 1.0 ELSE -1.0 END)))
+                     * 0.25, 6)) AS proj
+            FROM embeddings
         """,
     }

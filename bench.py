@@ -253,6 +253,8 @@ def main() -> None:
           lambda: run(all_qs["curriculum_plan"](spark, sf_dir)))
     bench("data_diet",
           lambda: run(all_qs["data_diet"](spark, sf_dir)))
+    bench("random_projection",
+          lambda: run(all_qs["random_projection"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
