@@ -3940,6 +3940,53 @@ def q_random_projection(spark, sf_dir):
     )
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Canonical-representative selection over near-dup clusters — the
+    curation decision AFTER dedup finds groups: every document maps to
+    its cluster's best member (longest text, ties to the smallest id;
+    singletons map to themselves). Composes the exact-verified minhash
+    pair graph + pointer-doubling components + ONE per-component argmax
+    window and a broadcast-able remap join — the output is a
+    (doc_id -> canonical_id) table the pipeline applies as a semi/anti
+    join. Oracle: recursive-CTE reachability + the same argmax rule."""
+    from modlyn_spark.operators.dedup import (
+        connected_components,
+        minhash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", k=96, bands=16, threshold=0.8
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    member = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", F.col("doc_id"))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    canon = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("component", F.col("doc_id").alias("canonical_id"))
+    )
+    return (
+        member.join(canon, "component")
+        .select(
+            "doc_id",
+            "component",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4081,6 +4128,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "curriculum_plan": q_curriculum_plan,
         "data_diet": q_data_diet,
         "random_projection": q_random_projection,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -7126,5 +7174,45 @@ def _retired_oracle_sql_base() -> dict[str, str]:
                              THEN 1.0 ELSE -1.0 END)))
                      * 0.25, 6)) AS proj
             FROM embeddings
+        """,
+        "canonical_docs": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(lower(text)) - 2),
+                         i -> substr(lower(text), CAST(i AS INT), 3))) AS s
+              FROM documents),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2
+              FROM c JOIN sh s1 ON s1.doc_id = id1
+                     JOIN sh s2 ON s2.doc_id = id2
+              WHERE c * 1.0 / (len(s1.s) + len(s2.s) - c) >= 0.8),
+            edges AS (SELECT id1 AS u, id2 AS v FROM pairs
+                      UNION SELECT id2, id1 FROM pairs),
+            reach(u, v) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+            comp AS (
+              SELECT u AS doc_id, least(u, min(v)) AS component
+              FROM reach GROUP BY u),
+            member AS (
+              SELECT d.doc_id, coalesce(comp.component, d.doc_id)
+                       AS component, d.n_chars
+              FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+            canon AS (
+              SELECT component, doc_id AS canonical_id
+              FROM (SELECT component, doc_id,
+                           row_number() OVER (PARTITION BY component
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+                    FROM member)
+              WHERE rn = 1)
+            SELECT m.doc_id, m.component, c.canonical_id,
+                   (m.doc_id = c.canonical_id) AS is_canonical
+            FROM member m JOIN canon c ON m.component = c.component
         """,
     }

@@ -255,6 +255,12 @@ def main() -> None:
           lambda: run(all_qs["data_diet"](spark, sf_dir)))
     bench("random_projection",
           lambda: run(all_qs["random_projection"](spark, sf_dir)))
+    bench("canonical_docs",
+          lambda: run(all_qs["canonical_docs"](spark, sf_dir)))
+    bench("acquisition_scores",
+          lambda: run(all_qs["acquisition_scores"](spark, sf_dir)))
+    bench("class_weights",
+          lambda: run(all_qs["class_weights"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
