@@ -3718,37 +3718,52 @@ def _synthetic_probs(spark, sf_dir):
     label (hash noise * 0.05 + 1.5 at the label index, normalized) plus
     a 5%% hash-flipped GIVEN label — the standard planted-noise setup
     for label-error detection, as pure md5 / literal arithmetic."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", F.col("label").cast("int").alias("label")
+    from modlyn_spark.session import ensure_parallelism
+
+    # the 20-md5s-per-row probs build is CPU-bound: un-serialize the
+    # single-row-group bench scan (no-op at scale - see session.py)
+    emb = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("label").cast("int").alias("label")
+        )
     )
     vid = F.col("vec_id").cast("string")
 
-    def _unit(key):
-        return (
-            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
-            / F.lit(4294967296.0)
-        )
-
+    # ONE md5 per row, sliced into ten 3-hex-digit uniforms (plus a
+    # 2-hex flip draw from the tail)
+    hexd = F.md5(F.concat_ws("|", vid, F.lit("le")))
     a = F.transform(
         F.sequence(F.lit(0), F.lit(9)),
-        lambda j: _unit(F.concat_ws("|", vid, j.cast("string"), F.lit("le")))
+        lambda j: F.conv(hexd.substr(j * 3 + 1, F.lit(3)), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4096.0)
         * F.lit(0.05)
         + F.when(j == F.col("label"), F.lit(1.5)).otherwise(F.lit(0.0)),
     )
     s = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
     probs = F.transform(a, lambda x: x / s)
-    flip = _unit(F.concat_ws("|", vid, F.lit("flip"), F.lit("le"))) < F.lit(
-        0.05
-    )
+    flip = (
+        F.conv(hexd.substr(31, 2), 16, 10).cast("long") / F.lit(256.0)
+    ) < F.lit(0.05)
     given = F.when(flip, F.pmod(F.col("label") + 1, F.lit(10))).otherwise(
         F.col("label")
     )
-    return emb.select(
+    out = emb.select(
         "vec_id",
         "label",
         given.cast("int").alias("given"),
         probs.alias("probs"),
     )
+    # MATERIALIZE the synthetic vectors: array HOFs evaluate interpreted
+    # (CodegenFallback, no common-subexpression elimination), so a
+    # nested-HOF probs EXPRESSION re-evaluates its whole subtree per
+    # array element and per downstream reference — the scoring pass over
+    # this 20k-row table measured 18.8s lazy vs 0.75s materialized at
+    # sf1. Real pipelines read stored probability columns (the
+    # labelerrors.py input contract); the checkpoint makes the synthetic
+    # construction equivalent.
+    return out.localCheckpoint()
 
 
 def q_label_errors(spark, sf_dir):
@@ -6927,20 +6942,23 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             FROM sc
         """,
         "label_errors": """
-            WITH base AS (
+            WITH hx AS (
               SELECT vec_id, CAST(label AS INT) AS label,
-                     CASE WHEN CAST(('0x' || substr(md5(
-                              CAST(vec_id AS VARCHAR) || '|flip|le'), 1, 8))
-                              AS BIGINT) / 4294967296.0 < 0.05
-                          THEN (CAST(label AS INT) + 1) % 10
-                          ELSE CAST(label AS INT) END AS given,
-                     list_transform(range(0, 10), j ->
-                        CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)
-                             || '|' || CAST(j AS VARCHAR) || '|le'), 1, 8))
-                             AS BIGINT) / 4294967296.0 * 0.05
-                        + CASE WHEN j = CAST(label AS INT)
-                               THEN 1.5 ELSE 0.0 END) AS a
+                     md5(CAST(vec_id AS VARCHAR) || '|le') AS hexd
               FROM embeddings),
+            base AS (
+              SELECT vec_id, label,
+                     CASE WHEN CAST(('0x' || substr(hexd, 31, 2))
+                              AS BIGINT) / 256.0 < 0.05
+                          THEN (label + 1) % 10
+                          ELSE label END AS given,
+                     list_transform(range(0, 10), j ->
+                        CAST(('0x' || substr(hexd,
+                             CAST(j * 3 + 1 AS INT), 3))
+                             AS BIGINT) / 4096.0 * 0.05
+                        + CASE WHEN j = label
+                               THEN 1.5 ELSE 0.0 END) AS a
+              FROM hx),
             pr AS (
               SELECT vec_id, given,
                      list_transform(a, x -> x / list_sum(a)) AS p

@@ -30,8 +30,11 @@ Physical plans:
 - ``acquisition_scores`` is shuffle-free: every score is a JVM
   higher-order-function expression over the probability array (one
   ``aggregate`` fold per score, ``array_sort`` for the top-2 margin) —
-  zero Python, zero exchange, whole-stage codegen end to end. At 100 TB
-  this is a map-only pass that rides along any existing scan.
+  zero Python, zero exchange, a single map-only pass that rides along
+  any existing scan at 100 TB. (HOFs run as CodegenFallback expressions
+  inside the stage: JVM-interpreted, no codegen CSE — feed MATERIALIZED
+  array columns, not lazily-composed array expressions, or the argument
+  subtree re-evaluates per element; see labelerrors.py input contract.)
 - ``dataset_cartography`` is ONE groupBy(id) over (p_true, correct) —
   map-side combinable sums (count/sum/sum-of-squares/sum-correct), so
   the shuffle carries one partial row per (partition, id), and the
