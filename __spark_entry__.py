@@ -4002,6 +4002,52 @@ def q_canonical_docs(spark, sf_dir):
     )
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-space drift between two corpus slices (scoring/
+    drift.py): per-dimension means/stds/SMD from ONE GEMM moments pass
+    per side (Arrow-batch partials, executor tree combine — rows never
+    shuffle, the driver sees <= 64 combined rows/side). Oracle: exact
+    per-dim aggregates via unnest in DuckDB, round(6)."""
+    from modlyn_spark.scoring.drift import embedding_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "embedding",
+        F.when(F.col("label") < 5, F.lit("a")).otherwise(F.lit("b")).alias(
+            "side"
+        ),
+    )
+    out = embedding_drift(emb, "embedding", "side", "a", "b")
+    return out.select(
+        "pos", "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_a", 6).alias("std_a"),
+        F.round("std_b", 6).alias("std_b"),
+        F.round("smd", 6).alias("smd"),
+    )
+
+
+def q_rebalance_sample(spark, sf_dir):
+    """Class-rebalancing subsample (operators/sampling.py): the largest
+    deterministic subsample whose language distribution is uniform —
+    keep fractions p_c = t_c * M / n_c with M = min_c n_c / t_c from ONE
+    class-count aggregate, then the portable md5-Bernoulli stratified
+    draw (zero shuffle in the sampling pass). Oracle: the identical
+    float arithmetic + md5 draw in SQL."""
+    from modlyn_spark.operators.sampling import (
+        rebalance_fractions,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).where(F.col("lang").isNotNull())
+    p = rebalance_fractions(docs, "lang")
+    return stratified_sample(docs, "lang", p, ["doc_id"]).select(
+        "doc_id", "lang"
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4144,6 +4190,8 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "data_diet": q_data_diet,
         "random_projection": q_random_projection,
         "canonical_docs": q_canonical_docs,
+        "embedding_drift": q_embedding_drift,
+        "rebalance_sample": q_rebalance_sample,
     }
 
 
@@ -7232,5 +7280,49 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             SELECT m.doc_id, m.component, c.canonical_id,
                    (m.doc_id = c.canonical_id) AS is_canonical
             FROM member m JOIN canon c ON m.component = c.component
+        """,
+        "embedding_drift": """
+            WITH ex AS (
+              SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS side,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     CAST(unnest(range(0, 64)) AS BIGINT) AS pos
+              FROM embeddings),
+            m AS (
+              SELECT pos,
+                     count(*) FILTER (side = 0) AS n_a,
+                     count(*) FILTER (side = 1) AS n_b,
+                     avg(v) FILTER (side = 0) AS ma,
+                     avg(v) FILTER (side = 1) AS mb,
+                     greatest(0.0, avg(v * v) FILTER (side = 0)
+                       - avg(v) FILTER (side = 0)
+                         * avg(v) FILTER (side = 0)) AS va,
+                     greatest(0.0, avg(v * v) FILTER (side = 1)
+                       - avg(v) FILTER (side = 1)
+                         * avg(v) FILTER (side = 1)) AS vb
+              FROM ex GROUP BY 1)
+            SELECT pos, n_a, n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   round(sqrt(va), 6) AS std_a,
+                   round(sqrt(vb), 6) AS std_b,
+                   CASE WHEN (va + vb) / 2.0 > 0
+                        THEN round((ma - mb) / sqrt((va + vb) / 2.0), 6)
+                        ELSE NULL END AS smd
+            FROM m
+        """,
+        "rebalance_sample": """
+            WITH d AS (
+              SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL),
+            c AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+            kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM c),
+            mm AS (SELECT min(n / (1.0 / (SELECT k FROM kk))) AS m FROM c),
+            p AS (
+              SELECT lang,
+                     least(1.0, (1.0 / (SELECT k FROM kk))
+                           * (SELECT m FROM mm) / n) AS p
+              FROM c)
+            SELECT d.doc_id, d.lang
+            FROM d JOIN p USING (lang)
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                       || '|'), 1, 8)) AS BIGINT) / 4294967296.0 < p.p
         """,
     }

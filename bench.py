@@ -261,6 +261,10 @@ def main() -> None:
           lambda: run(all_qs["acquisition_scores"](spark, sf_dir)))
     bench("class_weights",
           lambda: run(all_qs["class_weights"](spark, sf_dir)))
+    bench("embedding_drift",
+          lambda: run(all_qs["embedding_drift"](spark, sf_dir)))
+    bench("rebalance_sample",
+          lambda: run(all_qs["rebalance_sample"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

