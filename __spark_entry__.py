@@ -4048,6 +4048,23 @@ def q_rebalance_sample(spark, sf_dir):
     )
 
 
+def q_channel_stats(spark, sf_dir):
+    """Corpus per-channel normalization constants (functions/
+    image_features.py): decode inside the Arrow map, emit <= 4 moment-
+    partial rows PER BATCH (pixels never shuffle), ONE tiny aggregate —
+    the dataset-mean/std pair a training transform bakes in, plus the
+    channel = -1 undecodable counter. Oracle: the INDEPENDENT
+    accumulation twin (python-float sums, np.dot sumsq, channel-major
+    loop) frozen as a fixture."""
+    from modlyn_spark.functions.image_features import channel_stats
+    from modlyn_spark.session import ensure_parallelism
+
+    images = ensure_parallelism(
+        spark.read.parquet(f"{_FIXTURES}/images_curation_input.parquet")
+    )
+    return channel_stats(images).orderBy("channel")
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4192,6 +4209,7 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "canonical_docs": q_canonical_docs,
         "embedding_drift": q_embedding_drift,
         "rebalance_sample": q_rebalance_sample,
+        "channel_stats": q_channel_stats,
     }
 
 
@@ -7324,5 +7342,9 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             FROM d JOIN p USING (lang)
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
                        || '|'), 1, 8)) AS BIGINT) / 4294967296.0 < p.p
+        """,
+        "channel_stats": f"""
+            SELECT channel, n_pixels, mean, std
+            FROM read_parquet('{_FIXTURES}/channel_stats_expected.parquet')
         """,
     }

@@ -265,6 +265,8 @@ def main() -> None:
           lambda: run(all_qs["embedding_drift"](spark, sf_dir)))
     bench("rebalance_sample",
           lambda: run(all_qs["rebalance_sample"](spark, sf_dir)))
+    bench("channel_stats",
+          lambda: run(all_qs["channel_stats"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

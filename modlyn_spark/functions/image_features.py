@@ -160,3 +160,103 @@ def image_quality_features(
     return df.select(id_col, version_col, bytes_col, fmt_col).mapInPandas(
         run, schema=_SCHEMA
     )
+
+
+_CH_SCHEMA = StructType(
+    [
+        StructField("channel", LongType()),
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("ss", DoubleType()),
+    ]
+)
+
+
+def channel_stat_partials(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Per-Arrow-batch per-channel moment partials ``(channel, n, s,
+    ss)`` over decoded pixel values in [0, 255]: the map stage emits at
+    most 4 rows PER BATCH (channels 0/1/2 + the decode-failure counter
+    at channel -1), so the downstream aggregate is batch-count-sized.
+
+    Grayscale images contribute their plane to ALL THREE channels (the
+    loader convention: gray replicates to RGB), so the corpus constants
+    are what the training reader will actually see. Pixels never leave
+    the map stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n = np.zeros(3, dtype=np.int64)
+            s = np.zeros(3, dtype=np.float64)
+            ss = np.zeros(3, dtype=np.float64)
+            failed = 0
+            for _, r in pdf.iterrows():
+                try:
+                    if r[bytes_col] is None:
+                        raise ValueError("null payload")
+                    px = decode_bytes(bytes(r[bytes_col]), r[fmt_col])
+                except Exception:  # noqa: BLE001 — corrupt blob counts
+                    failed += 1
+                    continue
+                a = np.asarray(px, dtype=np.float64)
+                if a.ndim == 2:
+                    a = a[:, :, None].repeat(3, axis=2)
+                for c in range(3):
+                    plane = a[:, :, c]
+                    n[c] += plane.size
+                    s[c] += plane.sum()
+                    ss[c] += (plane * plane).sum()
+            recs = [
+                {"channel": c, "n": int(n[c]), "s": float(s[c]),
+                 "ss": float(ss[c])}
+                for c in range(3)
+            ]
+            recs.append(
+                {"channel": -1, "n": failed, "s": 0.0, "ss": 0.0}
+            )
+            yield pd.DataFrame(recs)
+
+    cols = [c for c in {bytes_col, fmt_col} if c in df.columns]
+    return df.select(*cols).mapInPandas(run, schema=_CH_SCHEMA)
+
+
+def channel_stats(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    *,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Corpus per-channel normalization constants ``(channel, n_pixels,
+    mean, std)`` — the dataset-mean/std pair a training pipeline bakes
+    into its input transform (the ImageNet-constants analog), plus the
+    channel = -1 row counting undecodable payloads (NULL mean/std).
+
+    ONE aggregate over the batch-sized partials; std is the population
+    ``sqrt(E[x^2] - E[x]^2)`` on the combined sums, rounded to
+    ``ndigits`` (the only float freedom is partial-sum order)."""
+    from pyspark.sql import functions as F
+
+    agg = channel_stat_partials(df, bytes_col, fmt_col).groupBy(
+        "channel"
+    ).agg(
+        F.sum("n").alias("n_pixels"),
+        F.sum("s").alias("__s"),
+        F.sum("ss").alias("__ss"),
+    )
+    ok = (F.col("channel") >= 0) & (F.col("n_pixels") > 0)
+    mean = F.col("__s") / F.col("n_pixels")
+    var = F.greatest(
+        F.lit(0.0), F.col("__ss") / F.col("n_pixels") - mean * mean
+    )
+    return agg.select(
+        "channel",
+        "n_pixels",
+        F.when(ok, F.round(mean, ndigits)).alias("mean"),
+        F.when(ok, F.round(F.sqrt(var), ndigits)).alias("std"),
+    )

@@ -394,6 +394,58 @@ def make_image_features_fixture() -> str:
     return out
 
 
+def make_channel_stats_fixture() -> str:
+    """Expected corpus per-channel constants for q_channel_stats: an
+    INDEPENDENT accumulation (per-image two-pass numpy moments summed
+    in PYTHON floats, channel loop outside the image loop — a different
+    association order and formulation from the engine's per-batch
+    vectorized partials). Grayscale planes replicate to all three
+    channels; undecodable payloads count into the channel = -1 row."""
+    from modlyn_spark.functions.image import decode_bytes
+
+    src_pdf = pd.read_parquet(
+        os.path.join(FIXTURE_DIR, "images_curation_input.parquet")
+    )
+    images, failed = [], 0
+    for _, r in src_pdf.iterrows():
+        try:
+            if r["bytes"] is None:
+                raise ValueError("null payload")
+            px = decode_bytes(bytes(r["bytes"]), r["fmt"])
+        except Exception:  # noqa: BLE001
+            failed += 1
+            continue
+        a = np.asarray(px, dtype=np.float64)
+        if a.ndim == 2:
+            a = np.stack([a, a, a], axis=2)
+        images.append(a)
+    recs = []
+    for c in range(3):
+        n = 0
+        s = 0.0
+        ss = 0.0
+        for a in images:
+            plane = a[:, :, c].ravel()
+            n += plane.size
+            s += float(np.add.reduce(plane))
+            ss += float(np.dot(plane, plane))
+        mean = s / n
+        var = max(0.0, ss / n - mean * mean)
+        recs.append(
+            {"channel": c, "n_pixels": n,
+             "mean": round(mean, 6), "std": round(var ** 0.5, 6)}
+        )
+    recs.append(
+        {"channel": -1, "n_pixels": failed, "mean": None, "std": None}
+    )
+    out_df = pd.DataFrame(recs)
+    out_df["mean"] = out_df["mean"].astype("float64")
+    out_df["std"] = out_df["std"].astype("float64")
+    out = os.path.join(FIXTURE_DIR, "channel_stats_expected.parquet")
+    out_df.to_parquet(out, index=False)
+    return out
+
+
 def make_patch_features_fixture() -> str:
     """Expected per-patch rows for the image_patches query: the
     INDEPENDENT twin (oracle_patch_features — explicit slicing loops +
@@ -568,6 +620,8 @@ def main() -> int:
     print(f"wrote {p13} ({len(pd.read_parquet(p13))} rows)")
     p14 = make_recurring_tiles_fixture()
     print(f"wrote {p14} ({len(pd.read_parquet(p14))} rows)")
+    p15 = make_channel_stats_fixture()
+    print(f"wrote {p15} ({len(pd.read_parquet(p15))} rows)")
     return 0
 
 

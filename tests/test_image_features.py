@@ -91,3 +91,69 @@ def test_corrupt_payload_becomes_row(spark):
     assert not bool(out.loc["null", "decode_ok"])
     assert np.isnan(out.loc["corrupt", "brightness"])
     assert out.loc["ok", "brightness"] == pytest.approx(31.5)
+
+
+# ---------------------------------------------------------------------------
+# corpus per-channel normalization constants
+# ---------------------------------------------------------------------------
+
+
+def test_channel_stats_twin_parity(spark):
+    from modlyn_spark.functions.image_features import channel_stats
+
+    got = (
+        channel_stats(spark.read.parquet(FIX))
+        .toPandas()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet("tests/fixtures/channel_stats_expected.parquet")
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    assert list(got["channel"]) == list(exp["channel"])
+    assert list(got["n_pixels"]) == list(exp["n_pixels"])
+    for c in ("mean", "std"):
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        m = ~(np.isnan(a) & np.isnan(b))
+        assert np.allclose(a[m], b[m], atol=1e-6)
+
+
+def test_channel_stats_partitioning_invariant(spark):
+    from modlyn_spark.functions.image_features import channel_stats
+
+    a = channel_stats(spark.read.parquet(FIX).repartition(2)).collect()
+    b = channel_stats(spark.read.parquet(FIX).repartition(17)).collect()
+    ka = {r["channel"]: (r["n_pixels"], r["mean"], r["std"]) for r in a}
+    kb = {r["channel"]: (r["n_pixels"], r["mean"], r["std"]) for r in b}
+    assert ka == kb  # round(6) absorbs partial-sum order
+
+
+def test_channel_stats_grayscale_replicates(spark):
+    from modlyn_spark.functions.image import png_encode
+    from modlyn_spark.functions.image_features import channel_stats
+
+    # one grayscale image: all three channels identical
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    df = spark.createDataFrame(
+        [("g", 0, bytearray(png_encode(px)), "png")],
+        "image_id string, version long, bytes binary, fmt string",
+    )
+    got = {r["channel"]: r for r in channel_stats(df).collect()}
+    assert got[0]["mean"] == got[1]["mean"] == got[2]["mean"]
+    assert got[0]["n_pixels"] == 64
+    assert got[-1]["n_pixels"] == 0
+
+
+def test_channel_stats_corrupt_counter(spark):
+    from modlyn_spark.functions.image_features import channel_stats
+
+    df = spark.createDataFrame(
+        [("bad", 0, bytearray(b"not a png"), "png"), ("null", 1, None, "png")],
+        "image_id string, version long, bytes binary, fmt string",
+    )
+    got = {r["channel"]: r for r in channel_stats(df).collect()}
+    assert got[-1]["n_pixels"] == 2
+    assert got[-1]["mean"] is None
+    assert got[0]["n_pixels"] == 0 and got[0]["mean"] is None
