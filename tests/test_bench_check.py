@@ -55,28 +55,56 @@ def test_rejects_missing_contract_keys():
         check_stdout(json.dumps({"metric": "m", "value": 1}) + "\n")
 
 
-def test_bench_summary_builder_stays_inside_window():
-    """Replicate bench.py's summary construction at the CURRENT suite
-    size (all live + benched retired names) and assert the line fits
-    with headroom — the regression the driver can't warn about."""
+def _suite_names():
     import re
 
     src = open(os.path.join(_REPO, "bench.py")).read()
-    names = re.findall(r'bench\(\s*"([a-zA-Z0-9_]+)"', src)
+    return re.findall(r'bench\(\s*"([a-zA-Z0-9_]+)"', src)
+
+
+def test_bench_summary_builder_stays_inside_window():
+    """Run bench.py's REAL summary builder at the CURRENT suite size
+    (all registered bench names, worst-case magnitudes) and assert the
+    line fits the driver window — the regression the driver can't warn
+    about."""
+    from bench import _SUMMARY_BUDGET, build_summary
+
+    names = _suite_names()
     assert len(names) >= 40  # sanity: the suite is still registered
-    summary = {
-        "metric": "headline_suite_seconds",
-        "value": 9999.999,
-        "unit": "sec",
-        "queries": {n: 99.99 for n in names},
-        "sf": "/root/testdata/sf0.1",
-        "cpus": 32,
-        "n_queries": len(names),
+    timings = {n: 999.999 for n in names}  # worst-case digit widths
+    line = build_summary(timings, "/root/testdata/sf0.1", 32)
+    assert len(line) <= _SUMMARY_BUDGET
+    parsed = check_stdout("noise\n" + line + "\n")
+    assert parsed["n_queries"] == len(names)
+    assert parsed["value"] == round(sum(timings.values()), 3)
+
+
+def test_bench_summary_keeps_cross_round_comparable_queries():
+    """The greedy fill must never evict the r1-r3 comparable set — the
+    per-query diff the judge runs against prior BENCH_r{N}.json files —
+    even when the rest of the suite is costlier."""
+    from bench import _COMPARABLE, build_summary
+
+    names = _suite_names()
+    # adversarial: every non-comparable query costs MORE than every
+    # comparable one, so a by-cost-only fill would evict the whole set
+    timings = {
+        n: (1.0 if n in _COMPARABLE else 500.0) for n in names
     }
-    line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) <= 1800, (
-        f"bench.py summary line would be {len(line)} chars; the >1800 "
-        "fallback in bench.py will truncate queries to top-20 — if this "
-        "fires, move queries to the jsonl or shorten names"
-    )
-    check_stdout("noise\n" + line + "\n")
+    parsed = json.loads(build_summary(timings, "/root/testdata/sf0.1", 32))
+    for q in _COMPARABLE:
+        if q in timings:
+            assert q in parsed["queries"], q
+    # and the marker reports the truncation honestly when it happens
+    if len(parsed["queries"]) < len(names):
+        assert parsed["queries_in_line"] == len(parsed["queries"])
+        assert parsed["detail_file"] == "BENCH/bench_detail.jsonl"
+
+
+def test_bench_summary_small_suite_includes_everything():
+    from bench import build_summary
+
+    timings = {f"q{i}": 1.5 for i in range(10)}
+    parsed = json.loads(build_summary(timings, "/root/testdata/sf0.01", 8))
+    assert set(parsed["queries"]) == set(timings)
+    assert "queries_in_line" not in parsed
