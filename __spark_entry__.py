@@ -4065,6 +4065,58 @@ def q_channel_stats(spark, sf_dir):
     return channel_stats(images).orderBy("channel")
 
 
+def q_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis (operators/skew.py): top-20 heaviest
+    user_id keys of the events stream with their table share and the
+    salt factor that brings each under a per-task row budget — ONE
+    map-side-combinable groupBy + a one-row broadcast total +
+    TakeOrderedAndProject (never a global sort of the key table).
+    Oracle: the same GROUP BY / cross-joined total / ORDER-LIMIT."""
+    from modlyn_spark.operators.skew import skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_report(ev, "user_id", target_rows_per_task=50, top_k=20)
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner (operators/compaction.py) over a
+    deterministic manifest derived from documents (part = lang, file =
+    md5-bucket of doc_id into 37 shards, bytes = sum(n_chars)):
+    start-offset binning into >=30kB rewrite groups in ONE exchange on
+    the partition column (the per-group stats window reuses the hash
+    partitioning — plan-asserted in tests/test_compaction.py). Oracle:
+    the identical two-window arithmetic in DuckDB."""
+    from modlyn_spark.operators.compaction import compaction_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("doc_id").cast("string"), F.lit("cp")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 37
+    )
+    manifest = docs.groupBy(
+        F.col("lang").alias("part"),
+        F.concat(F.lit("f"), F.lpad(bucket.cast("string"), 2, "0")).alias(
+            "file"
+        ),
+    ).agg(F.sum("n_chars").alias("bytes"))
+    out = compaction_plan(
+        manifest, "part", "file", "bytes", target_bytes=30_000
+    )
+    return out.withColumnRenamed("group", "grp")
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4210,6 +4262,12 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         "embedding_drift": q_embedding_drift,
         "rebalance_sample": q_rebalance_sample,
         "channel_stats": q_channel_stats,
+        # r5 sixth wave: table-maintenance / shuffle-planning ops —
+        # skew diagnosis (the north_rule's "skew handled explicitly"
+        # planning step) and the small-file compaction planner that
+        # complements z-order layout
+        "skew_report": q_skew_report,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -7346,5 +7404,41 @@ def _retired_oracle_sql_base() -> dict[str, str]:
         "channel_stats": f"""
             SELECT channel, n_pixels, mean, std
             FROM read_parquet('{_FIXTURES}/channel_stats_expected.parquet')
+        """,
+        "skew_report": """
+            WITH g AS (SELECT user_id, count(*) AS n_rows
+                       FROM events GROUP BY 1),
+            t AS (SELECT sum(n_rows) AS total FROM g)
+            SELECT user_id, n_rows,
+                   round(n_rows * 1.0 / total, 6) AS share,
+                   CAST(ceil(n_rows / 50.0) AS BIGINT) AS recommended_salt
+            FROM g, t
+            ORDER BY n_rows DESC, user_id
+            LIMIT 20
+        """,
+        "compaction_plan": """
+            WITH man AS (
+              SELECT lang AS part,
+                     'f' || lpad(CAST(CAST(('0x' || substr(md5(
+                         CAST(doc_id AS VARCHAR) || '|cp'), 1, 8))
+                         AS BIGINT) % 37 AS VARCHAR), 2, '0') AS file,
+                     CAST(sum(n_chars) AS BIGINT) AS bytes
+              FROM documents GROUP BY 1, 2),
+            sm AS (SELECT * FROM man WHERE bytes < 30000),
+            off AS (SELECT part, file, bytes,
+                           CAST(floor(coalesce(sum(bytes) OVER (
+                               PARTITION BY part ORDER BY file
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) / 30000.0)
+                               AS BIGINT) AS grp
+                    FROM sm),
+            g AS (SELECT part, file, bytes, grp,
+                         count(*) OVER (PARTITION BY part, grp)
+                             AS group_files,
+                         CAST(sum(bytes) OVER (PARTITION BY part,
+                             grp) AS BIGINT) AS group_bytes
+                  FROM off)
+            SELECT part, file, bytes, grp, group_files, group_bytes
+            FROM g WHERE group_files >= 2
         """,
     }

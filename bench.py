@@ -267,6 +267,10 @@ def main() -> None:
           lambda: run(all_qs["rebalance_sample"](spark, sf_dir)))
     bench("channel_stats",
           lambda: run(all_qs["channel_stats"](spark, sf_dir)))
+    # round-5 sixth wave: table-maintenance / shuffle-planning ops
+    bench("skew_report", lambda: run(all_qs["skew_report"](spark, sf_dir)))
+    bench("compaction_plan",
+          lambda: run(all_qs["compaction_plan"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
