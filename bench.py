@@ -271,6 +271,10 @@ def main() -> None:
     bench("skew_report", lambda: run(all_qs["skew_report"](spark, sf_dir)))
     bench("compaction_plan",
           lambda: run(all_qs["compaction_plan"](spark, sf_dir)))
+    # round-5 seventh wave: fused L-lambda regularization path (one
+    # stacked GEMM per batch per step — data passes once, not L times)
+    bench("regpath_weights",
+          lambda: run(all_qs["regpath_weights"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

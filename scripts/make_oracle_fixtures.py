@@ -77,6 +77,32 @@ def make_logreg_steps5_fixture() -> str:
     return out
 
 
+def make_regpath_fixture() -> str:
+    """Expected (lam, label, pos, weight) for q_regpath_weights at sf0.01:
+    the INDEPENDENT numpy twin run ONCE PER LAMBDA (L separate single-model
+    trainings), concatenated — the engine under test trains all lambdas in
+    one fused sweep, so equality here proves the fusion changes nothing."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_logreg
+    from modlyn_spark.scoring.logreg import assign_batches_pandas
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].astype(str)
+    batch_ids = assign_batches_pandas(emb, ["vec_id"], 4)
+    frames = []
+    for lam in (0.001, 0.01, 0.1, 1.0):
+        weights, _ = oracle_logreg(
+            X, labels, batch_ids, weight_decay=lam, max_steps=8, n_epochs=4
+        )
+        frames.append(weights.assign(lam=float(lam)))
+    out_pdf = pd.concat(frames, ignore_index=True)[
+        ["lam", "label", "pos", "weight"]
+    ].astype({"pos": "int64"})
+    out = os.path.join(FIXTURE_DIR, "regpath_weights_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_image_pipeline_fixture() -> str:
     """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
     for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
@@ -594,6 +620,8 @@ def main() -> int:
     print(f"wrote {p1}")
     p1b = make_logreg_steps5_fixture()
     print(f"wrote {p1b}")
+    p1c = make_regpath_fixture()
+    print(f"wrote {p1c}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()
