@@ -2886,6 +2886,29 @@ def q_regpath_weights(spark, sf_dir):
     )
 
 
+def q_ridge_tstats(spark, sf_dir):
+    """One-pass closed-form ridge with per-feature t-statistics
+    (scoring/ridge.py): sufficient statistics (A'A, A'y, y'y, n)
+    accumulate per partition with one GEMM per Arrow batch, tree-combine
+    executor-side, and the driver solves the 65x65 system — continuous-
+    target feature scoring with NO iterative training (complements the
+    reference's per-class F-stat, modlyn/_scoring.py). Oracle: the direct
+    single-node closed form assembled as one dense numpy block."""
+    from modlyn_spark.scoring.ridge import ridge_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("label").cast("double").alias("y"),
+    )
+    res = ridge_fit(df, "features", "y", alpha=1.0)
+    return res.coefficients_df(spark).select(
+        "pos",
+        F.round("beta", 6).alias("beta"),
+        F.round("t_stat", 4).alias("t_stat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-5 rotation (VERDICT r4 "Next round" #2): the 50 driver slots move
 # off near-duplicate variants and onto the round-4 analytics tier. Each
@@ -2944,6 +2967,10 @@ _R5_DEMOTED = [
     # its slot funds the regularization-path sweep, which exercises the
     # SAME trainer kernel at four weight decays in one fused pass.
     "early_termination",
+    # seventh r5 wave: C4 chunk dedup stays exercised inside the live
+    # curation_pipeline row's full DuckDB oracle (its boilerplate stage);
+    # its slot funds the closed-form ridge t-stat scorer.
+    "corpus_chunk_dedup",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -2975,6 +3002,9 @@ _R5_PROMOTED = [
     # sixth r5 wave: the fused L-lambda regularization path (fixture
     # oracle = L independent single-model numpy twins)
     "regpath_weights",
+    # seventh r5 wave: one-pass closed-form ridge t-stats (fixture
+    # oracle = the dense single-node closed form)
+    "ridge_tstats",
 ]
 
 
@@ -4305,6 +4335,9 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         # r5 sixth wave: fused regularization-path sweep over the
         # reference trainer kernel (promoted at definition)
         "regpath_weights": q_regpath_weights,
+        # r5 seventh wave: closed-form ridge t-stats (promoted at
+        # definition)
+        "ridge_tstats": q_ridge_tstats,
     }
 
 
@@ -4328,6 +4361,7 @@ SF_BOUND_ORACLES = {
     "kmeans_clusters": "/root/testdata/sf0.01",
     "early_termination": "/root/testdata/sf0.01",
     "regpath_weights": "/root/testdata/sf0.01",
+    "ridge_tstats": "/root/testdata/sf0.01",
     "pca_projection": "/root/testdata/sf0.01",
     "bpe_merges": "/root/testdata/sf0.01",
     "quality_classifier": "/root/testdata/sf0.01",
@@ -7483,5 +7517,10 @@ def _retired_oracle_sql_base() -> dict[str, str]:
         "regpath_weights": f"""
             SELECT lam, label, pos, round(weight, 6) AS weight
             FROM read_parquet('{_FIXTURES}/regpath_weights_sf001.parquet')
+        """,
+        # one-pass ridge vs the dense single-node closed form
+        "ridge_tstats": f"""
+            SELECT pos, beta, t_stat
+            FROM read_parquet('{_FIXTURES}/ridge_tstats_sf001.parquet')
         """,
     }

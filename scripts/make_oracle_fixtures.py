@@ -103,6 +103,41 @@ def make_regpath_fixture() -> str:
     return out
 
 
+def make_ridge_fixture() -> str:
+    """Expected (pos, beta, t_stat) for q_ridge_tstats at sf0.01: the
+    direct single-node closed form — dense design matrix assembled in
+    one numpy block (a different accumulation association than the
+    engine's per-partition Gram partials), alpha=1.0, unpenalized
+    intercept, sandwich covariance t-stats."""
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    emb = emb[emb["embedding"].notna() & emb["label"].notna()]
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    y = emb["label"].to_numpy(dtype=np.float64)
+    A = np.hstack([np.ones((len(X), 1)), X])
+    m = A.shape[1]
+    G = A.T @ A
+    c = A.T @ y
+    Dm = np.eye(m)
+    Dm[0, 0] = 0.0
+    alpha = 1.0
+    beta = np.linalg.solve(G + alpha * Dm, c)
+    rss = float(y @ y - 2.0 * beta @ c + beta @ G @ beta)
+    sigma2 = max(rss, 0.0) / (len(X) - m)
+    Ainv = np.linalg.inv(G + alpha * Dm)
+    cov = sigma2 * (Ainv @ G @ Ainv)
+    t = beta / np.sqrt(np.diag(cov))
+    out_pdf = pd.DataFrame(
+        {
+            "pos": np.arange(m, dtype=np.int64) - 1,
+            "beta": np.round(beta, 6),
+            "t_stat": np.round(t, 4),
+        }
+    )
+    out = os.path.join(FIXTURE_DIR, "ridge_tstats_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_image_pipeline_fixture() -> str:
     """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
     for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
@@ -622,6 +657,8 @@ def main() -> int:
     print(f"wrote {p1b}")
     p1c = make_regpath_fixture()
     print(f"wrote {p1c}")
+    p1d = make_ridge_fixture()
+    print(f"wrote {p1d}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()
