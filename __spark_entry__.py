@@ -2909,6 +2909,30 @@ def q_ridge_tstats(spark, sf_dir):
     )
 
 
+def q_cv_weights(spark, sf_dir):
+    """Fold-parallel CV training (scoring/cv.py): 3 leave-one-fold-out
+    models trained SIMULTANEOUSLY — per step one stacked (F*k, d) GEMM
+    plus a per-model visibility mask, so K-fold CV costs ONE data pass
+    instead of K (the reference re-runs fit() per split,
+    modlyn/models/_simple_logreg_model.py:120-123). Oracle: the
+    independent numpy twin run once per fold on the fold-filtered rows."""
+    from modlyn_spark.scoring.cv import CVLogReg, assign_folds
+    from modlyn_spark.scoring.logreg import assign_batches
+    from modlyn_spark.scoring.stats import label_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.selectExpr(
+        "vec_id", "cast(label as string) as label", "embedding as features"
+    )
+    classes, enc = label_encode(df, "label")
+    enc = assign_batches(enc, ["vec_id"], 4)
+    enc = assign_folds(enc, ["vec_id"], 3)
+    model = CVLogReg(64, classes, 3).fit(enc, max_steps=8, n_batches=4)
+    return model.weights_long(spark).select(
+        "fold", "label", "pos", F.round("weight", 6).alias("weight")
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-5 rotation (VERDICT r4 "Next round" #2): the 50 driver slots move
 # off near-duplicate variants and onto the round-4 analytics tier. Each
@@ -2969,8 +2993,12 @@ _R5_DEMOTED = [
     "early_termination",
     # seventh r5 wave: C4 chunk dedup stays exercised inside the live
     # curation_pipeline row's full DuckDB oracle (its boilerplate stage);
-    # its slot funds the closed-form ridge t-stat scorer.
+    # its slot funds the closed-form ridge t-stat scorer. SimHash rotates
+    # to the mirror (the near-dup family keeps minhash-LSH, components,
+    # semdedup and incremental_dedup live); its slot funds the
+    # fold-parallel CV trainer.
     "corpus_chunk_dedup",
+    "dedup_simhash",
 ]
 _R5_PROMOTED = [
     "table_profile",
@@ -3003,8 +3031,10 @@ _R5_PROMOTED = [
     # oracle = L independent single-model numpy twins)
     "regpath_weights",
     # seventh r5 wave: one-pass closed-form ridge t-stats (fixture
-    # oracle = the dense single-node closed form)
+    # oracle = the dense single-node closed form) + fold-parallel CV
+    # (fixture oracle = F independent fold-filtered twin runs)
     "ridge_tstats",
+    "cv_weights",
 ]
 
 
@@ -4335,9 +4365,10 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         # r5 sixth wave: fused regularization-path sweep over the
         # reference trainer kernel (promoted at definition)
         "regpath_weights": q_regpath_weights,
-        # r5 seventh wave: closed-form ridge t-stats (promoted at
-        # definition)
+        # r5 seventh wave: closed-form ridge t-stats + fold-parallel CV
+        # (promoted at definition)
         "ridge_tstats": q_ridge_tstats,
+        "cv_weights": q_cv_weights,
     }
 
 
@@ -4362,6 +4393,7 @@ SF_BOUND_ORACLES = {
     "early_termination": "/root/testdata/sf0.01",
     "regpath_weights": "/root/testdata/sf0.01",
     "ridge_tstats": "/root/testdata/sf0.01",
+    "cv_weights": "/root/testdata/sf0.01",
     "pca_projection": "/root/testdata/sf0.01",
     "bpe_merges": "/root/testdata/sf0.01",
     "quality_classifier": "/root/testdata/sf0.01",
@@ -7522,5 +7554,10 @@ def _retired_oracle_sql_base() -> dict[str, str]:
         "ridge_tstats": f"""
             SELECT pos, beta, t_stat
             FROM read_parquet('{_FIXTURES}/ridge_tstats_sf001.parquet')
+        """,
+        # fused F-fold CV vs F INDEPENDENT fold-filtered twin runs
+        "cv_weights": f"""
+            SELECT fold, label, pos, round(weight, 6) AS weight
+            FROM read_parquet('{_FIXTURES}/cv_weights_sf001.parquet')
         """,
     }

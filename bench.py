@@ -277,6 +277,8 @@ def main() -> None:
           lambda: run(all_qs["regpath_weights"](spark, sf_dir)))
     bench("ridge_tstats",
           lambda: run(all_qs["ridge_tstats"](spark, sf_dir)))
+    bench("cv_weights",
+          lambda: run(all_qs["cv_weights"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

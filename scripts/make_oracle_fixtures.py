@@ -138,6 +138,36 @@ def make_ridge_fixture() -> str:
     return out
 
 
+def make_cv_fixture() -> str:
+    """Expected (fold, label, pos, weight) for q_cv_weights at sf0.01:
+    the INDEPENDENT numpy twin run once PER FOLD on the fold-filtered
+    rows (salted-md5 folds, unsalted-md5 batches — both replicated with
+    hashlib), concatenated. The engine trains all folds in one fused
+    pass; equality proves the mask fusion reproduces F standalone runs."""
+    from modlyn_spark.oracle.pandas_oracle import oracle_logreg
+    from modlyn_spark.scoring.cv import assign_folds_pandas
+    from modlyn_spark.scoring.logreg import assign_batches_pandas
+
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].astype(str)
+    batch_ids = assign_batches_pandas(emb, ["vec_id"], 4)
+    fold_ids = assign_folds_pandas(emb, ["vec_id"], 3)
+    frames = []
+    for f in range(3):
+        keep = fold_ids != f
+        weights, _ = oracle_logreg(
+            X[keep], labels[keep], batch_ids[keep], max_steps=8, n_epochs=4
+        )
+        frames.append(weights.assign(fold=np.int64(f)))
+    out_pdf = pd.concat(frames, ignore_index=True)[
+        ["fold", "label", "pos", "weight"]
+    ].astype({"pos": "int64", "fold": "int64"})
+    out = os.path.join(FIXTURE_DIR, "cv_weights_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_image_pipeline_fixture() -> str:
     """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
     for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
@@ -659,6 +689,8 @@ def main() -> int:
     print(f"wrote {p1c}")
     p1d = make_ridge_fixture()
     print(f"wrote {p1d}")
+    p1e = make_cv_fixture()
+    print(f"wrote {p1e}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()
