@@ -279,6 +279,10 @@ def main() -> None:
           lambda: run(all_qs["ridge_tstats"](spark, sf_dir)))
     bench("cv_weights",
           lambda: run(all_qs["cv_weights"](spark, sf_dir)))
+    bench("kaplan_meier",
+          lambda: run(all_qs["kaplan_meier"](spark, sf_dir)))
+    bench("mrmr_selection",
+          lambda: run(all_qs["mrmr_selection"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of

@@ -390,3 +390,170 @@ def redundancy_prune(
         if not blocked:
             kept.append(p)
     return kept
+
+
+def pairwise_mutual_information(
+    df: DataFrame, vec_col: str, *, bins: int = 10
+) -> DataFrame:
+    """Mutual information I(f_i; f_j) for every feature PAIR, long form
+    ``(f1, f2, mi)`` with ``f1 < f2`` — the redundancy term of
+    paper-faithful mRMR (Peng, Long & Ding 2005), in the SAME units
+    (nats) as :func:`mutual_information`'s relevance term.
+
+    Same physical plan as the relevance pass: per-position equal-width
+    bins from one min/max aggregate, then ONE Arrow pass accumulating a
+    (d(d-1)/2, bins, bins) joint-count tensor per partition,
+    tree-combined; the driver closes the plogp sums. Per-partition state
+    is d(d-1)/2 * bins^2 longs (~1.6 MB at d=64, bins=10) — independent
+    of row count, but quadratic in d: this is a selection-scale-d
+    operator (the bound :func:`correlation_matrix` and
+    :func:`redundancy_prune` already document).
+    """
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from modlyn_spark.operators.combine import collect_partials
+    from modlyn_spark.operators.similarity import _vec_dim
+
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    spark = SparkSession.getActiveSession()
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v")
+    )
+    d = _vec_dim(base, "__v")
+    iu, ju = np.triu_indices(d, k=1)
+    npairs = len(iu)
+
+    mn, mx = _minmax(base, d)
+    w = np.where(mx > mn, (mx - mn) / float(bins), 1.0)
+
+    schema = StructType(
+        [
+            StructField("pid", LongType()),
+            StructField("t", ArrayType(LongType())),  # (npairs*bins*bins,)
+        ]
+    )
+    b2 = bins * bins
+    offs = np.arange(npairs, dtype=np.int64) * b2
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        t = np.zeros(npairs * b2, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seen = True
+            X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            B = np.clip(np.floor((X - mn) / w).astype(np.int64), 0, bins - 1)
+            # joint cell per pair: bin_i * bins + bin_j, offset per pair.
+            # Row-chunked: the (rows, npairs) index block is d^2/2 wide,
+            # so cap its footprint at ~512 rows (~8 MB at d=64) per slab
+            for lo in range(0, len(B), 512):
+                Bc = B[lo : lo + 512]
+                idx = (Bc[:, iu] * bins + Bc[:, ju]) + offs[None, :]
+                t += np.bincount(idx.ravel(), minlength=npairs * b2)
+        if seen:
+            yield pd.DataFrame({"pid": [pid], "t": [t.tolist()]})
+
+    parts = collect_partials(base.mapInPandas(partials, schema=schema))
+    t = np.zeros(npairs * b2, dtype=np.int64)
+    for r in parts:
+        t += np.asarray(r["t"], dtype=np.int64)
+    t = t.reshape(npairs, bins, bins)
+    n = int(t.sum(axis=(1, 2))[0]) if npairs else 0
+    if npairs and n < 1:
+        raise ValueError("no rows with non-null vector")
+    mrow = t.sum(axis=2)  # (npairs, bins) margin of f1
+    mcol = t.sum(axis=1)  # (npairs, bins) margin of f2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = (t.astype(np.float64) * n) / (
+            mrow[:, :, None] * mcol[:, None, :]
+        )
+        terms = np.where(t > 0, t / float(n) * np.log(ratio), 0.0)
+    mi = np.maximum(terms.sum(axis=(1, 2)), 0.0)
+    pdf = pd.DataFrame(
+        {"f1": iu.astype(np.int64), "f2": ju.astype(np.int64), "mi": mi}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def mrmr_select(
+    mi: DataFrame,
+    redundancy: DataFrame,
+    n_select: int,
+    *,
+    pos_col: str = "pos",
+    mi_col: str = "mi",
+    red_col: str = "mi",
+) -> pd.DataFrame:
+    """Greedy max-relevance min-redundancy selection (Peng, Long & Ding
+    2005, the MID criterion): pick argmax ``MI(f; y)`` first, then
+    repeatedly add
+
+        argmax_f [ MI(f; y) - mean_{s in S} red(f, s) ]
+
+    over the not-yet-selected features. Unlike :func:`redundancy_prune`
+    (a static threshold filter), redundancy is RE-SCORED against the
+    growing selected set each round — the classic trade-off ranking.
+
+    ``mi`` is :func:`mutual_information` output (pos, mi); ``redundancy``
+    is a pair table (f1, f2, value) — paper-faithful with
+    :func:`pairwise_mutual_information` (same nats scale as relevance;
+    the default ``red_col='mi'``), or :func:`correlation_matrix` with
+    ``red_col='corr'`` (|values| are used; note the scale mismatch can
+    let low-MI noise outrank correlated signal — the MI form doesn't).
+    Both inputs are driver-sized (d and d(d-1)/2 rows, selection-scale
+    d); the greedy loop is O(n_select * d) on the driver. NULL
+    redundancy entries (constant features under ``corr``) contribute 0.
+
+    Returns a pandas DataFrame (rank, pos, relevance, redundancy, score)
+    in selection order; ties break on lower position (deterministic).
+    """
+    if n_select < 1:
+        raise ValueError("n_select must be >= 1")
+    mp = mi.select(pos_col, mi_col).toPandas()
+    cp = redundancy.select("f1", "f2", red_col).toPandas()
+    rel = {int(r[0]): float(r[1]) for r in mp.itertuples(index=False)}
+    d = len(rel)
+    cmat = np.zeros((d, d))
+    for f1, f2, c in cp.itertuples(index=False):
+        if pd.notna(c):
+            cmat[int(f1), int(f2)] = cmat[int(f2), int(f1)] = abs(float(c))
+    selected: list[int] = []
+    rows = []
+    remaining = sorted(rel)
+    for rank in range(min(int(n_select), d)):
+        best = None
+        for p in remaining:
+            red = (
+                float(np.mean([cmat[p, s] for s in selected]))
+                if selected
+                else 0.0
+            )
+            score = rel[p] - red
+            # strictly-greater keeps the lowest position on exact ties
+            if best is None or score > best[1]:
+                best = (p, score, red)
+        p, score, red = best
+        rows.append(
+            {
+                "rank": np.int64(rank),
+                "pos": np.int64(p),
+                "relevance": rel[p],
+                "redundancy": red,
+                "score": score,
+            }
+        )
+        selected.append(p)
+        remaining.remove(p)
+    return pd.DataFrame(rows)

@@ -168,6 +168,61 @@ def make_cv_fixture() -> str:
     return out
 
 
+def make_mrmr_fixture() -> str:
+    """Expected (rank, pos, relevance, redundancy, score) for
+    q_mrmr_selection at sf0.01: single-node twin — joint histograms
+    accumulated per pair with bincount over the full table (one block,
+    vs the engine's per-partition tensors), then the same greedy MID
+    loop re-implemented inline."""
+    emb = pd.read_parquet(f"{SF_GATE}/embeddings.parquet")
+    emb = emb[emb["embedding"].notna() & emb["label"].notna()]
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].astype(str).to_numpy()
+    bins = 10
+    n, d = X.shape
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    w = np.where(mx > mn, (mx - mn) / bins, 1.0)
+    B = np.clip(np.floor((X - mn) / w).astype(np.int64), 0, bins - 1)
+
+    def mi_of(a_idx: np.ndarray, ka: int, b_idx: np.ndarray, kb: int) -> float:
+        t = np.bincount(a_idx * kb + b_idx, minlength=ka * kb).reshape(ka, kb)
+        p = t / n
+        pi, pj = p.sum(axis=1), p.sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            terms = np.where(t > 0, p * np.log(p / np.outer(pi, pj)), 0.0)
+        return max(float(terms.sum()), 0.0)
+
+    classes = sorted(set(labels.tolist()))
+    y = np.array([classes.index(v) for v in labels])
+    rel = {j: mi_of(y, len(classes), B[:, j], bins) for j in range(d)}
+    red = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i + 1, d):
+            red[i, j] = red[j, i] = mi_of(B[:, i], bins, B[:, j], bins)
+    sel, rem, rows = [], list(range(d)), []
+    for rank in range(10):
+        scored = []
+        for p in rem:
+            r = float(np.mean([red[p, s] for s in sel])) if sel else 0.0
+            scored.append((rel[p] - r, -p, p, r))
+        sc, _, p, r = max(scored)
+        rows.append(
+            {
+                "rank": rank,
+                "pos": p,
+                "relevance": round(rel[p], 6),
+                "redundancy": round(r, 6),
+                "score": round(sc, 6),
+            }
+        )
+        sel.append(p)
+        rem.remove(p)
+    out_pdf = pd.DataFrame(rows).astype({"rank": "int64", "pos": "int64"})
+    out = os.path.join(FIXTURE_DIR, "mrmr_selection_sf001.parquet")
+    out_pdf.to_parquet(out, index=False)
+    return out
+
+
 def make_image_pipeline_fixture() -> str:
     """Expected (image_id, label, f_phash_hamming, f_version, f_age_sec)
     for q_image_pipeline (50 entities, hot_every=25, hot_factor=10)."""
@@ -691,6 +746,8 @@ def main() -> int:
     print(f"wrote {p1d}")
     p1e = make_cv_fixture()
     print(f"wrote {p1e}")
+    p1f = make_mrmr_fixture()
+    print(f"wrote {p1f}")
     p2 = make_image_pipeline_fixture()
     print(f"wrote {p2} ({len(pd.read_parquet(p2))} rows)")
     p3 = make_kmeans_fixture()
