@@ -14,10 +14,12 @@ Physical plan (fully declarative — ONE shuffle, no UDFs):
 
 - groupBy(duration) collapses subjects to one row per DISTINCT time
   (d = sum(event), c = row count) — map-side combinable;
-- at-risk counts and the running product come from ONE ordered window
-  over those distinct-time rows: n_i = N - cumsum(c) + c_i, and the
-  product is exp(cumsum(ln(1 - d/n))) with a cummax flag for the
-  S -> 0 absorbing case (d_j = n_j), where ln is undefined;
+- at-risk counts and the running product come from ordered windows
+  over those distinct-time rows: n_i is the REVERSE cumulative sum of c
+  (subjects with duration >= t_i — no separate count job, the input is
+  scanned once), and the product is exp(cumsum(ln(1 - d/n))) with a
+  cummax flag for the S -> 0 absorbing case (d_j = n_j), where ln is
+  undefined;
 - Greenwood's sum is the same window.
 
 Precision contract (the repo's bounded-distinct-window rule): the
@@ -46,7 +48,8 @@ def kaplan_meier(
     ``duration_col``: numeric time-to-event-or-censor (>= 0);
     ``event_col``: 1 = event observed, 0 = right-censored. NULL duration
     rows are dropped (they cannot be placed on the timeline); NULL event
-    is treated as censored. Returns one row per distinct duration:
+    is treated as censored. Lazy builder — no job runs here, so an empty
+    input yields an empty curve. Returns one row per distinct duration:
     (duration, n_at_risk, n_events, n_censored, survival, greenwood_se),
     ordered by duration. ``round_to`` pre-buckets durations to that many
     decimals, bounding the window by the bucket count (REQUIRED thinking
@@ -65,13 +68,11 @@ def kaplan_meier(
         F.count(F.lit(1)).alias("n_total"),
     )
     w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
-    total = g.select(F.sum("n_total")).collect()[0][0] or 0
-    if total == 0:
-        raise ValueError("kaplan_meier: no rows with non-null duration")
-
-    g = g.withColumn(
-        "n_at_risk", F.lit(total) - F.sum("n_total").over(w) + F.col("n_total")
-    )
+    # n_at_risk = subjects with duration >= t_i — a reverse cumulative
+    # sum over the SAME histogram-sized window partition. (A driver-side
+    # N via collect() would scan the input a second time for nothing.)
+    w_rev = Window.orderBy("duration").rowsBetween(0, Window.unboundedFollowing)
+    g = g.withColumn("n_at_risk", F.sum("n_total").over(w_rev))
     # absorbing zero: once d_j = n_j at some time, S is exactly 0 after it
     g = g.withColumn(
         "__dead", F.max((F.col("n_events") == F.col("n_at_risk")).cast("int")).over(w)
