@@ -4311,6 +4311,24 @@ def q_compaction_plan(spark, sf_dir):
     return out.withColumnRenamed("group", "grp")
 
 
+def q_conformal_thresholds(spark, sf_dir):
+    """Split-conformal calibration thresholds (scoring/conformal.py):
+    the k = ceil((n+1)(1-alpha))-th smallest nonconformity score per
+    event_type at three coverage levels — the distribution-free
+    accept/reject gate a curation pipeline puts on top of any quality
+    score. Plan: one map-side-combinable value histogram, per-group
+    cumulative windows over DISTINCT scores, never a row-level sort.
+    Oracle: the IDENTICAL ANSI formulation via conformal_thresholds_sql
+    (raw doubles, no rounding — qhat is an actual data value, so
+    engine equality is bit-exact)."""
+    from modlyn_spark.scoring.conformal import conformal_thresholds
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return conformal_thresholds(
+        ev, "value", group_cols="event_type", alphas=[0.05, 0.1, 0.25]
+    )
+
+
 def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "history_features": q_history_features,
@@ -4462,6 +4480,8 @@ def _retired_queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame
         # complements z-order layout
         "skew_report": q_skew_report,
         "compaction_plan": q_compaction_plan,
+        # r5 final wave: distribution-free conformal coverage thresholds
+        "conformal_thresholds": q_conformal_thresholds,
         # r5 sixth wave: fused regularization-path sweep over the
         # reference trainer kernel (promoted at definition)
         "regpath_weights": q_regpath_weights,
@@ -7650,6 +7670,14 @@ def _retired_oracle_sql_base() -> dict[str, str]:
             SELECT part, file, bytes, grp, group_files, group_bytes
             FROM g WHERE group_files >= 2
         """,
+        # split-conformal thresholds: the identical ANSI formulation,
+        # parameterized through the module's own sql twin
+        "conformal_thresholds": __import__(
+            "modlyn_spark.scoring.conformal", fromlist=["x"]
+        ).conformal_thresholds_sql(
+            "value", "events", group_exprs=["event_type"],
+            alphas=[0.05, 0.1, 0.25],
+        ),
         # fused L-lambda path vs L INDEPENDENT single-model numpy twins
         "regpath_weights": f"""
             SELECT lam, label, pos, round(weight, 6) AS weight

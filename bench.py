@@ -283,6 +283,10 @@ def main() -> None:
           lambda: run(all_qs["kaplan_meier"](spark, sf_dir)))
     bench("mrmr_selection",
           lambda: run(all_qs["mrmr_selection"](spark, sf_dir)))
+    # round-5 final wave: split-conformal coverage thresholds (value
+    # histogram + distinct-score windows, the exact-order-statistic rule)
+    bench("conformal_thresholds",
+          lambda: run(all_qs["conformal_thresholds"](spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     # The external driver captures only the LAST ~2000 characters of
