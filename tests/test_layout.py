@@ -190,13 +190,17 @@ def test_written_files_prune_boxes(spark, tmp_path):
         return n
 
     ze, le = extents(zdir), extents(ldir)
-    assert len(ze) == len(le) == 64
+    # repartitionByRange draws sample-based boundaries, so a run can
+    # land one short of the requested 64 files (an empty range writes
+    # no file) — assert the pruning RATIOS against the actual counts,
+    # not the literal 64 (the one observed full-suite flake)
+    assert 60 <= len(ze) <= 64 and 60 <= len(le) <= 64
 
     # non-leading dimension: lexicographic prunes NOTHING, z-order must
     # skip more than half the files for a 10% y-slice
     y_slice = (450_000, 550_000)
-    assert files_hit(le, yr=y_slice) == 64
-    assert files_hit(ze, yr=y_slice) <= 32
+    assert files_hit(le, yr=y_slice) == len(le)
+    assert files_hit(ze, yr=y_slice) <= len(ze) // 2
 
     # 2-D box (10% x 10%): z-order must hit at most half of what the
     # lexicographic layout hits... and both must still answer correctly
