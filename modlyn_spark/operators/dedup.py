@@ -443,15 +443,21 @@ def connected_components(
     component = the minimum node id reachable from it.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the symmetrized edge list ONCE: it is consumed by the
+    # label-init distinct AND by every round's neighbor join, and it is
+    # output-sized (dup pairs), not corpus-sized — uncached, each round
+    # re-ran the whole upstream pair pipeline (measured: canonical_docs
+    # spent ~2/3 of its 20s re-deriving the minhash pair graph per round)
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    ckpt = labels  # handle to the round's checkpointed DF (for unpersist)
     for _ in range(max_iter):
         # neighbor minimum: every edge carries its endpoint's current label
         neigh = (
@@ -460,10 +466,14 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # carry the pre-step label through the round so convergence is a
+        # flat filter over the checkpointed result — the old formulation
+        # paid an extra labels-join per round just to count changes
         stepped = (
             labels.join(neigh, "node", "left")
             .select(
                 "node",
+                F.col("comp").alias("old"),
                 F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias(
                     "comp"
                 ),
@@ -477,23 +487,22 @@ def connected_components(
             stepped.join(parent, "comp", "left")
             .select(
                 "node",
+                "old",
                 F.least(F.col("comp"), F.coalesce("gcomp", F.col("comp"))).alias(
                     "comp"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            doubled.join(labels.withColumnRenamed("comp", "old"), "node")
-            .where(F.col("comp") != F.col("old"))
-            .count()
-        )
+        changed = doubled.where(F.col("comp") != F.col("old")).count()
         # release the superseded round's checkpoint blocks (doubled is
         # already materialized, so nothing recomputes through the old one)
-        labels.unpersist()
-        labels = doubled
+        ckpt.unpersist()
+        ckpt = doubled
+        labels = doubled.select("node", "comp")
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select("node", F.col("comp").alias("component"))
 
 
