@@ -122,13 +122,24 @@ def linked_pairs(
         chunk_n = int(hot_block_chunk)
         # block cardinality from the larger join input drives m; both
         # sides must agree on m per key, so compute it once and
-        # broadcast (block-key count is bounded by distinct keys)
-        counts = (
-            left.select("bk")
-            .unionByName(right.select("bk"))
-            .groupBy("bk")
-            .count()
-        )
+        # broadcast (block-key count is bounded by distinct keys).
+        # Self mode: both sides are the SAME prep, so count one side and
+        # double — identical counts (hence identical hot set and m) for
+        # half the aggregation input, and the normalize/block pass runs
+        # one fewer time.
+        if other is None:
+            counts = (
+                left.select("bk")
+                .groupBy("bk")
+                .agg((F.count(F.lit(1)) * 2).alias("count"))
+            )
+        else:
+            counts = (
+                left.select("bk")
+                .unionByName(right.select("bk"))
+                .groupBy("bk")
+                .count()
+            )
         hot = counts.where(F.col("count") > chunk_n).select(
             "bk",
             F.ceil(F.col("count") / chunk_n).cast("int").alias("m"),
@@ -167,9 +178,28 @@ def linked_pairs(
     # Catalyst pushes it INTO the join condition, so the per-candidate
     # levenshtein runs exactly once where the candidates materialize
     # (plan-asserted); the output projection re-evaluates only on the
-    # tiny survivor set
-    dist = F.levenshtein("t1", "t2")
+    # tiny survivor set.
+    #
+    # BANDED distance: 3-arg levenshtein(t1, t2, thr) runs the
+    # O(len x thr) banded DP with early abandon instead of the full
+    # O(len^2) matrix, returning -1 when the distance exceeds thr and
+    # the exact distance otherwise. Rejected candidates dominate a
+    # blocked join, so bounding the band is the win. thr carries +1
+    # slack in min_sim mode so float rounding in the ORIGINAL predicate
+    # (re-applied below, unchanged — the survivor set is decided by the
+    # same float comparison as before) can never disagree with the
+    # integer band: any dist admitted by 1 - dist/mx >= min_sim
+    # satisfies dist <= (1-min_sim)*mx up to ULPs, and the band only
+    # needs to cover every admissible dist.
+    if max_dist is not None:
+        thr = F.lit(int(max_dist))
+    else:
+        thr = (
+            F.floor(F.lit(1.0 - float(min_sim)) * mx).cast("int") + F.lit(1)
+        )
+    dist = F.call_function("levenshtein", F.col("t1"), F.col("t2"), thr)
     sim = F.when(mx > 0, 1.0 - dist / mx).otherwise(F.lit(1.0))
+    cand = cand.where(dist >= 0)
     if max_dist is not None:
         cand = cand.where(dist <= int(max_dist))
     else:
