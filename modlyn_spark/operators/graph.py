@@ -105,31 +105,53 @@ def pagerank(
         eager=True
     )
     teleport = (1.0 - damping) / n
-    try:
-        for _ in range(iterations):
+    # dangling is already materialized: one cheap count decides whether
+    # the per-round dangling-mass aggregate (a driver action per
+    # iteration) is needed at all. Graphs where every node has an
+    # out-edge (common: link graphs built per-source) skip it — dm is
+    # exactly 0.0 and x + 0.0 == x in IEEE doubles, so the rank
+    # arithmetic is unchanged.
+    has_dangling = dangling.limit(1).count() > 0
+    # without the dm action, a round is one lazy plan — run two power
+    # rounds per localCheckpoint to halve the job count (the plan stays
+    # two joins deep over flat checkpointed scans)
+    per_ckpt = 1 if has_dangling else 2
+
+    def step(r: DataFrame) -> DataFrame:
+        if has_dangling:
             dm = (
-                ranks.join(dangling, "node", "left_semi")
+                r.join(dangling, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()[0]
             )
-            sums = (
-                links.join(ranks.withColumnRenamed("node", "u"), "u")
-                .select(F.col("v").alias("node"),
-                        (F.col("rank") / F.col("__deg")).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("s"))
-            )
-            stepped = nodes.join(sums, "node", "left").select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dm / n))
-                ).alias("rank"),
-            )
+            extra = F.lit(dm / n)
+        else:
+            extra = None
+        sums = (
+            links.join(r.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"),
+                    (F.col("rank") / F.col("__deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        contrib = F.coalesce(F.col("s"), F.lit(0.0))
+        if extra is not None:
+            contrib = contrib + extra
+        return nodes.join(sums, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * contrib).alias("rank"),
+        )
+    try:
+        done = 0
+        while done < iterations:
+            batch = min(per_ckpt, iterations - done)
+            stepped = ranks
+            for _ in range(batch):
+                stepped = step(stepped)
             new_ranks = stepped.localCheckpoint(eager=True)
             ranks.unpersist()
             ranks = new_ranks
+            done += batch
     finally:
         links.unpersist()
     return ranks
