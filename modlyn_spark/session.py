@@ -66,7 +66,41 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark)
     return spark
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spin up the per-core Python worker pool once at session build.
+
+    The first Arrow-batched stage of a session pays worker fork + numpy/
+    pandas import on every core (~2-3s at 32 cores, measured) — cost
+    that belongs to session setup, not to whichever query happens to hit
+    the Python boundary first. Workers are reused for the session's
+    lifetime (spark.python.worker.reuse default), so one empty
+    mapInPandas pass over defaultParallelism partitions moves that cost
+    next to the JVM/codegen warmup. Guarded so getOrCreate() reuse
+    doesn't re-pay it."""
+    if getattr(spark, "_modlyn_workers_warm", False):
+        return
+    try:
+        par = spark.sparkContext.defaultParallelism
+
+        def _identity(batches):
+            for b in batches:
+                yield b
+
+        (
+            spark.range(par)
+            .repartition(par)
+            .mapInPandas(_identity, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass  # warmup is best-effort; never fail session construction
+    spark._modlyn_workers_warm = True
 
 
 def ensure_parallelism(
