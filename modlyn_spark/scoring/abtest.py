@@ -135,10 +135,23 @@ def _replicate_means(df, metric_col, groups, keys, *, b, alpha, seed):
         raise ValueError("b must be >= 2")
     if not 0.0 < alpha < 1.0:
         raise ValueError("alpha must be in (0, 1)")
+    from modlyn_spark.session import ensure_parallelism
+
     x = F.col(metric_col).cast("double")
-    base = df.where(x.isNotNull()).select(
-        *groups, x.alias("__x"),
-        F.concat_ws("|", *[F.col(k).cast("string") for k in keys]).alias("__k"),
+    # fan the base out BEFORE the b-way explode: the replicate stage does
+    # b x rows md5 draws with no exchange between scan and aggregate, so
+    # a small single-row-group source serializes the whole bootstrap onto
+    # one core (measured: 5M draws at sf0.1 ran ~4s serial, ~0.3s spread;
+    # min_bytes=1 because the explode amplifies work b-fold past the
+    # input bytes)
+    base = ensure_parallelism(
+        df.where(x.isNotNull()).select(
+            *groups, x.alias("__x"),
+            F.concat_ws(
+                "|", *[F.col(k).cast("string") for k in keys]
+            ).alias("__k"),
+        ),
+        min_bytes=1,
     )
     rep = base.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("__r")
