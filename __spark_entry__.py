@@ -841,7 +841,7 @@ def _planted_embeddings(spark, sf_dir):
     tuning accident."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     base = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     copies = base.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -906,7 +906,7 @@ def q_semdedup(spark, sf_dir):
         r[0]
         for r in emb.orderBy("vec_id")
         .limit(8)
-        .select(F.transform("embedding", lambda x: x.cast("double")))
+        .select(F.col("embedding").cast("array<double>"))
         .collect()
     ]
     import numpy as np
@@ -1099,7 +1099,7 @@ def q_kmeans_clusters(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     C, _ = kmeans_fit(df, "v", k=4, max_iter=8, id_col="vec_id")
     return kmeans_assign(df, "v", C).select(
@@ -2898,7 +2898,7 @@ def q_ridge_tstats(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("embedding").cast("array<double>").alias("features"),
         F.col("label").cast("double").alias("y"),
     )
     res = ridge_fit(df, "features", "y", alpha=1.0)
@@ -2950,7 +2950,7 @@ def q_mrmr_selection(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("features"),
+        F.col("embedding").cast("array<double>").alias("features"),
         F.col("label").cast("string").alias("label"),
     )
     mi = mutual_information(df, "features", "label", bins=10)
@@ -3283,7 +3283,7 @@ def q_pca_projection(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     df = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     model = pca_fit(df, "v", 4)
     out = pca_transform(df, "v", model, out_col="p")
