@@ -62,6 +62,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # deployment-tunable overrides without touching callers: a comma list
+    # of k=v pairs (e.g. SPARK_GRAFT_CONF="spark.sql.shuffle.partitions=2000")
+    # — cluster runs parameterize scale-dependent settings here while the
+    # local defaults above stay the bench-comparable baseline
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(","):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
