@@ -83,19 +83,40 @@ def hashed_ngram_features(
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = []
+            # grams laid out doc-contiguously; md5 runs once per DISTINCT
+            # gram in the batch (corpora share vocabulary heavily — the
+            # per-occurrence hashlib loop was the featurizer's inner
+            # cost), then one global bincount builds every doc's
+            # histogram. Same slot ids, same counts, same tf division.
+            per_doc: list[list[str]] = []
             for t in pdf[text_col]:
-                v = np.zeros(dims, dtype=np.float64)
+                grams: list[str] = []
                 if isinstance(t, str) and t:
                     toks = _TOKEN_RE.findall(t.lower())
-                    total = 0
                     for n in orders:
                         for i in range(len(toks) - n + 1):
-                            g = " ".join(toks[i : i + n])
-                            v[_portable_slot(g, dims)] += 1.0
-                            total += 1
-                    if total:
-                        v /= total
+                            grams.append(" ".join(toks[i : i + n]))
+                per_doc.append(grams)
+            counts = np.array([len(g) for g in per_doc], dtype=np.int64)
+            flat = [g for gs in per_doc for g in gs]
+            nb = len(per_doc)
+            hist = np.zeros((nb, dims), dtype=np.int64)
+            if flat:
+                uniq, inv = np.unique(
+                    np.array(flat, dtype=object), return_inverse=True
+                )
+                slots = np.array(
+                    [_portable_slot(g, dims) for g in uniq], dtype=np.int64
+                )
+                seg = np.repeat(np.arange(nb, dtype=np.int64), counts)
+                hist = np.bincount(
+                    seg * dims + slots[inv], minlength=nb * dims
+                ).reshape(nb, dims)
+            feats = []
+            for i in range(nb):
+                v = hist[i].astype(np.float64)
+                if counts[i]:
+                    v /= float(counts[i])
                 feats.append(v)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy(), out_col: feats}
