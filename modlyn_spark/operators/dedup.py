@@ -572,26 +572,56 @@ def hash_hamming_pairs(
     sh = df.select(
         F.col(id_col).alias("did"), F.col(hash_col).cast("long").alias("sh")
     ).where(F.col("sh").isNotNull())
+    combos = list(combinations(range(n_blocks), subset))
     keys = [
         F.xxhash64(F.lit(ci), *[_block(i) for i in combo])
-        for ci, combo in enumerate(combinations(range(n_blocks), subset))
+        for ci, combo in enumerate(combos)
     ]
-    blocks = sh.select("did", "sh", F.explode(F.array(*keys)).alias("bh"))
-    a = blocks.select(F.col("did").alias("id1"), F.col("sh").alias("sh1"), "bh")
+
+    def _combo_mask(combo: tuple[int, ...]) -> int:
+        m = 0
+        for i in combo:
+            m |= ((1 << widths[i]) - 1) << offsets[i]
+        return m - (1 << 64) if m >= (1 << 63) else m  # signed LongType
+
+    blocks = sh.select(
+        "did", "sh", F.posexplode(F.array(*keys)).alias("ci", "bh")
+    )
+    a = blocks.select(
+        F.col("did").alias("id1"), F.col("sh").alias("sh1"), "ci", "bh"
+    )
     b = blocks.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"), "bh")
+    # FIRST-MATCH emission: a near-identical pair agrees on almost every
+    # block, so it collides on up to C(m, m-r) subset keys — every copy
+    # used to flow through the verify + pair-dedup exchange (~45x row
+    # amplification at r=8/m=10 on a template corpus). The smallest
+    # matching combo is a pure function of xor(sh1, sh2): keep a joined
+    # row only when ITS combo index is that first match — exactly one
+    # row survives per pair (block equality => key equality, so the
+    # first-match row is always present), making the trailing
+    # dropDuplicates a no-op safety net instead of a 45x shuffle.
+    x = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    first = F.when(x.bitwiseAND(F.lit(_combo_mask(combos[0]))) == 0, 0)
+    for ci in range(1, len(combos)):
+        first = first.when(
+            x.bitwiseAND(F.lit(_combo_mask(combos[ci]))) == 0, ci
+        )
+    first = first.otherwise(F.lit(-1))
     return (
         a.join(b, "bh")
-        .where(F.col("id1") < F.col("id2"))
+        # predicate order matters: the cheap bit_count radius test drops
+        # key-collision noise first; the mask chain then runs only on
+        # the radius-passing (duplicated) rows
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.bit_count(x) <= max_hamming)
+            & (F.col("ci") == first)
+        )
         .select(
             "id1",
             "id2",
             F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
         )
-        # radius filter BEFORE the pair dedup: hamming is deterministic
-        # per pair, and key-collision noise (pairs close on one key, far
-        # overall) dominates the pre-dedup volume — filtering first
-        # shrinks the dedup exchange by ~10x
-        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id1", "id2"])
     )
 
