@@ -65,6 +65,19 @@ def main() -> None:
         "flagship_pipeline": benchmod._flagship,
         "dedup_minhash_groups": benchmod._minhash_groups,
     }
+    # bench.py display names that differ from the queries() keys: parse
+    # the bench('name', ... all_qs["key"] ...) pairs out of its source
+    import inspect
+    import re as _re
+
+    bench_src = inspect.getsource(benchmod)
+    for m in _re.finditer(
+        r'bench\("([a-z0-9_]+)",\s*\n?\s*lambda: run\(all_qs\["([a-z0-9_]+)"\]',
+        bench_src,
+    ):
+        disp, key = m.group(1), m.group(2)
+        if disp != key:
+            extra[disp] = (lambda s, d, q=key: all_qs[q](s, d))
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/events.parquet").limit(1).collect()
