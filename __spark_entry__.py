@@ -840,8 +840,14 @@ def _planted_embeddings(spark, sf_dir):
     hyperplane signatures match structurally — recall is a theorem, not a
     tuning accident."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # transform (not a native array cast) deliberately: the dup-pair
+    # consumer re-references v's elements repeatedly, and Catalyst
+    # inlines a "cheap" Cast into every reference while the non-cheap
+    # HOF stays projected once (measured at sf1: cast 10.8-15.4s vs
+    # transform 7.8-10.9s for embedding_dup_pairs; the moments-pass
+    # queries are the opposite case and use the native cast)
     base = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     copies = base.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
