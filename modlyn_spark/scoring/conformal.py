@@ -57,6 +57,16 @@ def conformal_thresholds(
     score, or NULL when that rank exceeds ``n_cal`` (coverage 1-alpha
     is unattainable with n_cal calibration points — the +inf case).
 
+    Two documented edges (identical in the SQL oracle, deliberately not
+    "fixed" one-sided): NaN scores are NOT NULL, so they survive the
+    filter, count into n_cal and sort last — a NaN can become qhat
+    (accept-everything) rather than being silently dropped; pre-filter
+    ``~isnan(score)`` upstream if NaN means "missing". And k_rank uses
+    double-arithmetic ceil, which for a handful of (alpha, n) pairs
+    (e.g. alpha=0.7, n=9: 10*0.3 -> 3.0000000000000004 -> 4) lands one
+    rank above exact rational arithmetic — over-covering, never
+    under-covering, and bit-identically in both engines.
+
     Scale: the window runs over the per-group DISTINCT-score histogram.
     For continuous scores, round upstream (the binning precision
     contract) so the histogram stays bounded; the threshold is then
@@ -146,18 +156,35 @@ def conformal_accept(
     th = thresholds
     if alpha is not None:
         th = th.where(F.col("alpha") == float(alpha))
-    th = th.select(*groups, "n_cal", "qhat")
+    else:
+        # a multi-alpha table with no selector would silently duplicate
+        # every scored row once per level (and make the flag
+        # level-dependent) — enforce the docstring's contract
+        n_alpha = th.select("alpha").distinct().limit(2).count()
+        if n_alpha > 1:
+            raise ValueError(
+                "thresholds table carries multiple alpha levels; pass "
+                "alpha= to select one"
+            )
+    # reserved aliases: a scored table that already carries n_cal/qhat
+    # columns must not collide with the join side (the trailing drop
+    # would otherwise eat the caller's data)
+    th = th.select(
+        *groups,
+        F.col("n_cal").alias("__cal_n"),
+        F.col("qhat").alias("__cal_qhat"),
+    )
     if groups:
         joined = scored.join(F.broadcast(th), on=groups, how="left")
     else:
         joined = scored.crossJoin(F.broadcast(th))  # one-row threshold
     flag = F.when(
-        F.col("n_cal").isNull(), F.lit(None).cast("boolean")
+        F.col("__cal_n").isNull(), F.lit(None).cast("boolean")
     ).otherwise(
-        F.col("qhat").isNull()
-        | (F.col(score_col).cast("double") <= F.col("qhat"))
+        F.col("__cal_qhat").isNull()
+        | (F.col(score_col).cast("double") <= F.col("__cal_qhat"))
     )
-    return joined.withColumn(out_col, flag).drop("n_cal", "qhat")
+    return joined.withColumn(out_col, flag).drop("__cal_n", "__cal_qhat")
 
 
 def conformal_thresholds_sql(

@@ -206,3 +206,35 @@ def test_partitioning_invariance(spark, cal_pdf):
         a.sort_values(["lang"]).reset_index(drop=True),
         b.sort_values(["lang"]).reset_index(drop=True),
     )
+
+
+def test_accept_requires_alpha_for_multilevel_table(spark):
+    cal = pd.DataFrame({"g": ["a"] * 30, "score": np.arange(30) / 30.0})
+    th = conformal_thresholds(
+        spark.createDataFrame(cal), "score", group_cols="g",
+        alphas=[0.1, 0.2],
+    )
+    scored = spark.createDataFrame(pd.DataFrame({"g": ["a"], "score": [0.5]}))
+    with pytest.raises(ValueError, match="multiple alpha"):
+        conformal_accept(scored, th, "score", group_cols="g")
+    # with a selector it is fine, and no row duplication happens
+    out = conformal_accept(scored, th, "score", group_cols="g", alpha=0.2)
+    assert out.count() == 1
+
+
+def test_accept_preserves_caller_ncal_qhat_columns(spark):
+    cal = pd.DataFrame({"g": ["a"] * 30, "score": np.arange(30) / 30.0})
+    th = conformal_thresholds(
+        spark.createDataFrame(cal), "score", group_cols="g", alphas=[0.1]
+    )
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["a"], "score": [0.5], "n_cal": [123], "qhat": [9.9]}
+        )
+    )
+    out = conformal_accept(
+        scored, th, "score", group_cols="g", alpha=0.1
+    ).collect()[0]
+    # the caller's columns survive the join + drop untouched
+    assert (out["n_cal"], out["qhat"]) == (123, 9.9)
+    assert out["conformal_accept"] == True  # noqa: E712
