@@ -584,13 +584,22 @@ def hash_hamming_pairs(
             m |= ((1 << widths[i]) - 1) << offsets[i]
         return m - (1 << 64) if m >= (1 << 63) else m  # signed LongType
 
+    # SINGLE-EXCHANGE SELF-JOIN: both join sides are the SAME repartitioned
+    # DataFrame (identical projection, renamed only through the a/b
+    # aliases), not two differently-projected branches. Two payoffs, both
+    # measured (single-session A/B, sf0.1, identical 88051-pair output):
+    # (a) the differently-projected branches planned a BroadcastExchange
+    #     whose driver-blocking build serialized a full hash+explode pass
+    #     BEHIND the probe side's identical pass — as shuffle map stages
+    #     the two sides run concurrently, and with the default
+    #     spark.sql.exchange.reuse the canonically-equal exchanges
+    #     additionally dedupe to ONE hash+explode pass;
+    # (b) shuffle-by-key is the only shape that survives when the table is
+    #     too big to broadcast — at 10^12 rows the hash pass (a Python
+    #     stage for simhash) is the dominant term and must not run twice.
     blocks = sh.select(
         "did", "sh", F.posexplode(F.array(*keys)).alias("ci", "bh")
-    )
-    a = blocks.select(
-        F.col("did").alias("id1"), F.col("sh").alias("sh1"), "ci", "bh"
-    )
-    b = blocks.select(F.col("did").alias("id2"), F.col("sh").alias("sh2"), "bh")
+    ).repartition(F.col("bh"))
     # FIRST-MATCH emission: a near-identical pair agrees on almost every
     # block, so it collides on up to C(m, m-r) subset keys — every copy
     # used to flow through the verify + pair-dedup exchange (~45x row
@@ -600,7 +609,7 @@ def hash_hamming_pairs(
     # row survives per pair (block equality => key equality, so the
     # first-match row is always present), making the trailing
     # dropDuplicates a no-op safety net instead of a 45x shuffle.
-    x = F.col("sh1").bitwiseXOR(F.col("sh2"))
+    x = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     first = F.when(x.bitwiseAND(F.lit(_combo_mask(combos[0]))) == 0, 0)
     for ci in range(1, len(combos)):
         first = first.when(
@@ -608,19 +617,22 @@ def hash_hamming_pairs(
         )
     first = first.otherwise(F.lit(-1))
     return (
-        a.join(b, "bh")
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.bh") == F.col("b.bh"))
         # predicate order matters: the cheap bit_count radius test drops
         # key-collision noise first; the mask chain then runs only on
         # the radius-passing (duplicated) rows
         .where(
-            (F.col("id1") < F.col("id2"))
+            (F.col("a.did") < F.col("b.did"))
             & (F.bit_count(x) <= max_hamming)
-            & (F.col("ci") == first)
+            & (F.col("a.ci") == first)
         )
         .select(
-            "id1",
-            "id2",
-            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+            F.col("a.did").alias("id1"),
+            F.col("b.did").alias("id2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias(
+                "hamming"
+            ),
         )
         .dropDuplicates(["id1", "id2"])
     )
@@ -971,13 +983,28 @@ def embedding_dup_pairs(
     # candidates travel light (same rule as minhash_lsh_pairs): the bucket
     # self-join and pair dedup move only ids + bucket keys; the (possibly
     # high-dimensional) vectors join back once per DISTINCT pair for the
-    # exact cosine verification
-    a = sigs.select(F.col(id_col).alias("id1"), "tbl", "sig")
-    b = sigs.select(F.col(id_col).alias("id2"), "tbl", "sig")
+    # exact cosine verification. Both join sides are ONE repartitioned
+    # DataFrame (the hash_hamming_pairs single-exchange rule): the two
+    # sides' signature GEMM stages run as concurrent shuffle maps (and
+    # dedupe under the default exchange reuse) instead of one pass
+    # serializing behind the other side's broadcast build — and
+    # shuffle-by-bucket-key is the only shape that survives when the
+    # signature table outgrows the broadcast threshold.
+    s = sigs.select(id_col, "tbl", "sig").repartition(
+        F.col("tbl"), F.col("sig")
+    )
     cand = (
-        a.join(b, ["tbl", "sig"])
-        .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
         .dropDuplicates(["id1", "id2"])
     )
     vecs = df.select(

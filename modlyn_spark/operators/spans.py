@@ -213,13 +213,20 @@ def span_dup_pairs(
         text_col,
         K,
     )
-    g1 = grams.select(F.col("did").alias("id1"), "gram")
-    g2 = grams.select(F.col("did").alias("id2"), "gram")
+    # single-exchange self-join (the hash_hamming_pairs rule): both sides
+    # are ONE gram table repartitioned by the join key, so the semi-join +
+    # K-gram explode runs as concurrent shuffle maps (deduped under the
+    # default exchange reuse) instead of twice, one side serialized
+    # behind the other's broadcast build — measured 2.0s -> 1.45s warm at
+    # sf0.1 with identical output, and at corpus scale the gram table
+    # cannot broadcast at all.
+    g = grams.repartition(F.col("gram"))
     shared = (
-        g1.join(g2, "gram")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+        g.alias("a")
+        .join(g.alias("b"), F.col("a.gram") == F.col("b.gram"))
+        .where(F.col("a.did") < F.col("b.did"))
+        .groupBy(F.col("a.did").alias("id1"), F.col("b.did").alias("id2"))
+        .agg(F.count_distinct(F.col("a.gram")).alias("n_shared_grams"))
     )
     out = cand.join(shared, ["id1", "id2"]).select(
         "id1", "id2", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
