@@ -983,28 +983,21 @@ def embedding_dup_pairs(
     # candidates travel light (same rule as minhash_lsh_pairs): the bucket
     # self-join and pair dedup move only ids + bucket keys; the (possibly
     # high-dimensional) vectors join back once per DISTINCT pair for the
-    # exact cosine verification. Both join sides are ONE repartitioned
-    # DataFrame (the hash_hamming_pairs single-exchange rule): the two
-    # sides' signature GEMM stages run as concurrent shuffle maps (and
-    # dedupe under the default exchange reuse) instead of one pass
-    # serializing behind the other side's broadcast build — and
-    # shuffle-by-bucket-key is the only shape that survives when the
-    # signature table outgrows the broadcast threshold.
-    s = sigs.select(id_col, "tbl", "sig").repartition(
-        F.col("tbl"), F.col("sig")
-    )
+    # exact cosine verification.
+    # NOTE (r6, measured): the hash_hamming_pairs single-exchange
+    # restructure was tried here and REVERTED — LSH bucket keys on a
+    # clustered corpus are SKEWED (template clusters share buckets), and
+    # repartitioning by (tbl, sig) concentrates each hot bucket's
+    # quadratic pair fan-out on one reducer (sf1 A/B: 6.8-10.1s vs
+    # 5.1-5.5s for this broadcast form, identical 15,092,224 candidates).
+    # The broadcast join spreads bucket^2 work across the probe side's
+    # round-robin partitions regardless of key skew.
+    a = sigs.select(F.col(id_col).alias("id1"), "tbl", "sig")
+    b = sigs.select(F.col(id_col).alias("id2"), "tbl", "sig")
     cand = (
-        s.alias("a")
-        .join(
-            s.alias("b"),
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.sig") == F.col("b.sig")),
-        )
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id1"),
-            F.col(f"b.{id_col}").alias("id2"),
-        )
+        a.join(b, ["tbl", "sig"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
         .dropDuplicates(["id1", "id2"])
     )
     vecs = df.select(
